@@ -1,0 +1,94 @@
+"""Text-dumping output device = the layout reassembly policy (SURVEY.md §2
+P7).  Reference: /root/reference/simple-device.lisp:19-41.
+
+Golden-defining quirks replicated exactly:
+- newline emitted iff |last_y - y| > 3, where y is the text matrix's f
+  component (CTM is IGNORED — the reference's (setf device-ctm) is a no-op);
+- last_y starts at -1e20, so the FIRST rendered string always emits a
+  leading newline, and last_y persists across pages;
+- only elements at even positions of a TJ sequence are decoded (kern numbers
+  at odd positions are skipped without inspection);
+- unmapped CIDs render as "<CID x>" with uppercase hex;
+- no intra-line x-sorting, no synthesized word spacing.
+"""
+
+from __future__ import annotations
+
+from .fonts import PDFUnicodeNotDefined
+
+__all__ = ["SimpleTextDevice"]
+
+
+class SimpleTextDevice:
+    """Accumulates reading-order text + per-page character spans."""
+
+    def __init__(self):
+        self._parts: list[str] = []
+        self._len = 0
+        self._last_y = -1e20
+        self._page_no = 0
+        self._page_start = 0
+        self.spans: list[tuple[int, int, int]] = []
+
+    # --- page lifecycle ---------------------------------------------------
+    def begin_page(self, page, ctm) -> None:
+        self._page_no += 1
+        self._page_start = self._len
+
+    def end_page(self, page) -> None:
+        self.spans.append((self._page_no, self._page_start, self._len))
+
+    # --- no-op callbacks (simple-device.lisp:10-18) -------------------------
+    def begin_tag(self, tag, props=None) -> None:
+        pass
+
+    def end_tag(self) -> None:
+        pass
+
+    def do_tag(self, tag, props=None) -> None:
+        pass
+
+    def begin_figure(self, bbox, matrix) -> None:
+        pass
+
+    def end_figure(self) -> None:
+        pass
+
+    def paint_path(self, graphicstate, stroke, fill, evenodd, path) -> None:
+        pass
+
+    def render_image(self, stream) -> None:
+        pass
+
+    def set_ctm(self, ctm) -> None:
+        pass  # the simple device ignores CTM entirely
+
+    # --- the policy ---------------------------------------------------------
+    def render_string(self, textstate, seq) -> None:
+        y = textstate.matrix[5]
+        if abs(self._last_y - y) > 3:
+            self._write("\n")
+        self._last_y = y
+        font = textstate.font
+        if font is None:
+            return
+        for i in range(0, len(seq), 2):
+            item = seq[i]
+            if not isinstance(item, bytes):
+                continue  # fixtures place strings at even positions only
+            for cid in font.decode(item):
+                try:
+                    ch = font.to_unichr(cid)
+                except PDFUnicodeNotDefined:
+                    ch = "<CID %X>" % cid
+                except KeyError:
+                    ch = "<CID %X>" % cid
+                if ch:
+                    self._write(ch)
+
+    def _write(self, s: str) -> None:
+        self._parts.append(s)
+        self._len += len(s)
+
+    def get_text(self) -> str:
+        return "".join(self._parts)

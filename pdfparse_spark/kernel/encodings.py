@@ -1,0 +1,220 @@
+"""Encoding tables and glyph-name → Unicode mapping.
+
+Reference behavior: /root/reference/encodingdb.lisp + glyphlist.lisp (public
+Adobe data: PDF Reference 1.6 Appendix D latin encodings, Adobe Glyph List).
+The Win/Mac tables are derived from Python's cp1252 / mac_roman codecs (same
+public code pages); StandardEncoding and PDFDocEncoding are spelled out from
+the PDF spec.
+
+Documented deviation (SURVEY.md §5.2 class): the reference's Differences
+handling resets the code counter to 0 on integers (encodingdb.lisp:280) —
+mistranslation of pdfminer; the PDF spec sets the counter TO the integer,
+which is what we implement.
+"""
+
+from __future__ import annotations
+
+from .psparse import PSLiteral
+
+__all__ = ["get_encoding", "name2unicode", "ENCODINGS"]
+
+
+def _codec_table(codec: str) -> dict[int, str]:
+    table: dict[int, str] = {}
+    for code in range(256):
+        try:
+            ch = bytes([code]).decode(codec)
+        except UnicodeDecodeError:
+            continue
+        if ch != "�":
+            table[code] = ch
+    return table
+
+
+# WinAnsiEncoding ≈ Windows code page 1252; MacRomanEncoding ≈ Mac OS Roman.
+WIN2UNICODE = _codec_table("cp1252")
+MAC2UNICODE = _codec_table("mac_roman")
+# control range is not part of the PDF encodings
+for _c in list(range(0, 32)) + [127]:
+    WIN2UNICODE.pop(_c, None)
+    MAC2UNICODE.pop(_c, None)
+
+# Adobe StandardEncoding (PDF Reference 1.6, Appendix D.2): ASCII except
+# 39→quoteright / 96→quoteleft, plus the upper region below.
+STD2UNICODE: dict[int, str] = {c: chr(c) for c in range(32, 127)}
+STD2UNICODE[39] = "’"  # quoteright
+STD2UNICODE[96] = "‘"  # quoteleft
+STD2UNICODE.update(
+    {
+        161: "¡", 162: "¢", 163: "£", 164: "⁄",
+        165: "¥", 166: "ƒ", 167: "§", 168: "¤",
+        169: "'", 170: "“", 171: "«", 172: "‹",
+        173: "›", 174: "ﬁ", 175: "ﬂ", 177: "–",
+        178: "†", 179: "‡", 180: "·", 182: "¶",
+        183: "•", 184: "‚", 185: "„", 186: "”",
+        187: "»", 188: "…", 189: "‰", 191: "¿",
+        193: "`", 194: "´", 195: "ˆ", 196: "˜",
+        197: "¯", 198: "˘", 199: "˙", 200: "¨",
+        202: "˚", 203: "¸", 205: "˝", 206: "˛",
+        207: "ˇ", 208: "—", 225: "Æ", 227: "ª",
+        232: "Ł", 233: "Ø", 234: "Œ", 235: "º",
+        241: "æ", 245: "ı", 248: "ł", 249: "ø",
+        250: "œ", 251: "ß",
+    }
+)
+
+# PDFDocEncoding (PDF Reference D.2 / pdfparse.lisp:1957-1992)
+_PDFDOC_CODEPOINTS = [
+    0x0000, 0x0001, 0x0002, 0x0003, 0x0004, 0x0005, 0x0006, 0x0007,
+    0x0008, 0x0009, 0x000A, 0x000B, 0x000C, 0x000D, 0x000E, 0x000F,
+    0x0010, 0x0011, 0x0012, 0x0013, 0x0014, 0x0015, 0x0017, 0x0017,
+    0x02D8, 0x02C7, 0x02C6, 0x02D9, 0x02DD, 0x02DB, 0x02DA, 0x02DC,
+] + list(range(0x20, 0x7F)) + [0x0000] + [
+    0x2022, 0x2020, 0x2021, 0x2026, 0x2014, 0x2013, 0x0192, 0x2044,
+    0x2039, 0x203A, 0x2212, 0x2030, 0x201E, 0x201C, 0x201D, 0x2018,
+    0x2019, 0x201A, 0x2122, 0xFB01, 0xFB02, 0x0141, 0x0152, 0x0160,
+    0x0178, 0x017D, 0x0131, 0x0142, 0x0153, 0x0161, 0x017E, 0x0000,
+    0x20AC,
+] + list(range(0xA1, 0xAD)) + [0x0000] + list(range(0xAE, 0x100))
+
+PDF2UNICODE: dict[int, str] = {
+    i: chr(cp) for i, cp in enumerate(_PDFDOC_CODEPOINTS) if cp
+}
+
+ENCODINGS: dict[str, dict[int, str]] = {
+    "StandardEncoding": STD2UNICODE,
+    "MacRomanEncoding": MAC2UNICODE,
+    "WinAnsiEncoding": WIN2UNICODE,
+    "PDFDocEncoding": PDF2UNICODE,
+}
+
+
+def _build_glyphlist() -> dict[str, str]:
+    """Subset of the Adobe Glyph List covering the latin character set
+    (glyph names used by the four standard encodings plus common extras).
+    Public data: the AGL is published by Adobe."""
+    gl: dict[str, str] = {}
+    # letters and digits
+    for c in "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz":
+        gl[c] = c
+    for name, ch in zip(
+        "zero one two three four five six seven eight nine".split(),
+        "0123456789",
+    ):
+        gl[name] = ch
+    gl.update(
+        {
+            "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+            "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+            "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+            "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+            "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+            "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+            "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+            "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+            "braceright": "}", "asciitilde": "~",
+            "quoteright": "’", "quoteleft": "‘",
+            "quotedblleft": "“", "quotedblright": "”",
+            "quotesinglbase": "‚", "quotedblbase": "„",
+            "endash": "–", "emdash": "—", "bullet": "•",
+            "dagger": "†", "daggerdbl": "‡", "ellipsis": "…",
+            "perthousand": "‰", "guilsinglleft": "‹",
+            "guilsinglright": "›", "guillemotleft": "«",
+            "guillemotright": "»", "exclamdown": "¡",
+            "questiondown": "¿", "cent": "¢", "sterling": "£",
+            "currency": "¤", "yen": "¥", "florin": "ƒ",
+            "section": "§", "dieresis": "¨", "copyright": "©",
+            "ordfeminine": "ª", "ordmasculine": "º",
+            "logicalnot": "¬", "registered": "®", "macron": "¯",
+            "degree": "°", "plusminus": "±", "acute": "´",
+            "mu": "µ", "paragraph": "¶", "periodcentered": "·",
+            "cedilla": "¸", "onequarter": "¼", "onehalf": "½",
+            "threequarters": "¾", "multiply": "×", "divide": "÷",
+            "fraction": "⁄", "minus": "−", "fi": "ﬁ",
+            "fl": "ﬂ", "circumflex": "ˆ", "caron": "ˇ",
+            "breve": "˘", "dotaccent": "˙", "ring": "˚",
+            "ogonek": "˛", "tilde": "˜", "hungarumlaut": "˝",
+            "Euro": "€", "trademark": "™", "brokenbar": "¦",
+            "onesuperior": "¹", "twosuperior": "²",
+            "threesuperior": "³", "nbspace": " ",
+            "softhyphen": "­",
+        }
+    )
+    # accented latin (names per AGL)
+    accented = {
+        "Aacute": 0xC1, "Acircumflex": 0xC2, "Adieresis": 0xC4, "Agrave": 0xC0,
+        "Aring": 0xC5, "Atilde": 0xC3, "Ccedilla": 0xC7, "Eacute": 0xC9,
+        "Ecircumflex": 0xCA, "Edieresis": 0xCB, "Egrave": 0xC8, "Eth": 0xD0,
+        "Iacute": 0xCD, "Icircumflex": 0xCE, "Idieresis": 0xCF, "Igrave": 0xCC,
+        "Ntilde": 0xD1, "Oacute": 0xD3, "Ocircumflex": 0xD4, "Odieresis": 0xD6,
+        "Ograve": 0xD2, "Oslash": 0xD8, "Otilde": 0xD5, "Thorn": 0xDE,
+        "Uacute": 0xDA, "Ucircumflex": 0xDB, "Udieresis": 0xDC, "Ugrave": 0xD9,
+        "Yacute": 0xDD, "aacute": 0xE1, "acircumflex": 0xE2, "adieresis": 0xE4,
+        "agrave": 0xE0, "aring": 0xE5, "atilde": 0xE3, "ccedilla": 0xE7,
+        "eacute": 0xE9, "ecircumflex": 0xEA, "edieresis": 0xEB, "egrave": 0xE8,
+        "eth": 0xF0, "iacute": 0xED, "icircumflex": 0xEE, "idieresis": 0xEF,
+        "igrave": 0xEC, "ntilde": 0xF1, "oacute": 0xF3, "ocircumflex": 0xF4,
+        "odieresis": 0xF6, "ograve": 0xF2, "oslash": 0xF8, "otilde": 0xF5,
+        "thorn": 0xFE, "uacute": 0xFA, "ucircumflex": 0xFB, "udieresis": 0xFC,
+        "ugrave": 0xF9, "yacute": 0xFD, "ydieresis": 0xFF, "germandbls": 0xDF,
+        "AE": 0xC6, "ae": 0xE6, "OE": 0x152, "oe": 0x153, "Lslash": 0x141,
+        "lslash": 0x142, "Scaron": 0x160, "scaron": 0x161, "Ydieresis": 0x178,
+        "Zcaron": 0x17D, "zcaron": 0x17E, "dotlessi": 0x131,
+    }
+    gl.update({name: chr(cp) for name, cp in accented.items()})
+    return gl
+
+
+GLYPHNAME2UNICODE = _build_glyphlist()
+
+
+def name2unicode(name) -> str:
+    """Glyph name → Unicode string.  AGL subset lookup, then uniXXXX /
+    uXXXX[XX] hex forms, then a trailing-digits fallback (pdfminer
+    semantics; reference encodingdb.lisp:246-253 returns a raw int there —
+    mistranslation we do not copy).  Raises KeyError if unmappable."""
+    if isinstance(name, PSLiteral):
+        name = name.name
+    uni = GLYPHNAME2UNICODE.get(name)
+    if uni is not None:
+        return uni
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            pass
+    if name.startswith("u") and len(name) in (5, 7):
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            pass
+    # names like 'g123' / 'cid42': take the trailing digit run
+    digits = "".join(c for c in name if c.isdigit())
+    if digits:
+        try:
+            return chr(int(digits))
+        except (ValueError, OverflowError):
+            pass
+    raise KeyError(name)
+
+
+def get_encoding(name, diff=None) -> dict[int, str]:
+    """Return cid→unicode for a base encoding, applying a /Differences array
+    (integer sets the code counter; names map successive codes)."""
+    if isinstance(name, PSLiteral):
+        name = name.name
+    table = ENCODINGS.get(name, STD2UNICODE)
+    if not diff:
+        return table
+    table = dict(table)
+    cid = 0
+    for x in diff:
+        if isinstance(x, int) and not isinstance(x, bool):
+            cid = x
+        elif isinstance(x, PSLiteral):
+            try:
+                table[cid] = name2unicode(x)
+            except KeyError:
+                pass
+            cid += 1
+    return table

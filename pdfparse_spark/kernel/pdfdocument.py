@@ -1,0 +1,291 @@
+"""PDF document: xref chain, object fetch (incl. ObjStm), page tree, RC4.
+
+Reference behavior: /root/reference/pdfparse.lisp:1295-1687 (SURVEY.md §2
+P3/P4/P5, §3.2).  Lenient: missing objects resolve to None rather than
+raising, matching the reference's non-strict mode.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from .psparse import LIT, PSEOF
+from .pdfparser import KEYWORD_OBJ, PDFParser, PDFStreamParser
+from .pdftypes import (
+    PDFObjRef,
+    PDFStream,
+    decipher_all,
+    dict_value,
+    int_value,
+    list_value,
+    resolve1,
+    str_value,
+    stream_value,
+)
+
+__all__ = ["PDFDocument", "PDFPage", "PDFEncryptionError"]
+
+LITERAL_OBJSTM = LIT("ObjStm")
+LITERAL_PAGE = LIT("Page")
+LITERAL_PAGES = LIT("Pages")
+LITERAL_CATALOG = LIT("Catalog")
+LITERAL_TYPE = LIT("Type")
+LITERAL_KIDS = LIT("Kids")
+LITERAL_N = LIT("N")
+
+INHERITABLE_ATTRS = (LIT("Resources"), LIT("MediaBox"), LIT("CropBox"), LIT("Rotate"))
+
+PASSWORD_PADDING = bytes(
+    [40, 191, 78, 94, 78, 117, 138, 65, 100, 0, 78, 86, 255, 250, 1, 8,
+     46, 46, 0, 182, 208, 104, 62, 128, 47, 12, 169, 254, 100, 83, 105, 122]
+)
+
+
+class PDFEncryptionError(Exception):
+    pass
+
+
+def rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (public algorithm), used by PDF standard security handler
+    revisions 2-3 (pdfparse.lisp:1437-1547)."""
+    S = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + S[i] + key[i % klen]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[n] = c ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+class PDFPage:
+    """Page attributes with inherited Resources/MediaBox/CropBox/Rotate
+    (pdfparse.lisp:1295-1351)."""
+
+    def __init__(self, doc: "PDFDocument", pageid, attrs):
+        self.doc = doc
+        self.pageid = pageid
+        self.attrs = dict_value(attrs)
+        self.resources = resolve1(self.attrs.get(LIT("Resources")))
+        self.mediabox = resolve1(self.attrs.get(LIT("MediaBox"))) or [0, 0, 612, 792]
+        if LIT("CropBox") in self.attrs:
+            self.cropbox = resolve1(self.attrs[LIT("CropBox")])
+        else:
+            self.cropbox = self.mediabox
+        self.rotate = (int_value(self.attrs.get(LIT("Rotate"), 0)) + 360) % 360
+        self.annots = self.attrs.get(LIT("Annots"))
+        self.beads = self.attrs.get(LIT("B"))
+        contents = None
+        if LIT("Contents") in self.attrs:
+            contents = resolve1(self.attrs[LIT("Contents")])
+        if not isinstance(contents, list):
+            contents = [contents] if contents is not None else []
+        self.contents = contents
+
+
+class PDFDocument:
+    """Xref chain + trailers + catalog + object cache (pdfparse.lisp:1353-1627)."""
+
+    def __init__(self, caching: bool = True):
+        self.caching = caching
+        self.catalog: dict | None = None
+        self.encryption = None
+        self.decipher = None
+        self.xrefs: list = []
+        self.info: list = []
+        self._parser: PDFParser | None = None
+        self._cached_objs: dict[int, object] = {}
+        self._parsed_objs: dict[int, list] = {}
+        self.is_extractable = True
+
+    def set_parser(self, parser: PDFParser) -> None:
+        if self._parser is not None:
+            return
+        self._parser = parser
+        self.xrefs = parser.read_xref()
+        for xref in self.xrefs:
+            trailer = xref.get_trailer()
+            if not trailer:
+                continue
+            if LIT("Encrypt") in trailer:
+                self.encryption = (
+                    list_value(trailer.get(LIT("ID"))),
+                    dict_value(trailer[LIT("Encrypt")]),
+                )
+            if LIT("Info") in trailer:
+                self.info.append(trailer[LIT("Info")])
+            if LIT("Root") in trailer:
+                self.catalog = dict_value(trailer[LIT("Root")])
+                break
+        else:
+            raise PSEOF("no /Root object - not a PDF?")
+
+    def initialize(self, password: bytes = b"") -> None:
+        """Standard security handler, V1/V2, R2/R3, RC4 (pdfparse.lisp:1494-1547)."""
+        if not self.encryption or not self.encryption[1]:
+            return
+        docid, param = self.encryption
+        if param.get(LIT("Filter")) is not LIT("Standard"):
+            raise PDFEncryptionError("unknown security filter: %r" % param)
+        v = int_value(param.get(LIT("V"), 0))
+        length = int_value(param.get(LIT("Length"), 40))
+        o = str_value(param.get(LIT("O")))
+        r = int_value(param.get(LIT("R")))
+        u = str_value(param.get(LIT("U")))
+        p = int_value(param.get(LIT("P")))
+        if v not in (1, 2):
+            raise PDFEncryptionError("unknown encryption algorithm V=%r" % v)
+        if r >= 4:
+            raise PDFEncryptionError("revision %r encryption is unsupported" % r)
+        self.is_extractable = bool(p & 16)
+        padded = (password + PASSWORD_PADDING)[:32]
+        h = hashlib.md5(padded)
+        h.update(o)
+        h.update(struct.pack("<i", p))
+        h.update(str_value(docid[0]) if docid else b"")
+        if r >= 3:
+            digest = h.digest()
+            for _ in range(50):
+                digest = hashlib.md5(digest[: length // 8]).digest()
+            key = digest[: length // 8]
+        else:
+            key = h.digest()[: length // 8]
+        # verify against /U
+        if r == 2:
+            u1 = rc4(key, PASSWORD_PADDING)
+            ok = u1 == u
+        else:
+            h2 = hashlib.md5(PASSWORD_PADDING)
+            h2.update(str_value(docid[0]) if docid else b"")
+            x = rc4(key, h2.digest()[:16])
+            for i in range(1, 20):
+                k = bytes(c ^ i for c in key)
+                x = rc4(k, x)
+            ok = x[:16] == u[:16]
+        if not ok:
+            raise PDFEncryptionError("incorrect password")
+
+        def decipher(objid: int, genno: int, data: bytes) -> bytes:
+            k1 = key + struct.pack("<L", objid)[:3] + struct.pack("<L", genno)[:2]
+            k = hashlib.md5(k1).digest()[: min(len(k1), 16)]
+            return rc4(k, data)
+
+        self.decipher = decipher
+
+    # --- object fetch --------------------------------------------------------
+    def getobj(self, objid: int):
+        if not self.xrefs:
+            raise RuntimeError("PDFDocument is not initialized")
+        if objid in self._cached_objs:
+            return self._cached_objs[objid]
+        pair = None
+        for xref in self.xrefs:
+            try:
+                pair = xref.get_pos(objid)
+                break
+            except KeyError:
+                continue
+        if pair is None:
+            return None  # lenient
+        strmid, index = pair
+        genno = 0
+        if strmid is not None:
+            obj = self._getobj_objstm(strmid, index, objid)
+        else:
+            obj = self._getobj_parse(index, objid)
+        if self.caching and objid not in self._cached_objs:
+            self._cached_objs[objid] = obj
+        if self.decipher:
+            obj = decipher_all(self.decipher, objid, genno, obj)
+        return obj
+
+    def _getobj_objstm(self, strmid: int, index: int, objid: int):
+        stream = stream_value(self.getobj(strmid))
+        n = int_value(stream.get(LITERAL_N, 0))
+        if strmid in self._parsed_objs:
+            objs = self._parsed_objs[strmid]
+        else:
+            parser = PDFStreamParser(stream.get_data())
+            parser.set_document(self)
+            objs = []
+            while True:
+                try:
+                    _, obj = parser.nextobject()
+                except PSEOF:
+                    break
+                objs.append(obj)
+            self._parsed_objs[strmid] = objs
+        # layout: 2N header ints (objid offset)*, then the N objects
+        i = n * 2 + index
+        if i >= len(objs):
+            return None
+        obj = objs[i]
+        if isinstance(obj, PDFStream):
+            obj.set_objid(objid, 0)
+        return obj
+
+    def _getobj_parse(self, pos: int, objid: int):
+        parser = self._parser
+        parser.seek(pos)
+        try:
+            _, objid1 = parser.nexttoken()
+            _, genno = parser.nexttoken()
+            _, kwd = parser.nexttoken()
+            if objid1 != objid:
+                # resync: scan forward for the 'obj' keyword (lenient)
+                while kwd is not KEYWORD_OBJ:
+                    _, kwd = parser.nexttoken()
+            if kwd is not KEYWORD_OBJ:
+                return None
+            _, obj = parser.nextobject()
+        except PSEOF:
+            return None
+        if isinstance(obj, PDFStream):
+            obj.set_objid(objid, int(genno) if isinstance(genno, int) else 0)
+        return obj
+
+    # --- page tree -----------------------------------------------------------
+    def get_pages(self):
+        """Lazy DFS over /Pages tree with attribute inheritance
+        (pdfparse.lisp:1629-1687)."""
+        if self.catalog is None:
+            return
+        root = self.catalog.get(LITERAL_PAGES)
+        if root is None:
+            return
+        seen: set[int] = set()
+
+        def search(obj, parent: dict):
+            if isinstance(obj, PDFObjRef):
+                pageid = obj.objid
+                if pageid in seen:
+                    return
+                seen.add(pageid)
+                tree = dict(dict_value(self.getobj(pageid)))
+            elif isinstance(obj, int):
+                pageid = obj
+                if pageid in seen:
+                    return
+                seen.add(pageid)
+                tree = dict(dict_value(self.getobj(pageid)))
+            else:
+                pageid = None
+                tree = dict(dict_value(obj))
+            for k in INHERITABLE_ATTRS:
+                if k in parent and k not in tree:
+                    tree[k] = parent[k]
+            typ = tree.get(LITERAL_TYPE)
+            if typ is LITERAL_PAGES and LITERAL_KIDS in tree:
+                for kid in list_value(tree[LITERAL_KIDS]):
+                    yield from search(kid, tree)
+            elif typ is LITERAL_PAGE:
+                yield PDFPage(self, pageid, tree)
+
+        yield from search(root, self.catalog)

@@ -1,0 +1,98 @@
+"""End-to-end kernel goldens over the synthetic PDF + HTML fixture corpus
+(FIXTURES.md §2/§3, SURVEY.md §5.2 levels 2-3)."""
+
+import pytest
+
+from pdfparse_spark.fixtures.pdf_gen import build_pdf_fixtures
+from pdfparse_spark.fixtures.html_gen import build_html_fixtures
+from pdfparse_spark.kernel.extract import (
+    classify_text,
+    extract_pdf_bytes,
+    extract_turn,
+)
+from pdfparse_spark.kernel.html_extract import extract_html
+
+PDF_FIXTURES = build_pdf_fixtures()
+HTML_FIXTURES = build_html_fixtures()
+
+
+@pytest.mark.parametrize("fx", PDF_FIXTURES, ids=lambda f: f.name)
+def test_pdf_fixture_golden(fx):
+    text, spans, status = extract_pdf_bytes(fx.data)
+    assert status == fx.golden_status
+    assert text == fx.golden_text
+    assert spans == fx.golden_spans
+
+
+@pytest.mark.parametrize("fx", PDF_FIXTURES, ids=lambda f: f.name)
+def test_pdf_fixture_deterministic(fx):
+    a = extract_pdf_bytes(fx.data)
+    b = extract_pdf_bytes(fx.data)
+    assert a == b
+
+
+@pytest.mark.parametrize("fx", HTML_FIXTURES, ids=lambda f: f.name)
+def test_html_fixture_golden(fx):
+    assert extract_html(fx.html) == fx.golden_text
+
+
+def test_html_policy_pins():
+    gold = {f.name: f.golden_text for f in HTML_FIXTURES}
+    # nav-heavy: the link farm is dropped, the long paragraph survives
+    assert "First link" not in gold["html_nav_heavy"]
+    assert gold["html_nav_heavy"].startswith("This single long paragraph")
+    # boilerplate containers dropped
+    assert "Site Banner" not in gold["html_article"]
+    assert "Copyright" not in gold["html_article"]
+    assert "Sidebar" not in gold["html_article"]
+    assert gold["html_article"].count("\n") == 11  # 12 paragraphs
+    # pre preserved verbatim
+    assert "def f(x):\n    return x + 1  # exact" in gold["html_tables_code"]
+    # script/style/comment/noscript gone
+    assert gold["html_comments_scripts"] == (
+        "Only this visible paragraph should survive the stripping pass."
+    )
+    # entities decoded
+    assert "&" in gold["html_entities"] and "&amp;" not in gold["html_entities"]
+    assert "—" in gold["html_entities"] and "£" in gold["html_entities"]
+
+
+def test_classify():
+    assert classify_text("%PDF-1.4 ...") == "pdf"
+    assert classify_text("pdfb64:JVBERi0=") == "pdf"
+    assert classify_text("<!DOCTYPE html><html></html>") == "html"
+    assert classify_text("  <div>hello</div>") == "html"
+    assert classify_text("plain old text < 5") == "text"
+    assert classify_text("") == "text"
+
+
+def test_extract_turn_routing():
+    import base64
+
+    fx = PDF_FIXTURES[0]
+    turn = "pdfb64:" + base64.b64encode(fx.data).decode("ascii")
+    ctype, text, spans, status = extract_turn(turn)
+    assert (ctype, status) == ("pdf", "ok")
+    assert text == fx.golden_text
+    assert spans == fx.golden_spans
+
+    hfx = HTML_FIXTURES[0]
+    ctype, text, spans, status = extract_turn(hfx.html)
+    assert (ctype, status) == ("html", "ok")
+    assert text == hfx.golden_text
+
+    ctype, text, spans, status = extract_turn("just words")
+    assert (ctype, text, status) == ("text", "just words", "ok")
+
+
+def test_extract_turn_never_raises_on_garbage():
+    for bad in ["%PDF-1.4 garbage", "pdfb64:!!!not-base64", "%PDF-", "<html>"]:
+        ctype, text, spans, status = extract_turn(bad)
+        assert isinstance(text, str)
+        assert isinstance(status, str)
+
+
+def test_unsupported_filter_status():
+    fx = {f.name: f for f in PDF_FIXTURES}["pdf_unsupported_filter"]
+    _, _, status = extract_pdf_bytes(fx.data)
+    assert status == "unsupported_filter"
