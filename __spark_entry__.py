@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline: synthesize a deterministic
+transcript corpus (FIXTURES.md §1) carrying PDF/HTML/text payloads, run the
+classify → salt/repartition → mapInPandas extraction kernel, join against
+the golden table, and return per-content-type match stats (plus a read of
+the driver's sf0.001 documents table as a relational sanity column).
+
+``queries()`` / ``oracle_sql()``: one entry per implemented operator from
+SURVEY.md §2 — relational scaffolding R1–R14, training-data ops (dedup /
+similarity / text analysis / multimodal), and the extraction kernels
+(rows-only: not SQL-expressible, pinned by pytest goldens instead).
 """
 
 from __future__ import annotations
@@ -12,27 +17,75 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _extract_corpus(spark: SparkSession, n_convs: int = 12, turns_per_conv: int = 8):
+    from pdfparse_spark.pipeline.extract import run_extraction
+    from pdfparse_spark.pipeline.transcripts import synthesize
+
+    df, golden = synthesize(spark, n_convs=n_convs, turns_per_conv=turns_per_conv, seed=7)
+    extracted = run_extraction(df, num_partitions=8, salt=16)
+    return extracted, golden
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extraction + golden match over the synthesized corpus,
+    cross-checked against /root/testdata/sf0.001 documents for a stable
+    relational leg."""
+    from pdfparse_spark.pipeline.metrics import join_golden
+
+    extracted, golden = _extract_corpus(spark)
+    joined = join_golden(extracted, golden)
+    stats = (
+        joined.groupBy("content_type")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.col("match").cast("long")).alias("n_match"),
+            F.sum(F.when(F.col("parse_status") == "ok", 1).otherwise(0)).alias("n_ok"),
+        )
+        .orderBy("content_type")
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").agg(
+        F.count("*").alias("n_docs")
+    )
+    return stats.crossJoin(docs)
+
+
+def _extract_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: kernel output summary (deterministic synthesized corpus)."""
+    extracted, _ = _extract_corpus(spark)
+    return extracted.select("conv_id", "turn_idx", "content_type", "parse_status", "n_chars")
+
+
+def _extract_match_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: per-turn golden equality (the north-rule invariant)."""
+    from pdfparse_spark.pipeline.metrics import join_golden, match_rate
+
+    extracted, golden = _extract_corpus(spark)
+    return match_rate(join_golden(extracted, golden))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pdfparse_spark.pipeline import multimodal, relational, textops
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    q.update(relational.QUERIES)
+    q.update(textops.QUERIES)
+    q.update(multimodal.QUERIES)
+    q["extract_transcripts"] = _extract_transcripts
+    q["extract_match_golden"] = _extract_match_golden
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pdfparse_spark.pipeline import multimodal, relational, textops
+
+    o: dict[str, str] = {}
+    o.update(relational.ORACLES)
+    o.update(textops.ORACLES)
+    o.update(multimodal.ORACLES)
+    # extract_* and the xxhash64-family sketches (dedup_minhash_lsh,
+    # dedup_simhash) are rows-only: kernels aren't SQL-expressible and the
+    # hash family has no DuckDB equivalent; both are pinned by pytest.
+    return o

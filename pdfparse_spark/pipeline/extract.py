@@ -1,0 +1,115 @@
+"""The extraction stage: classify → salt/repartition → mapInPandas kernel.
+
+SURVEY.md §2 operators P8 (classify/route), P10 (skew salting), R12
+(vectorized kernel).  The kernel chain (P1–P7) runs entirely inside the
+Python worker on Arrow record batches — one JVM↔Python crossing per batch,
+never per row (BASELINE.json input_hint: "vectorized pandas/Arrow UDFs, no
+per-row Python").
+
+Scale notes (the part Catalyst cannot do for us):
+- A 10k-turn conversation must not pin one task.  The kernel is per-turn
+  independent, so we salt at TURN granularity: ``repartition(P, conv_id,
+  pmod(turn_idx, SALT))`` spreads a hot conv_id over up to SALT partitions
+  while keeping the partitioning expression cheap and deterministic.
+- ``P`` should be ≥ 4× total cores so stragglers amortize; callers pass it
+  explicitly (bench uses 4× cores).
+- Column pruning: only (conv_id, turn_idx, role, tool, ts, text) enter the
+  Python stage; the fat ``text`` column is dropped on exit, so downstream
+  relational ops never re-shuffle payload bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["OUTPUT_SCHEMA", "extract_batch", "run_extraction", "salt_repartition"]
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("content_type", T.StringType(), False),
+        T.StructField("extracted_text", T.StringType(), True),
+        T.StructField(
+            "spans",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("page", T.IntegerType(), False),
+                        T.StructField("start", T.IntegerType(), False),
+                        T.StructField("end", T.IntegerType(), False),
+                    ]
+                )
+            ),
+            True,
+        ),
+        T.StructField("parse_status", T.StringType(), False),
+        T.StructField("n_chars", T.IntegerType(), False),
+    ]
+)
+
+
+def extract_batch(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body.  Imports the kernel lazily so the module object is
+    constructed once per (reused) Python worker — glyph/AFM tables stay warm.
+    """
+    from ..kernel.extract import extract_turn
+
+    for pdf in batches:
+        ctypes, texts, spans_col, statuses, nchars = [], [], [], [], []
+        for text in pdf["text"]:
+            ctype, extracted, spans, status = extract_turn(text)
+            ctypes.append(ctype)
+            texts.append(extracted)
+            spans_col.append([{"page": p, "start": s, "end": e} for (p, s, e) in spans])
+            statuses.append(status)
+            nchars.append(len(extracted))
+        yield pd.DataFrame(
+            {
+                "conv_id": pdf["conv_id"],
+                "turn_idx": pdf["turn_idx"],
+                "role": pdf["role"],
+                "tool": pdf["tool"],
+                "ts": pdf["ts"],
+                "content_type": ctypes,
+                "extracted_text": texts,
+                "spans": spans_col,
+                "parse_status": statuses,
+                "n_chars": nchars,
+            }
+        )
+
+
+def salt_repartition(df: DataFrame, num_partitions: int, salt: int = 64) -> DataFrame:
+    """P10: spread hot conv_ids over up to ``salt`` partitions.
+
+    Hash-partitions on (conv_id, turn_idx mod salt).  AQE cannot split a
+    skewed Python stage, so this explicit repartition is the skew defense.
+    """
+    return df.repartition(
+        num_partitions,
+        F.col("conv_id"),
+        F.pmod(F.col("turn_idx").cast("int"), F.lit(salt)),
+    )
+
+
+def run_extraction(
+    df: DataFrame,
+    num_partitions: int | None = None,
+    salt: int = 64,
+) -> DataFrame:
+    """Full extraction stage over a transcripts DataFrame (input_hint schema)."""
+    cols = ["conv_id", "turn_idx", "role", "tool", "ts", "text"]
+    df = df.select(*cols)  # column pruning before the shuffle
+    if num_partitions:
+        df = salt_repartition(df, num_partitions, salt)
+    return df.mapInPandas(extract_batch, schema=OUTPUT_SCHEMA)

@@ -1,0 +1,97 @@
+"""Multimodal-column plumbing: opaque ``binary`` payloads + typed metadata,
+decoded/feature-extracted in Arrow-batched ``mapInPandas`` kernels.
+
+The image/audio codec libraries are NOT in this container, so the decode
+step is a clearly-marked deterministic stub (``_fake_decode``): it derives
+metadata purely from the byte payload, which keeps the Spark-side plumbing
+(schema, batch shape, UDF signature, partitioning) fully real and testable
+— swap ``_fake_decode`` for a PIL/ffmpeg call on a real cluster.
+
+Scale notes: binary payloads are fat rows — same Arrow-batch-size and
+column-pruning discipline as the PDF kernel (extract.py); frame-sampling
+and resize would run in the same mapInPandas pass to avoid re-shuffling
+payload bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["MM_META_SCHEMA", "decode_meta_batch", "mm_decode_meta", "QUERIES", "ORACLES"]
+
+MM_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
+    """Deterministic stand-in for an image/video header parse.
+
+    A real deployment replaces this with e.g. ``PIL.Image.open`` /
+    ``av.open``; everything around it (Arrow batching, schema, tests)
+    is production-shaped.  Raises on None to exercise the lenient path.
+    """
+    n = len(payload)
+    return n, 64 + n % 512, 64 + (n * 7) % 512, 1 + n % 24
+
+
+def real_decode(payload: bytes):  # pragma: no cover - documented stub
+    """The genuine codec path — not available in this container."""
+    raise NotImplementedError("image/audio codecs not installed; use _fake_decode")
+
+
+def decode_meta_batch(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        n_bytes, widths, heights, frames = [], [], [], []
+        for payload in pdf["payload"]:
+            n, w, h, f = _fake_decode(bytes(payload) if payload is not None else b"")
+            n_bytes.append(n)
+            widths.append(w)
+            heights.append(h)
+            frames.append(f)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes,
+                "width": widths,
+                "height": heights,
+                "n_frames": frames,
+            }
+        )
+
+
+def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a binary column from documents.text (utf-8 bytes as a fake
+    media payload), then run the decode kernel over Arrow batches."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return docs.mapInPandas(decode_meta_batch, schema=MM_META_SCHEMA)
+
+
+ORACLES = {
+    # the stub's arithmetic is deliberately SQL-expressible so even the
+    # mapInPandas plumbing gets a value-level oracle check
+    "mm_decode_meta": """
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               64 + octet_length(encode(text)) % 512 AS width,
+               64 + (octet_length(encode(text)) * 7) % 512 AS height,
+               1 + octet_length(encode(text)) % 24 AS n_frames
+        FROM documents
+    """,
+}
+
+QUERIES = {"mm_decode_meta": mm_decode_meta}

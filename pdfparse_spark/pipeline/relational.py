@@ -1,0 +1,283 @@
+"""Relational scaffolding queries (SURVEY.md §2.D, R1–R14) over the driver's
+TPC-H-ish tables.  These are the operators the extraction pipeline's shell
+is made of — projection, filter, joins (broadcast + anti), hash aggregates,
+windows, distinct, union, top-k, string functions, ordered reassembly —
+each expressed declaratively so Catalyst handles pushdown/pruning/reorder,
+with a DuckDB oracle in ``ORACLES``.
+
+Plan hygiene (verified via .explain in tests): dimension joins broadcast
+(nation/region are tiny); filters land in PushedFilters of the parquet
+scan; aggregates keep partial (map-side) combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+__all__ = ["QUERIES", "ORACLES"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (R1 projection, R2 filter, R5 hash aggregate).
+
+    Scale: filter pushed to the parquet scan; partial aggregation map-side;
+    only 4 groups survive the shuffle.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority (R3 equi-join chain, R9 top-k).
+
+    Scale: customer filter prunes before the join; AQE picks broadcast for
+    the filtered side when it fits; top-k is a TakeOrderedAndProject, no
+    full sort.
+    """
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per region/nation through customer→orders→lineitem with
+    broadcast dimension joins (nation and region are tiny — F.broadcast)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def r4_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (R4) — the same primitive the resume ledger uses."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        cust.join(orders, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def r6_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions (R6): per-customer order rank + running spend."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_rank"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_spend"),
+    )
+
+
+def r7_distinct_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct / dedup (R7)."""
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+def r8_union_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of routed branches (R8) — same shape as the pdf/html/text routes."""
+    orders = _t(spark, sf_dir, "orders")
+    high = orders.filter(F.col("o_totalprice") > 400000).withColumn("tag", F.lit("high"))
+    low = orders.filter(F.col("o_totalprice") < 10000).withColumn("tag", F.lit("low"))
+    return high.unionByName(low).select("o_orderkey", "tag", F.round("o_totalprice", 2).alias("total"))
+
+
+def r11_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar functions (R11) — the classification-signal toolbox."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.length("c_name").alias("name_len"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).cast("long").alias("cust_num"),
+        F.substring("c_mktsegment", 1, 3).alias("seg_prefix"),
+        (F.col("c_mktsegment") == "AUTOMOBILE").cast("int").alias("is_auto"),
+    )
+
+
+def r13_status_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered grouped reassembly (R13) — per-conversation concatenation
+    pattern: per customer, order statuses concatenated in o_orderkey order."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.expr(
+            "concat_ws('', transform(array_sort(collect_list(struct(o_orderkey, o_orderstatus))),"
+            " s -> s.o_orderstatus))"
+        ).alias("status_seq"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def r14_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count aggregate (R14). Exact here so the oracle matches;
+    at 100 TB swap countDistinct → approx_count_distinct (HLL, no exact
+    shuffle of the full key set)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + cumulative sum (R6 advanced): a new session
+    starts after a >30 min gap; per-user session/event counts."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP (session TZ=UTC)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.unix_micros(F.lag(F.col("ts").cast("timestamp")).over(w))
+    sess = ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800 * 1000000), 1).otherwise(0))
+    sess = sess.withColumn("sess_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return sess.groupBy("user_id").agg(
+        F.max("sess_id").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_top_orders": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "q5_revenue_by_nation": """
+        SELECT r_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "r4_customers_no_orders": """
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer ANTI JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+    """,
+    "r6_order_window": """
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER w AS order_rank,
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "r7_distinct_flags": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "r8_union_tagged": """
+        SELECT o_orderkey, 'high' AS tag, round(o_totalprice, 2) AS total
+        FROM orders WHERE o_totalprice > 400000
+        UNION ALL
+        SELECT o_orderkey, 'low' AS tag, round(o_totalprice, 2) AS total
+        FROM orders WHERE o_totalprice < 10000
+    """,
+    "r11_string_funcs": """
+        SELECT c_custkey,
+               length(c_name) AS name_len,
+               CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS cust_num,
+               substring(c_mktsegment, 1, 3) AS seg_prefix,
+               CAST(c_mktsegment = 'AUTOMOBILE' AS INT) AS is_auto
+        FROM customer
+    """,
+    "r13_status_reassembly": """
+        SELECT o_custkey,
+               string_agg(o_orderstatus, '' ORDER BY o_orderkey) AS status_seq,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    """,
+    "r14_event_users": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY event_type
+    """,
+    "events_sessionize": """
+        WITH g AS (
+            SELECT user_id, ts, event_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+            SELECT user_id,
+                   sum(CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+            FROM g
+        )
+        SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events
+        FROM s GROUP BY user_id
+    """,
+}
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q5_revenue_by_nation": q5_revenue_by_nation,
+    "r4_customers_no_orders": r4_customers_no_orders,
+    "r6_order_window": r6_order_window,
+    "r7_distinct_flags": r7_distinct_flags,
+    "r8_union_tagged": r8_union_tagged,
+    "r11_string_funcs": r11_string_funcs,
+    "r13_status_reassembly": r13_status_reassembly,
+    "r14_event_users": r14_event_users,
+    "events_sessionize": events_sessionize,
+}

@@ -1,0 +1,103 @@
+"""Checkpoint/resume with per-partition lineage + metrics (SURVEY.md P12, R4).
+
+Unit of checkpointing: a BUCKET = ``pmod(xxhash64(conv_id), n_buckets)``.
+Buckets are processed in WAVES (``buckets_per_wave`` buckets per Spark
+action).  Each wave:
+
+    1. writes its extraction output to ``out_dir/wave=<k>/`` with
+       mode=overwrite  → idempotent: a re-run of a half-finished wave
+       replaces, never duplicates;
+    2. appends one ledger row per bucket to ``ledger_dir`` (bucket id,
+       wave, n_turns, n_ok, wall_ms) AFTER the output commit.
+
+Resume = anti-join of the input's buckets against the ledger (R4): a killed
+job re-runs at most one wave, and finished waves are never reprocessed.  On
+a 1000-executor cluster each wave still contains ``num_partitions`` salted
+tasks, so the driver-side wave loop (a handful of iterations) costs nothing;
+it exists only to create commit points, exactly like foreachBatch micro-
+batches in Structured Streaming.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .extract import run_extraction
+
+__all__ = ["bucket_of", "run_resumable", "read_output", "read_ledger"]
+
+
+def bucket_of(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn("bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)))
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def read_ledger(spark: SparkSession, ledger_dir: str) -> DataFrame | None:
+    if not _path_exists(spark, ledger_dir):
+        return None  # first run: no ledger yet
+    return spark.read.parquet(ledger_dir)
+
+
+def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(out_dir + "/wave=*")
+
+
+def run_resumable(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    ledger_dir: str,
+    n_buckets: int = 8,
+    buckets_per_wave: int = 2,
+    num_partitions: int | None = None,
+    salt: int = 64,
+    fail_after_waves: int | None = None,
+) -> dict:
+    """Run the extraction resumably.  ``fail_after_waves`` injects a crash
+    after k committed waves (test hook for the kill/rerun invariant).
+    Returns run stats: waves run, buckets skipped (already in ledger).
+    """
+    bdf = bucket_of(df, n_buckets)
+    ledger = read_ledger(spark, ledger_dir)
+    done: set[int] = set()
+    if ledger is not None:
+        done = {r["bucket"] for r in ledger.select("bucket").distinct().collect()}
+
+    todo = sorted(set(range(n_buckets)) - done)
+    waves = [todo[i : i + buckets_per_wave] for i in range(0, len(todo), buckets_per_wave)]
+    waves_run = 0
+    for wi, wave_buckets in enumerate(waves):
+        wave_id = min(wave_buckets)  # stable id: re-run of same buckets → same path
+        subset = bdf.filter(F.col("bucket").isin([int(b) for b in wave_buckets]))
+        t0 = time.monotonic()
+        out = run_extraction(
+            subset.drop("bucket"), num_partitions=num_partitions, salt=salt
+        ).withColumn("bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)))
+        out.write.mode("overwrite").parquet("%s/wave=%d" % (out_dir, wave_id))
+        wall_ms = int((time.monotonic() - t0) * 1000)
+
+        stats = (
+            read_output(spark, out_dir)
+            .filter(F.col("bucket").isin([int(b) for b in wave_buckets]))
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_turns"),
+                F.sum(F.when(F.col("parse_status") == "ok", 1).otherwise(0)).alias("n_ok"),
+            )
+            .withColumn("wave", F.lit(wave_id))
+            .withColumn("wall_ms", F.lit(wall_ms))
+        )
+        stats.write.mode("append").parquet(ledger_dir)
+        waves_run += 1
+        if fail_after_waves is not None and waves_run >= fail_after_waves:
+            raise RuntimeError("injected failure after %d waves" % waves_run)
+    return {"waves_run": waves_run, "buckets_skipped": len(done), "n_buckets": n_buckets}

@@ -1,0 +1,86 @@
+"""spark-submit entry point for the extraction pipeline.
+
+Local smoke:
+    python -m pdfparse_spark.pipeline.run_extract --out /tmp/px_out \\
+        --n-convs 20 --turns 12
+
+Cluster shape (multi-executor, per BASELINE.json north_rule):
+    zip -r pdfparse_spark.zip pdfparse_spark
+    spark-submit --py-files pdfparse_spark.zip \\
+        --conf spark.sql.execution.arrow.maxRecordsPerBatch=512 \\
+        -m pdfparse_spark.pipeline.run_extract -- \\
+        --input <transcripts parquet/iceberg path> --out <dir>
+
+With --input the transcripts are read from parquet (input_hint schema);
+without it a deterministic fixture corpus is synthesized.  Output is
+resumable: re-running with the same --out skips ledger-complete waves.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from .metrics import content_type_stats
+from .resume import read_ledger, read_output, run_resumable
+from .session import get_spark
+from .transcripts import synthesize, transcripts_df, make_transcript_rows
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", help="parquet path with input_hint schema; default: synthesize")
+    p.add_argument("--out", required=True, help="output dir (parquet waves + ledger)")
+    p.add_argument("--master", default=None)
+    p.add_argument("--n-convs", type=int, default=20)
+    p.add_argument("--turns", type=int, default=12)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--n-buckets", type=int, default=8)
+    p.add_argument("--buckets-per-wave", type=int, default=2)
+    p.add_argument("--partitions", type=int, default=None, help="salted partitions (default 4x cores)")
+    p.add_argument("--salt", type=int, default=64)
+    args = p.parse_args(argv)
+
+    spark = get_spark(master=args.master, app_name="pdfparse_extract")
+    cores = spark.sparkContext.defaultParallelism
+    partitions = args.partitions or 4 * cores
+
+    if args.input:
+        df = spark.read.parquet(args.input)
+    else:
+        rows, _ = make_transcript_rows(args.n_convs, args.turns, args.seed)
+        df = transcripts_df(spark, rows)
+
+    t0 = time.monotonic()
+    stats = run_resumable(
+        spark,
+        df,
+        out_dir=args.out + "/extracted",
+        ledger_dir=args.out + "/ledger",
+        n_buckets=args.n_buckets,
+        buckets_per_wave=args.buckets_per_wave,
+        num_partitions=partitions,
+        salt=args.salt,
+    )
+    wall = time.monotonic() - t0
+    out = read_output(spark, args.out + "/extracted")
+    n = out.count()
+    ledger = read_ledger(spark, args.out + "/ledger")
+    print(json.dumps({
+        "turns": n,
+        "wall_sec": round(wall, 3),
+        "turns_per_sec": round(n / wall, 1) if wall > 0 else None,
+        "waves_run": stats["waves_run"],
+        "buckets_skipped": stats["buckets_skipped"],
+        "ledger_rows": ledger.count() if ledger is not None else 0,
+    }))
+    content_type_stats(out).show(truncate=False)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,504 @@
+"""Training-data pipeline operators over the ``documents`` / ``embeddings``
+tables: deduplication, similarity search, text analysis.
+
+Each public function takes ``(spark, sf_dir)`` and returns a DataFrame; the
+matching DuckDB oracle SQL (same column names, same rounding) lives in
+``ORACLES`` next to it.  Ops whose hash family (xxhash64) has no DuckDB
+equivalent are rows-only checked by the driver and pinned against their
+exact counterparts in pytest instead (minhash-LSH vs exact Jaccard,
+simhash hamming pairs).
+
+Scale notes per op are inline; the common theme: the *exact* pairwise ops
+(word-shingle Jaccard, brute-force cosine) are the small-data oracles, and
+the sketch/bucketed variants (MinHash-LSH, sign-LSH ANN, banded SimHash)
+are the 100 TB paths — candidate generation via equality joins on sketch
+keys, never an O(n²) cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+__all__ = ["QUERIES", "ORACLES"]
+
+# tokenization shared by every text op — MUST stay in sync with the DuckDB
+# expression _SQL_TOKS below (same regex class, same empty-token filter)
+_TOKS = "filter(split(lower(text), '[^a-z0-9]+'), w -> w != '')"
+_SQL_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), w -> w <> '')"
+
+# 3-word shingles over the token array (order-preserving, then de-duplicated)
+_SHINGLES = (
+    "CASE WHEN size(arr) >= 3 THEN "
+    "array_distinct(transform(sequence(1, size(arr) - 2), "
+    "i -> concat_ws(' ', element_at(arr, i), element_at(arr, i + 1), element_at(arr, i + 2)))) "
+    "ELSE array() END"
+)
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len(arr) - 1, 1)), "
+    "i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) exploded distinct shingles — input to jaccard + minhash."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(_TOKS).alias("arr"))
+        .select("doc_id", F.explode(F.expr(_SHINGLES)).alias("sh"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one group per sha256(text); keep the min doc_id.
+
+    Scale: a single hash-aggregate shuffle on a 32-byte key — the cheapest
+    possible dedup at 100 TB; AQE coalesces the post-agg partitions.
+    """
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.sha2(F.col("text"), 256).alias("text_hash"))
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard pairs ≥ 0.5 (the small-scale oracle).
+
+    Scale: the shingle self-equi-join explodes quadratically on hot
+    shingles — this op exists as the correctness oracle for MinHash-LSH,
+    which is the 100 TB path (dedup_minhash_lsh).
+    """
+    sh = _shingle_rows(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+_MINHASH_PERMS = 32
+_LSH_BANDS = 8  # 4 rows/band → P(candidate | j=0.5) ≈ 1-(1-0.5^4)^8 ≈ 0.4, j=0.9 ≈ 0.998
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 perms) + LSH(8 bands × 4 rows) candidate pairs, verified
+    with exact Jaccard ≥ 0.5.  Output shape == dedup_ngram_jaccard.
+
+    Scale path: candidates come from an equality join on band keys (shuffle
+    on a 8×n-row key set), never a cross join; verification touches only
+    candidate pairs.  Hash family: xxhash64(seed, shingle) — JVM-side,
+    whole-stage-codegen'd.  No DuckDB oracle (hash family differs);
+    pinned against dedup_ngram_jaccard in tests/test_textops.py.
+    """
+    sh = _shingle_rows(spark, sf_dir)
+    sigs = sh.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias("h%d" % i) for i in range(_MINHASH_PERMS)]
+    )
+    rows_per_band = _MINHASH_PERMS // _LSH_BANDS
+    band_keys = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[F.col("h%d" % (b * rows_per_band + r)) for r in range(rows_per_band)])
+            for b in range(_LSH_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_keys).alias("band_key"))
+    ba = bands.alias("a")
+    bb = bands.alias("b")
+    cand = (
+        ba.join(bb, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify candidates with exact jaccard (same math as dedup_ngram_jaccard)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        cand.join(a, cand.doc_a == F.col("a.doc_id"))
+        .join(b, (cand.doc_b == F.col("b.doc_id")) & (F.col("a.sh") == F.col("b.sh")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+_SIMHASH_BITS = 63  # stay within a signed long without sign games
+
+
+def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) — 63-bit SimHash over word unigrams (multiplicity
+    counts as weight), hash family xxhash64.  All JVM-side expressions."""
+    words = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.expr(_TOKS)).alias("w"))
+        .withColumn("h", F.xxhash64(F.lit(0), F.col("w")))
+    )
+    votes = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias("b%d" % i)
+            for i in range(_SIMHASH_BITS)
+        ]
+    )
+    sim_expr = " + ".join("IF(b%d > 0, %dL, 0L)" % (i, 1 << i) for i in range(_SIMHASH_BITS))
+    return votes.select("doc_id", F.expr(sim_expr).alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with hamming ≤ 3, banded join on 4×16-bit
+    chunks (pigeonhole: hamming ≤ 3 ⇒ at least one equal chunk), so the
+    candidate join is an equality join — the 100 TB path.  Rows-only check
+    (xxhash64 family); invariants pinned in tests/test_textops.py.
+    """
+    sigs = _simhash_sigs(spark, sf_dir)
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)) for c in range(4)])
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ["the", "a", "and", "of", "to"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "las", "una", "y"],
+}
+
+
+def _marker_count(lang: str) -> str:
+    words = ", ".join("'%s'" % w for w in _LANG_MARKERS[lang])
+    return "size(filter(arr, w -> w IN (%s)))" % words
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-heuristic language ID via stopword-marker counts (argmax with
+    fixed priority en>de>fr>es; 'unknown' when no marker hits)."""
+    d = _docs(spark, sf_dir).select("doc_id", F.expr(_TOKS).alias("arr"))
+    d = d.select(
+        "doc_id",
+        *[F.expr(_marker_count(lang)).alias("%s_hits" % lang) for lang in _LANG_MARKERS],
+    )
+    return d.withColumn(
+        "lang_guess",
+        F.expr(
+            "CASE WHEN en_hits = 0 AND de_hits = 0 AND fr_hits = 0 AND es_hits = 0 THEN 'unknown' "
+            "WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en' "
+            "WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de' "
+            "WHEN fr_hits >= es_hits THEN 'fr' ELSE 'es' END"
+        ),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count, stopword ratio, alpha ratio → composite."""
+    d = _docs(spark, sf_dir).select("doc_id", "text", F.expr(_TOKS).alias("arr"))
+    d = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        F.size("arr").alias("n_tokens"),
+        F.expr("size(filter(arr, w -> w IN ('the','a','and','of','to','in','is')))").alias("n_stop"),
+        F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")).alias("n_alpha"),
+    )
+    d = d.withColumn(
+        "stopword_ratio", F.round(F.col("n_stop") / F.greatest(F.col("n_tokens"), F.lit(1)), 4)
+    ).withColumn("alpha_ratio", F.round(F.col("n_alpha") / F.greatest(F.col("n_chars_m"), F.lit(1)), 4))
+    return d.withColumn(
+        "quality_score",
+        F.round(
+            F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0))
+            * (0.5 + 0.5 * F.col("alpha_ratio"))
+            * (1.0 - 0.5 * F.col("stopword_ratio")),
+            4,
+        ),
+    ).select("doc_id", "n_chars_m", "n_tokens", "stopword_ratio", "alpha_ratio", "quality_score")
+
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token count."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.expr("size(filter(split(text, '\\\\s+'), w -> w != ''))").alias("ws_tokens"),
+        F.expr("regexp_count(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]')").alias("bpe_tokens"),
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: sha256 over the sorted distinct token set —
+    catches word-order/duplication-insensitive duplicates in one agg pass."""
+    d = _docs(spark, sf_dir).select("doc_id", F.expr(_TOKS).alias("arr"))
+    return d.select(
+        "doc_id",
+        F.sha2(F.concat_ws(" ", F.array_sort(F.array_distinct(F.col("arr")))), 256).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_DOT = "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+
+
+def _emb_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).withColumn("nrm", F.expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x))"))
+
+
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors (vec_id % 50 == 0).
+
+    Scale: broadcast the (small) query set against the full corpus — one
+    scan, no shuffle of the big side; ranking is a per-query window.  The
+    100 TB path is sim_ann_lsh (bucketed candidates).
+    """
+    e = _emb_norm(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    j = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), F.col("nrm").alias("nnrm")).crossJoin(
+        F.broadcast(q)
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    j = j.withColumn("cos_sim", F.round(F.expr(_DOT) / (F.col("qnrm") * F.col("nnrm")), 4))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: sign bits of the first 8 dims form a 256-way bucket;
+    candidates are same-bucket vectors (equality join on bucket) and top-3
+    by cosine within bucket.  This is the scale path: shuffle keys are
+    bucket ids, never an O(n²) cross join."""
+    e = _emb_norm(spark, sf_dir).withColumn(
+        "bucket",
+        F.expr(
+            " + ".join("IF(element_at(v, %d) >= 0, %d, 0)" % (i + 1, 1 << i) for i in range(8))
+        ),
+    )
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm"), "bucket"
+    )
+    n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), F.col("nrm").alias("nnrm"), "bucket")
+    j = q.join(n, "bucket").filter(F.col("neighbor_id") != F.col("query_id"))
+    j = j.withColumn("cos_sim", F.round(F.expr(_DOT) / (F.col("qnrm") * F.col("nnrm")), 4))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "bucket", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def embed_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding stats (count + mean L2 norm)."""
+    e = _emb_norm(spark, sf_dir)
+    return e.groupBy("label").agg(
+        F.count("*").alias("n_vecs"), F.round(F.avg("nrm"), 4).alias("avg_norm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB dialect, same column names + rounding as above)
+# ---------------------------------------------------------------------------
+
+_SQL_EMB_NORM = (
+    "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, "
+    "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm "
+    "FROM embeddings"
+)
+
+_SQL_DOT = "list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * nv[i]))"
+
+ORACLES: dict[str, str] = {
+    "dedup_exact": (
+        "SELECT sha256(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keep_doc_id "
+        "FROM documents GROUP BY 1"
+    ),
+    "dedup_ngram_jaccard": f"""
+        WITH toks AS (
+            SELECT doc_id, {_SQL_TOKS} AS arr FROM documents
+        ), sh AS (
+            SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM toks
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT doc_a, doc_b,
+                   round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+        ) WHERE jaccard >= 0.5
+    """,
+    "text_langid": f"""
+        WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS arr FROM documents)
+        SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+               CASE WHEN en_hits = 0 AND de_hits = 0 AND fr_hits = 0 AND es_hits = 0 THEN 'unknown'
+                    WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+                    WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+                    WHEN fr_hits >= es_hits THEN 'fr' ELSE 'es' END AS lang_guess
+        FROM (
+            SELECT doc_id,
+                   len(list_filter(arr, w -> w IN ('the','a','and','of','to'))) AS en_hits,
+                   len(list_filter(arr, w -> w IN ('der','die','und','das','ein'))) AS de_hits,
+                   len(list_filter(arr, w -> w IN ('le','la','et','les','des'))) AS fr_hits,
+                   len(list_filter(arr, w -> w IN ('el','los','las','una','y'))) AS es_hits
+            FROM toks
+        )
+    """,
+    "text_quality": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   length(text) AS n_chars_m,
+                   len({_SQL_TOKS}) AS n_tokens,
+                   len(list_filter({_SQL_TOKS}, w -> w IN ('the','a','and','of','to','in','is'))) AS n_stop,
+                   length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha
+            FROM documents
+        ), ratios AS (
+            SELECT doc_id, n_chars_m, n_tokens,
+                   round(n_stop * 1.0 / greatest(n_tokens, 1), 4) AS stopword_ratio,
+                   round(n_alpha * 1.0 / greatest(n_chars_m, 1), 4) AS alpha_ratio
+            FROM base
+        )
+        SELECT doc_id, n_chars_m, n_tokens, stopword_ratio, alpha_ratio,
+               round(least(n_tokens / 64.0, 1.0) * (0.5 + 0.5 * alpha_ratio)
+                     * (1.0 - 0.5 * stopword_ratio), 4) AS quality_score
+        FROM ratios
+    """,
+    "text_tokens": r"""
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')) AS ws_tokens,
+               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens
+        FROM documents
+    """,
+    "text_fingerprint": f"""
+        SELECT doc_id,
+               sha256(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')) AS fingerprint
+        FROM documents
+    """,
+    "sim_cosine_topk": f"""
+        WITH e AS ({_SQL_EMB_NORM}),
+        q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e WHERE vec_id % 50 = 0),
+        p AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   round({_SQL_DOT.replace('nv', 'e.v')} / (q.qnrm * e.nrm), 4) AS cos_sim
+            FROM q, e WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, rank, cos_sim FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM p
+        ) WHERE rank <= 5
+    """,
+    "sim_ann_lsh": f"""
+        WITH e AS (
+            SELECT vec_id, v, nrm,
+                   (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+                 + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END)
+                 + (CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END) + (CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END)
+                 + (CASE WHEN v[7] >= 0 THEN 64 ELSE 0 END) + (CASE WHEN v[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+            FROM ({_SQL_EMB_NORM})
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket FROM e WHERE vec_id % 50 = 0),
+        p AS (
+            SELECT q.query_id, q.bucket, e.vec_id AS neighbor_id,
+                   round({_SQL_DOT.replace('nv', 'e.v')} / (q.qnrm * e.nrm), 4) AS cos_sim
+            FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id <> q.query_id
+        )
+        SELECT query_id, bucket, neighbor_id, rank, cos_sim FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM p
+        ) WHERE rank <= 3
+    """,
+    "embed_label_stats": f"""
+        SELECT label, count(*) AS n_vecs, round(avg(nrm), 4) AS avg_norm
+        FROM ({_SQL_EMB_NORM}) GROUP BY label
+    """,
+}
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,  # rows-only (xxhash64 family)
+    "dedup_simhash": dedup_simhash,  # rows-only (xxhash64 family)
+    "text_langid": text_langid,
+    "text_quality": text_quality,
+    "text_tokens": text_tokens,
+    "text_fingerprint": text_fingerprint,
+    "sim_cosine_topk": sim_cosine_topk,
+    "sim_ann_lsh": sim_ann_lsh,
+    "embed_label_stats": embed_label_stats,
+}

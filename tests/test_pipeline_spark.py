@@ -1,0 +1,119 @@
+"""Spark-level pipeline tests: per-turn golden equality, skew salting,
+resume semantics, entry contract, plan hygiene (SURVEY.md §5.2 items 4-5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_extraction_matches_golden_per_turn(spark):
+    from pdfparse_spark.pipeline.extract import run_extraction
+    from pdfparse_spark.pipeline.metrics import join_golden, match_rate
+    from pdfparse_spark.pipeline.transcripts import synthesize
+
+    df, golden = synthesize(spark, n_convs=10, turns_per_conv=6, seed=42)
+    extracted = run_extraction(df, num_partitions=8, salt=16)
+    joined = join_golden(extracted, golden)
+    row = match_rate(joined).collect()[0]
+    assert row["n_turns"] == df.count()
+    assert row["n_match"] == row["n_turns"], (
+        joined.filter(~F.col("match"))
+        .select("conv_id", "turn_idx", "content_type", "parse_status")
+        .collect()
+    )
+    assert row["rate"] == 1.0
+
+
+def test_output_schema_stable(spark):
+    from pdfparse_spark.pipeline.extract import OUTPUT_SCHEMA, run_extraction
+    from pdfparse_spark.pipeline.transcripts import synthesize
+
+    df, _ = synthesize(spark, n_convs=2, turns_per_conv=3, seed=1)
+    out = run_extraction(df)
+    assert out.schema == OUTPUT_SCHEMA
+
+
+def test_salting_spreads_hot_conversation(spark):
+    """The hot conv (~10% of turns) must land on >1 partition after salting."""
+    from pdfparse_spark.pipeline.extract import salt_repartition
+    from pdfparse_spark.pipeline.transcripts import synthesize
+
+    df, _ = synthesize(spark, n_convs=10, turns_per_conv=10, seed=42)
+    salted = salt_repartition(df, num_partitions=8, salt=16)
+    parts = (
+        salted.filter(F.col("conv_id") == "conv000000")
+        .select(F.spark_partition_id().alias("pid"))
+        .distinct()
+        .count()
+    )
+    assert parts > 1, "hot conv_id pinned to a single partition"
+
+
+def test_resume_kill_rerun(spark, tmp_path):
+    """Kill after 1 wave → rerun skips committed buckets → identical output."""
+    from pdfparse_spark.pipeline.resume import read_ledger, read_output, run_resumable
+    from pdfparse_spark.pipeline.transcripts import synthesize
+
+    df, _ = synthesize(spark, n_convs=8, turns_per_conv=5, seed=3)
+    out = str(tmp_path / "out")
+    ledger = str(tmp_path / "ledger")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_resumable(spark, df, out, ledger, n_buckets=4, buckets_per_wave=1,
+                      num_partitions=4, fail_after_waves=1)
+    led1 = read_ledger(spark, ledger)
+    done_after_kill = {r["bucket"] for r in led1.select("bucket").collect()}
+    assert len(done_after_kill) == 1
+
+    stats = run_resumable(spark, df, out, ledger, n_buckets=4, buckets_per_wave=1,
+                          num_partitions=4)
+    assert stats["buckets_skipped"] == 1  # no reprocessing of committed work
+    assert stats["waves_run"] == 3
+
+    final = read_output(spark, out)
+    assert final.count() == df.count()
+    # every turn exactly once (idempotent writes, no dupes)
+    assert final.select("conv_id", "turn_idx").distinct().count() == df.count()
+    # ledger lineage covers all buckets with per-bucket metrics
+    led = read_ledger(spark, ledger)
+    assert {r["bucket"] for r in led.collect()} == {0, 1, 2, 3}
+    assert led.agg(F.sum("n_turns")).collect()[0][0] == df.count()
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert set(df.columns) == {"content_type", "n_turns", "n_match", "n_ok", "n_docs"}
+    # flagship invariant: per-turn golden equality
+    for r in rows:
+        assert r["n_match"] == r["n_turns"]
+    # every oracle key must have a matching query
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 20
+
+
+def test_plan_hygiene_pushdown_and_broadcast(spark):
+    """Scale discipline: filters reach the scan; tiny dims broadcast."""
+    from pdfparse_spark.pipeline.relational import q1_pricing_summary, q5_revenue_by_nation
+
+    plan1 = q1_pricing_summary(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan1
+    plan5 = q5_revenue_by_nation(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan5
+
+
+def test_multimodal_plumbing(spark):
+    from pdfparse_spark.pipeline.multimodal import mm_decode_meta
+
+    rows = mm_decode_meta(spark, SF).collect()
+    assert len(rows) == 500
+    for r in rows[:20]:
+        assert r["width"] == 64 + r["n_bytes"] % 512
+        assert r["n_frames"] == 1 + r["n_bytes"] % 24

@@ -1,0 +1,133 @@
+"""Training-data op tests: sketch ops pinned against their exact
+counterparts (MinHash-LSH vs exact Jaccard, SimHash invariants), and the
+oracled ops cross-checked against DuckDB at sf0.001 — the same comparison
+the driver runs at sf0.01."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _norm(v):
+    import datetime, math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(round(v, 9))
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return str(v)
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def _oracle_names():
+    import __spark_entry__ as e
+
+    return sorted(e.oracle_sql())
+
+
+@pytest.mark.parametrize("name", _oracle_names())
+def test_query_matches_duckdb_oracle(spark, duck, name):
+    import __spark_entry__ as e
+
+    sdf = e.queries()[name](spark, SF)
+    srows = sdf.collect()
+    drel = duck.sql(e.oracle_sql()[name])
+    drows = drel.fetchall()
+    assert sorted(sdf.columns) == sorted(drel.columns)
+    assert len(srows) == len(drows)
+    assert _rowset(sdf.columns, [tuple(r) for r in srows]) == _rowset(drel.columns, drows)
+
+
+def test_minhash_lsh_vs_exact_jaccard(spark):
+    """LSH must find every high-similarity pair (j ≥ 0.9 ⇒ P(miss) ≈ 2e-3)
+    and report only verified pairs (subset of exact ≥ 0.5)."""
+    from pdfparse_spark.pipeline.textops import dedup_minhash_lsh, dedup_ngram_jaccard
+
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dedup_ngram_jaccard(spark, SF).collect()}
+    lsh = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dedup_minhash_lsh(spark, SF).collect()}
+    assert set(lsh) <= set(exact), "LSH reported an unverified pair"
+    high = {p for p, j in exact.items() if j >= 0.9}
+    assert high <= set(lsh), "LSH missed a near-certain duplicate pair"
+    for p in lsh:
+        assert lsh[p] == exact[p]  # verification recomputes the same jaccard
+
+
+def test_simhash_properties(spark, tmp_path):
+    """Identical texts → hamming 0; unrelated texts → no pair ≤ 3."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha beta gamma delta epsilon zeta eta theta",
+                "alpha beta gamma delta epsilon zeta eta theta",
+                "one two three four five six seven eight nine ten",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [10, 10, 10],
+        }
+    )
+    d = str(tmp_path)
+    pdf.to_parquet(d + "/documents.parquet")
+    from pdfparse_spark.pipeline.textops import dedup_simhash
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in dedup_simhash(spark, d).collect()}
+    assert pairs == {(1, 2): 0}
+
+
+def test_langid_discriminates(spark, tmp_path):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "the cat sat on a mat and looked out of the window to the street",
+                "der hund und die katze sind ein gutes team in das haus",
+                "le chat et la souris regardent les oiseaux des arbres",
+                "xyzzy plugh qwerty",
+            ],
+            "lang": ["?"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": [10] * 4,
+        }
+    )
+    d = str(tmp_path)
+    pdf.to_parquet(d + "/documents.parquet")
+    from pdfparse_spark.pipeline.textops import text_langid
+
+    got = {r["doc_id"]: r["lang_guess"] for r in text_langid(spark, d).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "unknown"}
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    """Every ANN hit must be a true same-bucket neighbor with the exact
+    cosine the brute-force path computes for that pair."""
+    from pdfparse_spark.pipeline.textops import sim_ann_lsh, sim_cosine_topk
+
+    brute = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in sim_cosine_topk(spark, SF).collect()}
+    ann = [(r["query_id"], r["neighbor_id"], r["cos_sim"]) for r in sim_ann_lsh(spark, SF).collect()]
+    assert len(ann) > 0
+    for q, n, c in ann:
+        if (q, n) in brute:
+            assert brute[(q, n)] == c
