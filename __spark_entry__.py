@@ -66,6 +66,22 @@ def _extract_match_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_rate(join_golden(extracted, golden))
 
 
+def _extract_turn_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: P11 stable ordering — per-conversation char offsets via a
+    window over (conv_id, turn_idx); proves stable turn ordering survives
+    the salted shuffle + extraction."""
+    from pyspark.sql import Window
+
+    extracted, _ = _extract_corpus(spark)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return extracted.select(
+        "conv_id",
+        "turn_idx",
+        "n_chars",
+        (F.sum("n_chars").over(w) - F.col("n_chars")).alias("char_offset"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdfparse_spark.pipeline import multimodal, relational, textops
 
@@ -75,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(multimodal.QUERIES)
     q["extract_transcripts"] = _extract_transcripts
     q["extract_match_golden"] = _extract_match_golden
+    q["extract_turn_offsets"] = _extract_turn_offsets
     return q
 
 

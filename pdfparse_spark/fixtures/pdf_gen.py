@@ -507,3 +507,48 @@ def build_pdf_fixtures() -> list[PDFFixture]:
 
 
 PDF_FIXTURES = None  # lazily built via build_pdf_fixtures()
+
+
+def make_big_pdf(n_pages: int = 20, lines_per_page: int = 40, seed: int = 0) -> PDFFixture:
+    """Parameterized realistic-weight document for benchmarks: n_pages of
+    FlateDecode content, TL/T* multiline text (|Δy| = 14 > 3 → newline per
+    line, per the reference layout policy).  Golden text is exact."""
+    bodies: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        4: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    kids = []
+    next_id = 5
+    lines_all: list[str] = []
+    for p in range(n_pages):
+        page_id, content_id = next_id, next_id + 1
+        next_id += 2
+        kids.append(page_id)
+        lines = [
+            "Line %d of page %d in document %d carries synthetic body text."
+            % (li, p, seed)
+            for li in range(lines_per_page)
+        ]
+        lines_all.extend(lines)
+        content = b"BT /F1 12 Tf 14 TL 72 760 Td " + b" ".join(
+            b"(%s) Tj T*" % ln.encode("ascii") for ln in lines
+        ) + b" ET"
+        bodies[page_id] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 4 0 R >> >> /Contents %d 0 R >>" % content_id
+        )
+        bodies[content_id] = _flate_stream(b"", content)
+    bodies[2] = b"<< /Type /Pages /Kids [%s] /Count %d >>" % (
+        b" ".join(b"%d 0 R" % k for k in kids),
+        n_pages,
+    )
+    data = _assemble(bodies)
+    text = "".join("\n" + ln for ln in lines_all)
+    spans: list[tuple[int, int, int]] = []
+    pos = 0
+    per_page = sum(len(ln) + 1 for ln in lines_all[:lines_per_page])
+    for p in range(n_pages):
+        plen = sum(len(ln) + 1 for ln in lines_all[p * lines_per_page : (p + 1) * lines_per_page])
+        spans.append((p + 1, pos, pos + plen))
+        pos += plen
+    return PDFFixture("pdf_big_%dx%d_%d" % (n_pages, lines_per_page, seed), data, text, spans)

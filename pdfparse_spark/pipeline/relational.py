@@ -22,6 +22,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def r1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection / rename / computed column (R1)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.upper(F.col("source")).alias("src"),
+        (F.col("n_chars") / 100.0).alias("kchars"),
+    )
+
+
+def r2_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter / predicate routing (R2) — same shape as content-type routing."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_discount") >= 0.05) & (F.col("l_quantity") < 10))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+    )
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 (R1 projection, R2 filter, R5 hash aggregate).
 
@@ -174,6 +192,13 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "r1_projection": """
+        SELECT doc_id, upper(source) AS src, n_chars / 100.0 AS kchars FROM documents
+    """,
+    "r2_filter": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        FROM lineitem WHERE l_discount >= 0.05 AND l_quantity < 10
+    """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
@@ -269,6 +294,8 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "r1_projection": r1_projection,
+    "r2_filter": r2_filter,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q5_revenue_by_nation": q5_revenue_by_nation,

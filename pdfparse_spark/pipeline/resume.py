@@ -4,18 +4,26 @@ Unit of checkpointing: a BUCKET = ``pmod(xxhash64(conv_id), n_buckets)``.
 Buckets are processed in WAVES (``buckets_per_wave`` buckets per Spark
 action).  Each wave:
 
-    1. writes its extraction output to ``out_dir/wave=<k>/`` with
+    1. writes its extraction output to ``out_dir/wave=<b0>_<b1>.../`` with
        mode=overwrite  → idempotent: a re-run of a half-finished wave
-       replaces, never duplicates;
+       replaces, never duplicates (the path is keyed by the exact bucket
+       composition, so a changed wave layout can never clobber another
+       wave's committed output);
     2. appends one ledger row per bucket to ``ledger_dir`` (bucket id,
-       wave, n_turns, n_ok, wall_ms) AFTER the output commit.
+       wave path, n_turns, n_ok, wall_ms, n_buckets) AFTER the output
+       commit.
+
+The LEDGER is the source of truth: ``read_output`` semi-joins the parquet
+waves against the ledger's committed buckets, so output from a wave that
+crashed between its parquet commit and its ledger append is invisible until
+the wave re-runs — no duplicates, no partial reads.
 
 Resume = anti-join of the input's buckets against the ledger (R4): a killed
 job re-runs at most one wave, and finished waves are never reprocessed.  On
 a 1000-executor cluster each wave still contains ``num_partitions`` salted
-tasks, so the driver-side wave loop (a handful of iterations) costs nothing;
-it exists only to create commit points, exactly like foreachBatch micro-
-batches in Structured Streaming.
+tasks, so the driver-side wave loop (a handful of iterations) costs
+nothing; it exists only to create commit points, exactly like foreachBatch
+micro-batches in Structured Streaming.
 """
 
 from __future__ import annotations
@@ -47,8 +55,17 @@ def read_ledger(spark: SparkSession, ledger_dir: str) -> DataFrame | None:
     return spark.read.parquet(ledger_dir)
 
 
-def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(out_dir + "/wave=*")
+def read_output(spark: SparkSession, out_dir: str, ledger_dir: str | None = None) -> DataFrame:
+    """Committed output = parquet waves restricted to ledger-committed
+    buckets.  Without a ledger_dir, returns the raw waves (test use only)."""
+    out = spark.read.option("basePath", out_dir).parquet(out_dir + "/wave=*")
+    if ledger_dir is not None:
+        ledger = read_ledger(spark, ledger_dir)
+        if ledger is None:
+            return out.limit(0)
+        done = ledger.select("bucket").distinct()
+        out = out.join(F.broadcast(done), "bucket", "left_semi")
+    return out
 
 
 def run_resumable(
@@ -70,31 +87,44 @@ def run_resumable(
     ledger = read_ledger(spark, ledger_dir)
     done: set[int] = set()
     if ledger is not None:
+        prev_n = {r["n_buckets"] for r in ledger.select("n_buckets").distinct().collect()}
+        if prev_n and prev_n != {n_buckets}:
+            raise ValueError(
+                "n_buckets=%d does not match ledger n_buckets=%s — "
+                "bucket assignment would shift; restart with a fresh out/ledger dir"
+                % (n_buckets, sorted(prev_n))
+            )
         done = {r["bucket"] for r in ledger.select("bucket").distinct().collect()}
 
     todo = sorted(set(range(n_buckets)) - done)
     waves = [todo[i : i + buckets_per_wave] for i in range(0, len(todo), buckets_per_wave)]
     waves_run = 0
-    for wi, wave_buckets in enumerate(waves):
-        wave_id = min(wave_buckets)  # stable id: re-run of same buckets → same path
+    for wave_buckets in waves:
+        wave_path = "%s/wave=%s" % (out_dir, "_".join(str(b) for b in wave_buckets))
         subset = bdf.filter(F.col("bucket").isin([int(b) for b in wave_buckets]))
         t0 = time.monotonic()
         out = run_extraction(
             subset.drop("bucket"), num_partitions=num_partitions, salt=salt
         ).withColumn("bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)))
-        out.write.mode("overwrite").parquet("%s/wave=%d" % (out_dir, wave_id))
+        out.write.mode("overwrite").parquet(wave_path)
         wall_ms = int((time.monotonic() - t0) * 1000)
 
-        stats = (
-            read_output(spark, out_dir)
-            .filter(F.col("bucket").isin([int(b) for b in wave_buckets]))
+        counts = (
+            spark.read.parquet(wave_path)
             .groupBy("bucket")
             .agg(
                 F.count("*").alias("n_turns"),
                 F.sum(F.when(F.col("parse_status") == "ok", 1).otherwise(0)).alias("n_ok"),
             )
-            .withColumn("wave", F.lit(wave_id))
+        )
+        # every bucket of the wave gets a ledger row, even an empty one —
+        # otherwise an empty bucket would be "not done" forever
+        wave_df = spark.createDataFrame([(int(b),) for b in wave_buckets], "bucket: bigint")
+        stats = (
+            wave_df.join(counts, "bucket", "left")
+            .fillna(0, ["n_turns", "n_ok"])
             .withColumn("wall_ms", F.lit(wall_ms))
+            .withColumn("n_buckets", F.lit(n_buckets))
         )
         stats.write.mode("append").parquet(ledger_dir)
         waves_run += 1

@@ -66,7 +66,7 @@ def main(argv: list[str] | None = None) -> int:
         salt=args.salt,
     )
     wall = time.monotonic() - t0
-    out = read_output(spark, args.out + "/extracted")
+    out = read_output(spark, args.out + "/extracted", args.out + "/ledger")
     n = out.count()
     ledger = read_ledger(spark, args.out + "/ledger")
     print(json.dumps({

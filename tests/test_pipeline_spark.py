@@ -73,7 +73,7 @@ def test_resume_kill_rerun(spark, tmp_path):
     assert stats["buckets_skipped"] == 1  # no reprocessing of committed work
     assert stats["waves_run"] == 3
 
-    final = read_output(spark, out)
+    final = read_output(spark, out, ledger)
     assert final.count() == df.count()
     # every turn exactly once (idempotent writes, no dupes)
     assert final.select("conv_id", "turn_idx").distinct().count() == df.count()
@@ -81,6 +81,13 @@ def test_resume_kill_rerun(spark, tmp_path):
     led = read_ledger(spark, ledger)
     assert {r["bucket"] for r in led.collect()} == {0, 1, 2, 3}
     assert led.agg(F.sum("n_turns")).collect()[0][0] == df.count()
+    # changing n_buckets against an existing ledger must refuse, not corrupt
+    with pytest.raises(ValueError, match="n_buckets"):
+        run_resumable(spark, df, out, ledger, n_buckets=8, buckets_per_wave=2)
+
+    # an orphan wave (crashed before its ledger append) must stay invisible
+    final.limit(5).withColumn("bucket", F.lit(99)).write.parquet(out + "/wave=99")
+    assert read_output(spark, out, ledger).count() == df.count()
 
 
 def test_entry_contract(spark):
