@@ -96,3 +96,21 @@ def test_unsupported_filter_status():
     fx = {f.name: f for f in PDF_FIXTURES}["pdf_unsupported_filter"]
     _, _, status = extract_pdf_bytes(fx.data)
     assert status == "unsupported_filter"
+
+
+def test_big_pdf_generator_golden():
+    """make_big_pdf goldens: exact text + per-page spans at several shapes."""
+    import base64
+
+    from pdfparse_spark.fixtures.pdf_gen import make_big_pdf
+    from pdfparse_spark.kernel.extract import extract_turn
+
+    for pages, lines in ((1, 3), (3, 10), (20, 40)):
+        fx = make_big_pdf(pages, lines, seed=pages)
+        ct, text, spans, status = extract_turn(
+            "pdfb64:" + base64.b64encode(fx.data).decode()
+        )
+        assert (ct, status) == ("pdf", "ok")
+        assert text == fx.golden_text
+        assert [tuple(s) for s in spans] == fx.golden_spans
+        assert len(spans) == pages
