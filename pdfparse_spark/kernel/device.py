@@ -66,25 +66,35 @@ class SimpleTextDevice:
     # --- the policy ---------------------------------------------------------
     def render_string(self, textstate, seq) -> None:
         y = textstate.matrix[5]
+        chars: list[str] = []
         if abs(self._last_y - y) > 3:
-            self._write("\n")
+            chars.append("\n")
         self._last_y = y
         font = textstate.font
-        if font is None:
-            return
-        for i in range(0, len(seq), 2):
-            item = seq[i]
-            if not isinstance(item, bytes):
-                continue  # fixtures place strings at even positions only
-            for cid in font.decode(item):
-                try:
-                    ch = font.to_unichr(cid)
-                except PDFUnicodeNotDefined:
-                    ch = "<CID %X>" % cid
-                except KeyError:
-                    ch = "<CID %X>" % cid
-                if ch:
-                    self._write(ch)
+        if font is not None:
+            # memoize cid→rendered-string per font object: the mapping is
+            # immutable once the font is built, and docs repeat glyphs heavily
+            cache = getattr(font, "_render_cache", None)
+            if cache is None:
+                cache = font._render_cache = {}
+            cache_get = cache.get
+            append = chars.append
+            for i in range(0, len(seq), 2):
+                item = seq[i]
+                if not isinstance(item, bytes):
+                    continue  # fixtures place strings at even positions only
+                for cid in font.decode(item):
+                    ch = cache_get(cid)
+                    if ch is None:
+                        try:
+                            ch = font.to_unichr(cid)
+                        except (PDFUnicodeNotDefined, KeyError):
+                            ch = "<CID %X>" % cid
+                        cache[cid] = ch
+                    if ch:
+                        append(ch)
+        if chars:
+            self._write("".join(chars))
 
     def _write(self, s: str) -> None:
         self._parts.append(s)

@@ -49,7 +49,9 @@ def main(argv: list[str] | None = None) -> int:
     partitions = args.partitions or 4 * cores
 
     if args.input:
-        df = spark.read.parquet(args.input)
+        from ..sources import load_transcripts
+
+        df = load_transcripts(spark, args.input)
     else:
         rows, _ = make_transcript_rows(args.n_convs, args.turns, args.seed)
         df = transcripts_df(spark, rows)

@@ -1,0 +1,78 @@
+"""Source/sink layer (SURVEY.md §2 P0): Iceberg-first with parquet fallback.
+
+The production deployment target is Iceberg tables (BASELINE.json
+north_rule); this container ships no Iceberg runtime jars, so capability is
+probed once and the same API transparently uses parquet.  On a real cluster
+add:
+
+    --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>
+    --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog
+    --conf spark.sql.catalog.lake.type=hadoop
+    --conf spark.sql.catalog.lake.warehouse=<warehouse-uri>
+
+and pass ``table="lake.db.transcripts"`` — everything else is unchanged.
+Iceberg specifics the pipeline relies on when available: hidden
+partitioning (bucket(conv_id)), snapshot-isolated idempotent appends for
+the wave writes, and partition pruning on the resume anti-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..pipeline.transcripts import INPUT_SCHEMA
+
+__all__ = ["iceberg_available", "load_transcripts", "write_output"]
+
+_ICEBERG = None
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg SparkCatalog is on the classpath."""
+    global _ICEBERG
+    if _ICEBERG is None:
+        try:
+            spark.sparkContext._jvm.java.lang.Class.forName(
+                "org.apache.iceberg.spark.SparkCatalog"
+            )
+            _ICEBERG = True
+        except Exception:
+            _ICEBERG = False
+    return _ICEBERG
+
+
+def load_transcripts(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "auto",
+) -> DataFrame:
+    """Read a transcripts table (input_hint schema) from Iceberg, parquet,
+    json or csv.  ``fmt="auto"``: Iceberg for catalog table names (no '/'),
+    else by file extension, defaulting to parquet."""
+    if fmt == "auto":
+        if "/" not in path and iceberg_available(spark):
+            fmt = "iceberg"
+        elif path.endswith(".json") or path.endswith(".jsonl"):
+            fmt = "json"
+        elif path.endswith(".csv"):
+            fmt = "csv"
+        else:
+            fmt = "parquet"
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(path)
+    if fmt == "json":
+        return spark.read.schema(INPUT_SCHEMA).json(path)
+    if fmt == "csv":
+        return spark.read.schema(INPUT_SCHEMA).option("header", "true").csv(path)
+    return spark.read.parquet(path)
+
+
+def write_output(df: DataFrame, path: str, mode: str = "overwrite", fmt: str = "auto") -> None:
+    """Write extraction output; Iceberg when targeting a catalog table."""
+    if fmt == "auto":
+        fmt = "iceberg" if "/" not in path and iceberg_available(df.sparkSession) else "parquet"
+    if fmt == "iceberg":
+        writer = df.writeTo(path)
+        (writer.createOrReplace() if mode == "overwrite" else writer.append())
+        return
+    df.write.mode(mode).parquet(path)
