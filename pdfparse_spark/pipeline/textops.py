@@ -262,18 +262,25 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("size(filter(arr, w -> w IN ('the','a','and','of','to','in','is')))").alias("n_stop"),
         F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")).alias("n_alpha"),
     )
-    d = d.withColumn(
-        "stopword_ratio", F.round(F.col("n_stop") / F.greatest(F.col("n_tokens"), F.lit(1)), 4)
-    ).withColumn("alpha_ratio", F.round(F.col("n_alpha") / F.greatest(F.col("n_chars_m"), F.lit(1)), 4))
-    return d.withColumn(
-        "quality_score",
-        F.round(
-            F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0))
-            * (0.5 + 0.5 * F.col("alpha_ratio"))
-            * (1.0 - 0.5 * F.col("stopword_ratio")),
-            4,
-        ),
-    ).select("doc_id", "n_chars_m", "n_tokens", "stopword_ratio", "alpha_ratio", "quality_score")
+    # quality is computed from the UNROUNDED ratios: feeding rounded inputs
+    # into the product creates exact .00005 boundaries where Spark and
+    # DuckDB round() can disagree by 1 ulp (seen at sf0.1)
+    stop_raw = F.col("n_stop") / F.greatest(F.col("n_tokens"), F.lit(1))
+    alpha_raw = F.col("n_alpha") / F.greatest(F.col("n_chars_m"), F.lit(1))
+    return (
+        d.withColumn(
+            "quality_score",
+            F.round(
+                F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0))
+                * (0.5 + 0.5 * alpha_raw)
+                * (1.0 - 0.5 * stop_raw),
+                4,
+            ),
+        )
+        .withColumn("stopword_ratio", F.round(stop_raw, 4))
+        .withColumn("alpha_ratio", F.round(alpha_raw, 4))
+        .select("doc_id", "n_chars_m", "n_tokens", "stopword_ratio", "alpha_ratio", "quality_score")
+    )
 
 
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -430,13 +437,15 @@ ORACLES: dict[str, str] = {
             FROM documents
         ), ratios AS (
             SELECT doc_id, n_chars_m, n_tokens,
-                   round(n_stop * 1.0 / greatest(n_tokens, 1), 4) AS stopword_ratio,
-                   round(n_alpha * 1.0 / greatest(n_chars_m, 1), 4) AS alpha_ratio
+                   n_stop * 1.0 / greatest(n_tokens, 1) AS stop_raw,
+                   n_alpha * 1.0 / greatest(n_chars_m, 1) AS alpha_raw
             FROM base
         )
-        SELECT doc_id, n_chars_m, n_tokens, stopword_ratio, alpha_ratio,
-               round(least(n_tokens / 64.0, 1.0) * (0.5 + 0.5 * alpha_ratio)
-                     * (1.0 - 0.5 * stopword_ratio), 4) AS quality_score
+        SELECT doc_id, n_chars_m, n_tokens,
+               round(stop_raw, 4) AS stopword_ratio,
+               round(alpha_raw, 4) AS alpha_ratio,
+               round(least(n_tokens / 64.0, 1.0) * (0.5 + 0.5 * alpha_raw)
+                     * (1.0 - 0.5 * stop_raw), 4) AS quality_score
         FROM ratios
     """,
     "text_tokens": r"""

@@ -1,0 +1,88 @@
+"""Property-based robustness: the lenient kernel must never raise or hang on
+arbitrary input — one bad document cannot kill a 10^12-row job (SURVEY.md §4
+strict/lenient note).  Uses hypothesis over raw bytes, corrupted fixture
+bytes, and adversarial HTML."""
+
+from __future__ import annotations
+
+import base64
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pdfparse_spark.fixtures.pdf_gen import build_pdf_fixtures
+from pdfparse_spark.kernel.extract import extract_pdf_bytes, extract_turn
+from pdfparse_spark.kernel.html_extract import extract_html
+
+_FX = build_pdf_fixtures()
+_SETTINGS = dict(
+    max_examples=60,
+    deadline=2000,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@given(st.binary(min_size=0, max_size=2048))
+@settings(**_SETTINGS)
+def test_extract_pdf_bytes_never_raises(data):
+    text, spans, status = extract_pdf_bytes(b"%PDF-1.4\n" + data)
+    assert isinstance(text, str)
+    assert isinstance(status, str)
+
+
+@given(st.integers(0, len(_FX) - 1), st.integers(0, 4000), st.binary(min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_corrupted_fixture_never_raises(fi, pos, junk):
+    """Splice junk into a VALID fixture — exercises deep parser states."""
+    data = _FX[fi].data
+    pos = pos % max(len(data), 1)
+    mutated = data[:pos] + junk + data[pos + len(junk):]
+    text, spans, status = extract_pdf_bytes(mutated)
+    assert isinstance(text, str)
+    for page, start, end in spans:
+        assert 0 <= start <= end <= len(text)
+
+
+@given(st.integers(0, len(_FX) - 1), st.integers(1, 4000))
+@settings(**_SETTINGS)
+def test_truncated_fixture_never_raises(fi, cut):
+    data = _FX[fi].data
+    text, spans, status = extract_pdf_bytes(data[: cut % len(data)])
+    assert isinstance(status, str)
+
+
+@given(st.text(max_size=1500))
+@settings(**_SETTINGS)
+def test_extract_turn_total_function(text):
+    ctype, extracted, spans, status = extract_turn(text)
+    assert ctype in ("pdf", "html", "text")
+    assert isinstance(extracted, str)
+
+
+@given(st.text(alphabet="<>abp/di v&#;x=' \n\"", max_size=800))
+@settings(**_SETTINGS)
+def test_html_extractor_never_raises(soup):
+    out = extract_html("<html><body>" + soup)
+    assert isinstance(out, str)
+
+
+def test_pdfb64_garbage_padding():
+    # invalid base64 after the marker must be a lenient error, not a crash
+    ctype, text, spans, status = extract_turn("pdfb64:!!!not-base64!!!")
+    assert ctype == "pdf"
+    assert status.startswith("error:") or status == "ok"
+
+
+def test_deeply_nested_arrays_no_recursion_error():
+    body = b"%PDF-1.4\n" + b"[" * 20000 + b"]" * 20000
+    text, spans, status = extract_pdf_bytes(body)
+    assert isinstance(status, str)
+
+
+def test_valid_fixture_after_fuzz_state_clean():
+    """Module state must not leak across calls (worker-reuse safety)."""
+    fx = _FX[0]
+    before = extract_turn("pdfb64:" + base64.b64encode(fx.data).decode())
+    extract_pdf_bytes(b"%PDF-1.4\n\xff\xfe garbage")
+    after = extract_turn("pdfb64:" + base64.b64encode(fx.data).decode())
+    assert before == after

@@ -116,6 +116,18 @@ def test_plan_hygiene_pushdown_and_broadcast(spark):
     assert "BroadcastHashJoin" in plan5
 
 
+def test_sketch_ops_never_cartesian(spark):
+    """The 100 TB dedup/ANN paths must generate candidates via equality
+    joins on sketch keys — a CartesianProduct/BNLJ anywhere means the op
+    silently degraded to O(n²)."""
+    from pdfparse_spark.pipeline.textops import dedup_minhash_lsh, dedup_simhash, sim_ann_lsh
+
+    for op in (dedup_minhash_lsh, dedup_simhash, sim_ann_lsh):
+        plan = op(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, op.__name__
+        assert "BroadcastNestedLoop" not in plan, op.__name__
+
+
 def test_multimodal_plumbing(spark):
     from pdfparse_spark.pipeline.multimodal import mm_decode_meta
 

@@ -1,0 +1,40 @@
+"""Streaming front-end: micro-batch output must be byte-identical to the
+batch path on the same rows, and restartable via the streaming checkpoint."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdfparse_spark.pipeline.transcripts import synthesize
+from pdfparse_spark.streaming import start_stream_extraction
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    from pdfparse_spark.pipeline.extract import run_extraction
+
+    df, _ = synthesize(spark, n_convs=6, turns_per_conv=5, seed=11)
+    in_dir = str(tmp_path / "in")
+    df.repartition(4).write.parquet(in_dir)
+
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    q = start_stream_extraction(spark, in_dir, out_dir, ck, num_partitions=4,
+                                max_files_per_trigger=2)
+    q.awaitTermination(120)
+
+    got = spark.read.option("basePath", out_dir).parquet(out_dir + "/batch=*")
+    expected = run_extraction(spark.read.parquet(in_dir), num_partitions=4)
+    assert got.count() == df.count()
+    key = ["conv_id", "turn_idx"]
+    g = got.select(*key, "extracted_text", "parse_status")
+    e = expected.select(*key, F.col("extracted_text").alias("x"), F.col("parse_status").alias("s"))
+    j = g.join(e, key)
+    mismatches = j.filter(
+        ~F.col("extracted_text").eqNullSafe(F.col("x")) | (F.col("parse_status") != F.col("s"))
+    ).count()
+    assert mismatches == 0
+
+    # restart with the same checkpoint: nothing new to process, no dupes
+    q2 = start_stream_extraction(spark, in_dir, out_dir, ck, num_partitions=4)
+    q2.awaitTermination(120)
+    assert spark.read.option("basePath", out_dir).parquet(out_dir + "/batch=*").count() == df.count()
