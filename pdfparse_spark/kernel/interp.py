@@ -557,22 +557,30 @@ class PDFPageInterpreter:
             parser = PDFContentParser(streams)
         except PSEOF:
             return
+        # keyword→bound-method cache: PSKeywords are interned, so identity
+        # is stable; False marks known-unknown operators (non-strict skip)
+        dispatch: dict = {}
+        dispatch_get = dispatch.get
+        push = self.push
         while True:
             try:
                 _, obj = parser.nextobject()
             except PSEOF:
                 break
             if isinstance(obj, PSKeyword):
-                name = obj.name
-                method = self._OP_NAME_SPECIAL.get(name)
-                if method is None:
-                    method = "do_" + name
-                fn = getattr(self, method, None)
-                if fn is not None:
+                fn = dispatch_get(obj)
+                if fn is None:
+                    name = obj.name
+                    method = self._OP_NAME_SPECIAL.get(name)
+                    if method is None:
+                        method = "do_" + name
+                    fn = getattr(self, method, False)
+                    dispatch[obj] = fn
+                if fn:
                     fn()
                 # unknown operators ignored (non-strict)
             else:
-                self.push(obj)
+                push(obj)
 
     def render_contents(self, resources, streams, ctm=MATRIX_IDENTITY) -> None:
         self.init_resources(resources)

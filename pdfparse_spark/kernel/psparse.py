@@ -105,6 +105,13 @@ KEYWORD_DICT_END = KWD(">>")
 KEYWORD_TRUE = KWD("true")
 KEYWORD_FALSE = KWD("false")
 
+# Token caches: hot content streams repeat the same keywords/names millions
+# of times; interning from raw bytes skips decode + __new__ per hit.  Size-
+# capped so adversarial inputs can't balloon worker memory.
+_TOKEN_CACHE_MAX = 4096
+_KW_CACHE: dict[bytes, object] = {}
+_LIT_CACHE: dict[bytes, object] = {}
+
 # Character classes; byte-level equivalents of pdfparse.lisp:42-53.
 _EOL = re.compile(rb"[\r\n]")
 _SPC = re.compile(rb"\s")
@@ -234,6 +241,18 @@ class PSBaseParser:
         data = self.data
         n = len(data)
         i = start + 1
+        m0 = _END_LITERAL.search(data, i)
+        if m0 is not None and data[m0.start()] != 0x23:
+            # fast path: no '#' escape — intern straight from the raw bytes
+            j = m0.start()
+            raw = data[i:j]
+            lit = _LIT_CACHE.get(raw)
+            if lit is None and len(_LIT_CACHE) < _TOKEN_CACHE_MAX:
+                lit = _LIT_CACHE[raw] = LIT(raw.decode("latin-1"))
+            elif lit is None:
+                lit = LIT(raw.decode("latin-1"))
+            self.pos = j
+            return start, lit
         parts = bytearray()
         while True:
             m = _END_LITERAL.search(data, i)
@@ -291,11 +310,17 @@ class PSBaseParser:
         j = len(data) if m is None else m.start()
         self.pos = j
         tok = data[start:j]
-        if tok == b"true":
-            return start, True
-        if tok == b"false":
-            return start, False
-        return start, KWD(tok.decode("latin-1"))
+        val = _KW_CACHE.get(tok)
+        if val is None:
+            if tok == b"true":
+                val = True
+            elif tok == b"false":
+                val = False
+            else:
+                val = KWD(tok.decode("latin-1"))
+            if len(_KW_CACHE) < _TOKEN_CACHE_MAX:
+                _KW_CACHE[tok] = val
+        return start, val
 
     def _parse_string(self, start: int) -> tuple[int, bytes]:
         data = self.data
