@@ -469,6 +469,72 @@ def fx_graphics_noise() -> PDFFixture:
     return PDFFixture("pdf_graphics_noise", data, text, [(1, 0, len(text))])
 
 
+def fx_rc4_encrypted() -> PDFFixture:
+    """Standard security handler R2/V1, 40-bit RC4, empty user password
+    (PDF 1.7 spec Algorithms 2/4/3.1; exercises pdfparse.lisp:1437-1547:
+    key derivation, /U verification, per-object decrypt of streams)."""
+    import hashlib
+    import struct
+
+    pad = bytes(
+        [
+            0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+            0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+            0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+        ]
+    )
+
+    def _rc4(key: bytes, data: bytes) -> bytes:
+        S = list(range(256))
+        j = 0
+        for i in range(256):
+            j = (j + S[i] + key[i % len(key)]) & 0xFF
+            S[i], S[j] = S[j], S[i]
+        out = bytearray()
+        i = j = 0
+        for c in data:
+            i = (i + 1) & 0xFF
+            j = (j + S[i]) & 0xFF
+            S[i], S[j] = S[j], S[i]
+            out.append(c ^ S[(S[i] + S[j]) & 0xFF])
+        return bytes(out)
+
+    docid = hashlib.md5(b"fx_rc4_encrypted").digest()
+    owner_pw = (b"owner" + pad)[:32]
+    user_pw = pad  # empty user password → padding alone
+    # Algorithm 3: /O = RC4(md5(padded owner pw)[:5], padded user pw)
+    o_val = _rc4(hashlib.md5(owner_pw).digest()[:5], user_pw)
+    p = -1  # all permissions
+    # Algorithm 2: file key = md5(padded_user + O + P_le + docid)[:5]
+    h = hashlib.md5(user_pw)
+    h.update(o_val)
+    h.update(struct.pack("<i", p))
+    h.update(docid)
+    key = h.digest()[:5]
+    # Algorithm 4 (R2): /U = RC4(key, padding)
+    u_val = _rc4(key, pad)
+
+    def objkey(objid: int, genno: int) -> bytes:
+        k1 = key + struct.pack("<L", objid)[:3] + struct.pack("<L", genno)[:2]
+        return hashlib.md5(k1).digest()[: min(len(k1), 16)]
+
+    content = b"BT /F1 12 Tf 72 720 Td (Hello Secret) Tj ET"
+    enc_content = _rc4(objkey(5, 0), content)
+    bodies = _doc_skeleton(b"")  # placeholder for obj 5, replaced below
+    bodies[5] = _stream(b"", enc_content)
+    bodies[6] = (
+        b"<< /Filter /Standard /V 1 /R 2 /Length 40 /P -1 "
+        b"/O <%s> /U <%s> >>" % (o_val.hex().encode(), u_val.hex().encode())
+    )
+    data = _assemble(
+        bodies,
+        extra_trailer=b"/Encrypt 6 0 R /ID [<%s> <%s>] "
+        % (docid.hex().encode(), docid.hex().encode()),
+    )
+    text = "\nHello Secret"
+    return PDFFixture("pdf_rc4_encrypted", data, text, [(1, 0, len(text))])
+
+
 def fx_unsupported_filter() -> PDFFixture:
     bodies = _doc_skeleton(b"")
     bodies[5] = (
@@ -498,6 +564,7 @@ _FIXTURE_BUILDERS = [
     fx_multipage,
     fx_rotate90,
     fx_graphics_noise,
+    fx_rc4_encrypted,
     fx_unsupported_filter,
 ]
 

@@ -325,9 +325,8 @@ class TrueTypeFont:
             p += 16
 
     def create_unicode_map(self) -> FileUnicodeMap:
-        """Parse cmap subtable formats 0 and 4 → CID(=glyph code)→unichr.
-        Format 2 (CJK legacy) is unsupported → CMapNotFound, matching the
-        lenient failure surface."""
+        """Parse cmap subtable formats 0, 2 and 4 → CID(=glyph code)→unichr
+        (the same subtable set the reference handles, pdfparse.lisp:3214-3346)."""
         if b"cmap" not in self.tables:
             raise CMapNotFound("no cmap table")
         base, _length = self.tables[b"cmap"]
@@ -380,7 +379,50 @@ class TrueTypeFont:
                                 gid = (gid + deltas[seg]) & 0xFFFF
                         if gid:
                             char2gid.setdefault(code, gid)
-            # format 2 and others: skipped
+            elif fmt == 2:
+                # high-byte mapping (CJK legacy).  subHeaderKeys[hi]/8 picks a
+                # subheader; key 0 = one-byte code, else two-byte (hi,lo) with
+                # lo in [firstCode, firstCode+entryCount); glyph comes from
+                # the glyphIndexArray at idRangeOffset measured from its own
+                # field position, then idDelta (TrueType spec / reference
+                # pdfparse.lisp:3240-3280)
+                if st + 6 + 512 > len(data):
+                    continue
+                keys = struct.unpack(">256H", data[st + 6 : st + 6 + 512])
+                subh_base = st + 6 + 512
+                nsubh = max(keys) // 8 + 1
+
+                def _gid_at(pos: int) -> int:
+                    if pos + 2 > len(data):
+                        return 0
+                    return struct.unpack(">H", data[pos : pos + 2])[0]
+
+                subheaders = []
+                for k in range(nsubh):
+                    off = subh_base + k * 8
+                    if off + 8 > len(data):
+                        subheaders.append(None)
+                        continue
+                    first, count, delta, rng = struct.unpack(">HHhH", data[off : off + 8])
+                    subheaders.append((first, count, delta, rng, off + 6))
+                for hi in range(256):
+                    k = keys[hi] // 8
+                    if k >= len(subheaders) or subheaders[k] is None:
+                        continue
+                    first, count, delta, rng, ro_pos = subheaders[k]
+                    if k == 0:
+                        code = hi
+                        if first <= code < first + count and rng:
+                            gid = _gid_at(ro_pos + rng + (code - first) * 2)
+                            if gid:
+                                char2gid.setdefault(code, (gid + delta) & 0xFFFF)
+                    else:
+                        for lo in range(first, min(first + count, 256)):
+                            code = (hi << 8) | lo
+                            gid = _gid_at(ro_pos + rng + (lo - first) * 2)
+                            if gid:
+                                char2gid.setdefault(code, (gid + delta) & 0xFFFF)
+            # other formats (6, 12, ...): skipped like the reference
         if not char2gid:
             raise CMapNotFound("no supported cmap subtable")
         umap = FileUnicodeMap()

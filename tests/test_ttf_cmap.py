@@ -1,0 +1,71 @@
+"""TrueType 'cmap' subtable parsing (SURVEY.md §2.C; reference
+pdfparse.lisp:3214-3346): formats 0, 2 and 4 over hand-built font bytes."""
+
+from __future__ import annotations
+
+import struct
+
+from pdfparse_spark.kernel.fonts import TrueTypeFont
+
+
+def _ttf_with_cmap(cmap_table: bytes) -> bytes:
+    # sfnt header with one table record pointing at our cmap
+    header = struct.pack(">4sHHHH", b"\x00\x01\x00\x00", 1, 0, 0, 0)
+    record = struct.pack(">4sLLL", b"cmap", 0, 28, len(cmap_table))
+    assert len(header) + len(record) == 28
+    return header + record + cmap_table
+
+
+def _subtable_header(nsub: int = 1) -> bytes:
+    # cmap header + one encoding record pointing just past it
+    return struct.pack(">HH", 0, nsub) + struct.pack(">HHL", 3, 1, 4 + 8)
+
+
+def test_format0():
+    glyphs = bytearray(256)
+    glyphs[65] = 7  # 'A' → gid 7
+    glyphs[66] = 8
+    sub = struct.pack(">HHH", 0, 6 + 256, 0) + bytes(glyphs)
+    font = TrueTypeFont("t", _ttf_with_cmap(_subtable_header() + sub))
+    umap = font.create_unicode_map()
+    assert umap.get_unichr(7) == "A"
+    assert umap.get_unichr(8) == "B"
+
+
+def test_format4():
+    # one segment mapping 0x41-0x43 with idDelta (+10), plus the 0xFFFF sentinel
+    segcount = 2
+    ends = (0x43, 0xFFFF)
+    starts = (0x41, 0xFFFF)
+    deltas = (10, 1)
+    offsets = (0, 0)
+    # fmt length language segCountX2 searchRange entrySelector rangeShift
+    body = struct.pack(
+        ">HHHHHHH", 4, 0, 0, segcount * 2, 0, 0, 0
+    ) + struct.pack(">2H", *ends) + struct.pack(">H", 0) + struct.pack(
+        ">2H", *starts
+    ) + struct.pack(">2h", *deltas) + struct.pack(">2H", *offsets)
+    font = TrueTypeFont("t", _ttf_with_cmap(_subtable_header() + body))
+    umap = font.create_unicode_map()
+    assert umap.get_unichr(0x41 + 10) == "A"
+    assert umap.get_unichr(0x43 + 10) == "C"
+
+
+def test_format2_two_byte_codes():
+    # high byte 0x81 → subheader 1: lo in [0x40, 0x42), glyphs from the
+    # glyphIndexArray right after the subheaders, idDelta 0
+    keys = [0] * 256
+    keys[0x81] = 8  # subheader index 1 (keys store index*8)
+    nsubh = 2
+    # idRangeOffset is measured from its own field position (subh_off+6):
+    # glyph array begins right after the 2 subheaders
+    sh0 = struct.pack(">HHhH", 0, 0, 0, 0)  # one-byte codes: none
+    # subheader 1 at offset subh_base+8; its ro field at +8+6; glyph array at
+    # subh_base+16 → rng = (subh_base+16) - (subh_base+8+6) = 2
+    sh1 = struct.pack(">HHhH", 0x40, 2, 0, 2)
+    glyph_array = struct.pack(">2H", 21, 22)
+    body = struct.pack(">HHH", 2, 0, 0) + struct.pack(">256H", *keys) + sh0 + sh1 + glyph_array
+    font = TrueTypeFont("t", _ttf_with_cmap(_subtable_header() + body))
+    umap = font.create_unicode_map()
+    assert umap.get_unichr(21) == chr(0x8140)
+    assert umap.get_unichr(22) == chr(0x8141)
