@@ -191,6 +191,63 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6h event-time windows (the batch face of the streaming
+    windowed-agg operator): per-window, per-type counts + value sums."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "6 hours").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def r11_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column: JSON-path extraction + aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 word bigrams (explode + count + top-k) over
+    documents — the corpus-statistics face of the shingle machinery."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.expr("filter(split(lower(text), '[^a-z0-9]+'), w -> w != '')").alias("arr")
+    )
+    bigrams = d.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(arr) >= 2 THEN transform(sequence(1, size(arr) - 1), "
+                "i -> concat_ws(' ', element_at(arr, i), element_at(arr, i + 1))) "
+                "ELSE array() END"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
 ORACLES: dict[str, str] = {
     "r1_projection": """
         SELECT doc_id, upper(source) AS src, n_chars / 100.0 AS kchars FROM documents
@@ -275,6 +332,31 @@ ORACLES: dict[str, str] = {
                round(sum(value), 2) AS total_value
         FROM events GROUP BY event_type
     """,
+    "events_tumbling_window": """
+        SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start, event_type,
+               count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    "r11_json_extract": """
+        SELECT event_type,
+               count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+               min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+        FROM events GROUP BY event_type
+    """,
+    "text_ngrams": """
+        WITH toks AS (
+            SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), w -> w <> '') AS arr
+            FROM documents
+        ), bg AS (
+            SELECT unnest(list_transform(range(1, greatest(len(arr), 1)),
+                          i -> arr[i] || ' ' || arr[i+1])) AS bigram
+            FROM toks WHERE len(arr) >= 2
+        )
+        SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+        ORDER BY n DESC, bigram LIMIT 20
+    """,
     "events_sessionize": """
         WITH g AS (
             SELECT user_id, ts, event_id,
@@ -307,4 +389,7 @@ QUERIES = {
     "r13_status_reassembly": r13_status_reassembly,
     "r14_event_users": r14_event_users,
     "events_sessionize": events_sessionize,
+    "events_tumbling_window": events_tumbling_window,
+    "r11_json_extract": r11_json_extract,
+    "text_ngrams": text_ngrams,
 }
