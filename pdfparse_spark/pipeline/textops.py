@@ -366,6 +366,74 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_CELLS = 16
+_N_PROBE = 2
+
+
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantizer cells + nprobe=2 search.
+
+    Cells are seeded deterministically by the first 16 vectors (a stand-in
+    for a k-means codebook — at scale the codebook is trained once with
+    parallel k-means and broadcast, the search below is unchanged).  Every
+    vector is assigned to its max-cosine cell (broadcast join against 16
+    centroids — one scan, no shuffle of the corpus); a query probes its 2
+    nearest cells and ranks candidates by exact cosine within them.  The
+    inverted-file partitioning is what survives 100 TB: candidate joins key
+    on cell id, never a cross join against the corpus.
+    """
+    e = _emb_norm(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") < _N_CELLS).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+    )
+    cdot = "aggregate(zip_with(v, cv, (x, y) -> x * y), 0D, (acc, w) -> acc + w)"
+    scored = e.crossJoin(F.broadcast(cent)).withColumn(
+        "ccos", F.round(F.expr(cdot) / (F.col("nrm") * F.col("cnrm")), 4)
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    ranked = scored.withColumn("crank", F.row_number().over(w_assign))
+    assigned = ranked.filter(F.col("crank") == 1).select(
+        "vec_id", F.col("cent_id").alias("cell"), "v", "nrm"
+    )
+    probes = ranked.filter((F.col("crank") <= _N_PROBE) & (F.col("vec_id") % 50 == 0)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("cent_id").alias("cell"),
+    )
+    n = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), F.col("nrm").alias("nnrm"), "cell"
+    )
+    j = probes.join(n, "cell").filter(F.col("neighbor_id") != F.col("query_id"))
+    j = j.withColumn("cos_sim", F.round(F.expr(_DOT) / (F.col("qnrm") * F.col("nnrm")), 4))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", "cos_sim", "cell")
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: cos ≥ τ with candidates from the
+    same sign-LSH bucket (equality join — the scale path; a true near-dup
+    pair almost surely shares all 8 sign bits).  τ=0.35 because the driver's
+    synthetic embeddings contain no true near-duplicates (max within-bucket
+    cos ≈ 0.45) — production dedup runs τ≈0.95+ with identical mechanics.
+    Output (vec_a, vec_b, cos_sim)."""
+    e = _emb_norm(spark, sf_dir).withColumn(
+        "bucket",
+        F.expr(
+            " + ".join("IF(element_at(v, %d) >= 0, %d, 0)" % (i + 1, 1 << i) for i in range(8))
+        ),
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm"), "bucket")
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("nv"), F.col("nrm").alias("nnrm"), "bucket")
+    j = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    j = j.withColumn("cos_sim", F.round(F.expr(_DOT) / (F.col("qnrm") * F.col("nnrm")), 4))
+    return j.filter(F.col("cos_sim") >= 0.35).select("vec_a", "vec_b", "cos_sim")
+
+
 def embed_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding stats (count + mean L2 norm)."""
     e = _emb_norm(spark, sf_dir)
@@ -492,6 +560,51 @@ ORACLES: dict[str, str] = {
             FROM p
         ) WHERE rank <= 3
     """,
+    "sim_ann_ivf": f"""
+        WITH e AS ({_SQL_EMB_NORM}),
+        cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+        scored AS (
+            SELECT e.vec_id, e.v, e.nrm, cent.cent_id,
+                   round(list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * cent.cv[i]))
+                         / (e.nrm * cent.cnrm), 4) AS ccos
+            FROM e, cent
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crank
+            FROM scored
+        ),
+        assigned AS (SELECT vec_id, cent_id AS cell, v, nrm FROM ranked WHERE crank = 1),
+        probes AS (
+            SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cent_id AS cell
+            FROM ranked WHERE crank <= 2 AND vec_id % 50 = 0
+        ),
+        p AS (
+            SELECT probes.query_id, a.vec_id AS neighbor_id, probes.cell,
+                   round(list_sum(list_transform(range(1, len(probes.qv) + 1), i -> probes.qv[i] * a.v[i]))
+                         / (probes.qnrm * a.nrm), 4) AS cos_sim
+            FROM probes JOIN assigned a ON probes.cell = a.cell AND a.vec_id <> probes.query_id
+        )
+        SELECT query_id, neighbor_id, rank, cos_sim, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM p
+        ) WHERE rank <= 3
+    """,
+    "dedup_embedding_cosine": f"""
+        WITH e AS (
+            SELECT vec_id, v, nrm,
+                   (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+                 + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END)
+                 + (CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END) + (CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END)
+                 + (CASE WHEN v[7] >= 0 THEN 64 ELSE 0 END) + (CASE WHEN v[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+            FROM ({_SQL_EMB_NORM})
+        )
+        SELECT vec_a, vec_b, cos_sim FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+                         / (a.nrm * b.nrm), 4) AS cos_sim
+            FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ) WHERE cos_sim >= 0.35
+    """,
     "embed_label_stats": f"""
         SELECT label, count(*) AS n_vecs, round(avg(nrm), 4) AS avg_norm
         FROM ({_SQL_EMB_NORM}) GROUP BY label
@@ -509,5 +622,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ann_lsh": sim_ann_lsh,
+    "sim_ann_ivf": sim_ann_ivf,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
     "embed_label_stats": embed_label_stats,
 }

@@ -86,3 +86,20 @@ def test_valid_fixture_after_fuzz_state_clean():
     extract_pdf_bytes(b"%PDF-1.4\n\xff\xfe garbage")
     after = extract_turn("pdfb64:" + base64.b64encode(fx.data).decode())
     assert before == after
+
+
+def test_shifted_xref_offset_is_lenient_like_reference():
+    """A few-bytes-wrong xref offset resyncs forward to the next 'obj'
+    keyword without objid verification — the reference's exact semantics
+    (pdfparse.lisp:1600-1610): possibly wrong object, never a crash."""
+    import re
+
+    fx = _FX[0]  # pdf_min_uncompressed (classic xref table)
+    m = re.search(rb"xref\n0 \d+\n", fx.data)
+    bad = bytearray(fx.data)
+    entry = m.end() + 20 * 3  # offset line of object 3 (the /Page)
+    off = int(bad[entry : entry + 10]) + 3
+    bad[entry : entry + 10] = b"%010d" % off
+    text, spans, status = extract_pdf_bytes(bytes(bad))
+    assert isinstance(text, str)
+    assert isinstance(status, str)

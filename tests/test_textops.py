@@ -131,3 +131,14 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     for q, n, c in ann:
         if (q, n) in brute:
             assert brute[(q, n)] == c
+
+
+def test_ivf_hits_agree_with_brute_force(spark):
+    from pdfparse_spark.pipeline.textops import sim_ann_ivf, sim_cosine_topk
+
+    brute = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in sim_cosine_topk(spark, SF).collect()}
+    ivf = [(r["query_id"], r["neighbor_id"], r["cos_sim"]) for r in sim_ann_ivf(spark, SF).collect()]
+    assert len(ivf) > 0
+    for q, n, c in ivf:
+        if (q, n) in brute:
+            assert brute[(q, n)] == c
