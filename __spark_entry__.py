@@ -82,13 +82,25 @@ def _extract_turn_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _extract_conv_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: grouped-map applyInPandas conversation reassembly (R13's
+    UDF face) over the extraction output — conv_text omitted from the
+    result to keep the check payload small."""
+    from pdfparse_spark.pipeline.pandas_udfs import conv_reassemble
+
+    extracted, _ = _extract_corpus(spark)
+    return conv_reassemble(extracted).select("conv_id", "n_turns", "n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from pdfparse_spark.pipeline import multimodal, relational, textops
+    from pdfparse_spark.pipeline import multimodal, pandas_udfs, relational, textops
 
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     q.update(relational.QUERIES)
     q.update(textops.QUERIES)
     q.update(multimodal.QUERIES)
+    q["text_tokens_vectorized"] = pandas_udfs.text_tokens_vectorized
+    q["extract_conv_reassembly"] = _extract_conv_reassembly
     q["extract_transcripts"] = _extract_transcripts
     q["extract_match_golden"] = _extract_match_golden
     q["extract_turn_offsets"] = _extract_turn_offsets
@@ -102,6 +114,8 @@ def oracle_sql() -> dict[str, str]:
     o.update(relational.ORACLES)
     o.update(textops.ORACLES)
     o.update(multimodal.ORACLES)
+    # the pandas_udf surface must produce the SAME result as the JVM surface
+    o["text_tokens_vectorized"] = textops.ORACLES["text_tokens"]
     # extract_* and the xxhash64-family sketches (dedup_minhash_lsh,
     # dedup_simhash) are rows-only: kernels aren't SQL-expressible and the
     # hash family has no DuckDB equivalent; both are pinned by pytest.
