@@ -20,10 +20,44 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+_PYFILES_SHIPPED: set[int] = set()
+
+
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """The driver may hand us ITS SparkSession; its Python workers must be
+    able to import pdfparse_spark for mapInPandas.  Ship the package as a
+    zip via addPyFile once per session — a no-op burden when PYTHONPATH/cwd
+    already covers it, a lifesaver when not (same mechanism as the
+    spark-submit --py-files cluster path)."""
+    import os
+    import zipfile
+
+    key = id(spark)
+    if key in _PYFILES_SHIPPED:
+        return
+    repo = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join("/tmp", "pdfparse_spark_pyfiles.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath + ".tmp", "w", zipfile.ZIP_DEFLATED) as zf:
+            pkg = os.path.join(repo, "pdfparse_spark")
+            for root, _dirs, files in os.walk(pkg):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        zf.write(full, os.path.relpath(full, repo))
+        os.replace(zpath + ".tmp", zpath)
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # e.g. Spark Connect session without addPyFile — rely on env
+    _PYFILES_SHIPPED.add(key)
+
+
 def _extract_corpus(spark: SparkSession, n_convs: int = 12, turns_per_conv: int = 8):
     from pdfparse_spark.pipeline.extract import run_extraction
     from pdfparse_spark.pipeline.transcripts import synthesize
 
+    _ensure_workers_can_import(spark)
     df, golden = synthesize(spark, n_convs=n_convs, turns_per_conv=turns_per_conv, seed=7)
     extracted = run_extraction(df, num_partitions=8, salt=16)
     return extracted, golden

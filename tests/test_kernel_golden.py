@@ -114,3 +114,32 @@ def test_big_pdf_generator_golden():
         assert text == fx.golden_text
         assert [tuple(s) for s in spans] == fx.golden_spans
         assert len(spans) == pages
+
+
+def test_text_state_ops_no_output_effect():
+    """Tc/Tw/Tz/Ts/Tr mutate text state but not the simple device's output
+    (simple-device.lisp only reads matrix f); Td with |ty| <= 3 must not
+    newline, TD sets leading, Tm replaces the matrix outright."""
+    from pdfparse_spark.kernel.device import SimpleTextDevice
+    from pdfparse_spark.kernel.interp import process_pdf
+    from pdfparse_spark.fixtures.pdf_gen import _assemble, _doc_skeleton
+
+    def run(content: bytes) -> str:
+        device = SimpleTextDevice()
+        process_pdf(device, _assemble(_doc_skeleton(content)))
+        return device.get_text()
+
+    base = run(b"BT /F1 12 Tf 72 720 Td (AB) Tj ET")
+    noisy = run(
+        b"BT /F1 12 Tf 2 Tc 1.5 Tw 80 Tz 3 Ts 1 Tr 72 720 Td (AB) Tj ET"
+    )
+    assert base == noisy == "\nAB"
+    # small rise via Td: |dy| <= 3 → same line (superscript case)
+    sup = run(b"BT /F1 12 Tf 72 720 Td (A) Tj 0 3 Td (B) Tj 0 -3 Td (C) Tj ET")
+    assert sup == "\nABC"
+    # Tm replaces the matrix: jump > 3 → newline
+    tm = run(b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (A) Tj 1 0 0 1 72 600 Tm (B) Tj ET")
+    assert tm == "\nA\nB"
+    # TD sets leading to -ty, then T* advances by it
+    td = run(b"BT /F1 12 Tf 72 720 Td (A) Tj 0 -14 TD (B) Tj T* (C) Tj ET")
+    assert td == "\nA\nB\nC"
