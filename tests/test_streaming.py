@@ -38,3 +38,34 @@ def test_stream_matches_batch(spark, tmp_path):
     q2 = start_stream_extraction(spark, in_dir, out_dir, ck, num_partitions=4)
     q2.awaitTermination(120)
     assert spark.read.option("basePath", out_dir).parquet(out_dir + "/batch=*").count() == df.count()
+
+
+def test_stateful_conv_stats_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: running per-conv totals must survive a query
+    restart via the checkpointed state store."""
+    from pdfparse_spark.streaming.stateful import start_conv_stats_stream
+
+    df, _ = synthesize(spark, n_convs=4, turns_per_conv=6, seed=13)
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    half1 = df.filter(F.col("turn_idx") < 3)
+    half2 = df.filter(F.col("turn_idx") >= 3)
+    half1.coalesce(1).write.mode("append").parquet(in_dir)
+
+    q = start_conv_stats_stream(spark, in_dir, out_dir, ck)
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(out_dir)
+    latest1 = {r["conv_id"]: r["n_turns"] for r in got1.collect()}
+    assert all(v == 3 for v in latest1.values()), latest1
+
+    half2.coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = start_conv_stats_stream(spark, in_dir, out_dir, ck)
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(out_dir)
+    # latest emitted row per conv carries the RUNNING total = all 6 turns
+    import collections
+    latest = collections.defaultdict(int)
+    for r in got2.collect():
+        latest[r["conv_id"]] = max(latest[r["conv_id"]], r["n_turns"])
+    assert all(v == 6 for v in latest.values()), dict(latest)
