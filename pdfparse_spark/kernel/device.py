@@ -71,18 +71,32 @@ class SimpleTextDevice:
             chars.append("\n")
         self._last_y = y
         font = textstate.font
-        if font is not None:
-            # memoize cid→rendered-string per font object: the mapping is
-            # immutable once the font is built, and docs repeat glyphs heavily
+        trans = font is not None and getattr(font, "_trans_cache", None)
+        if trans:
+            # hot single-byte font: decode() is the identity byte→cid map,
+            # so the whole item renders in one C-level str.translate over
+            # the prebuilt 256-entry table ('' drops a char)
+            append = chars.append
+            for i in range(0, len(seq), 2):
+                item = seq[i]
+                if isinstance(item, bytes):
+                    append(item.decode("latin-1").translate(trans))
+        elif font is not None:
+            # per-cid loop with a memo cache (mapping is immutable once the
+            # font is built); single-byte fonts graduate to the translate
+            # fast path after ~200 rendered chars — building the 256-entry
+            # table up front would cost more than a small doc renders
             cache = getattr(font, "_render_cache", None)
             if cache is None:
                 cache = font._render_cache = {}
             cache_get = cache.get
             append = chars.append
+            rendered = 0
             for i in range(0, len(seq), 2):
                 item = seq[i]
                 if not isinstance(item, bytes):
                     continue  # fixtures place strings at even positions only
+                rendered += len(item)
                 for cid in font.decode(item):
                     ch = cache_get(cid)
                     if ch is None:
@@ -93,6 +107,20 @@ class SimpleTextDevice:
                         cache[cid] = ch
                     if ch:
                         append(ch)
+            if not font.is_multibyte():
+                total = getattr(font, "_nrendered", 0) + rendered
+                font._nrendered = total
+                if total > 200:
+                    trans = dict(cache)
+                    for cid in range(256):
+                        if cid not in trans:
+                            try:
+                                trans[cid] = font.to_unichr(cid) or ""
+                            except (PDFUnicodeNotDefined, KeyError):
+                                trans[cid] = "<CID %X>" % cid
+                        elif not trans[cid]:
+                            trans[cid] = ""
+                    font._trans_cache = trans
         if chars:
             self._write("".join(chars))
 
