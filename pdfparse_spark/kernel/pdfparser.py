@@ -323,7 +323,9 @@ class PDFStreamParser(PDFParser):
     (pdfparse.lisp:1934-1955)."""
 
     def flush(self) -> None:
-        self.add_results(*self.popall())
+        if self.curstack:
+            self.results.extend(self.curstack)
+            self.curstack = []
 
     def do_keyword(self, pos: int, token: PSKeyword) -> None:
         if token is KEYWORD_R:
@@ -349,7 +351,9 @@ class PDFContentParser(PSStackParser):
         super().__init__(data)
 
     def flush(self) -> None:
-        self.add_results(*self.popall())
+        if self.curstack:
+            self.results.extend(self.curstack)
+            self.curstack = []
 
     def get_inline_data(self, pos: int, target: bytes = b"EI") -> tuple[int, bytes]:
         """Capture raw bytes until 'EI' followed by one whitespace char

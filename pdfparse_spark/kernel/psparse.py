@@ -112,6 +112,9 @@ _TOKEN_CACHE_MAX = 4096
 _KW_CACHE: dict[bytes, object] = {}
 _LIT_CACHE: dict[bytes, object] = {}
 
+# single-char operator tokens, preinterned
+_KW1 = [PSKeyword(chr(c)) for c in range(256)]
+
 # Character classes; byte-level equivalents of pdfparse.lisp:42-53.
 _EOL = re.compile(rb"[\r\n]")
 _SPC = re.compile(rb"\s")
@@ -235,7 +238,7 @@ class PSBaseParser:
                 pos = j + 1
                 continue
             self.pos = j + 1
-            return j, KWD(chr(c))
+            return j, _KW1[c]
 
     def _parse_literal(self, start: int) -> tuple[int, object]:
         data = self.data
@@ -445,13 +448,22 @@ class PSStackParser(PSBaseParser):
         """Default: keywords outside collections are dropped (base stack parser)."""
 
     # --- object assembly -----------------------------------------------------
+    _SCALARS = frozenset((int, float, bool, bytes, PSLiteral))
+
     def nextobject(self) -> tuple[int, object]:
         """Return the next (pos, object); raises PSEOF at end."""
+        # NOTE: self.context/self.results/self.curstack are REPLACED by
+        # reset() (do_keyword may seek) — always read them via self.
+        scalars = self._SCALARS
+        nexttoken = self.nexttoken
         while not self.results:
-            pos, token = self.nexttoken()
-            if isinstance(token, (int, float, bool, bytes, PSLiteral)):
-                self.push((pos, token))
-            elif token is KEYWORD_ARRAY_BEGIN:
+            pos, token = nexttoken()
+            if token.__class__ in scalars:
+                self.curstack.append((pos, token))
+                if not self.context:
+                    self.flush()
+                continue
+            if token is KEYWORD_ARRAY_BEGIN:
                 self.start_type(pos, "a")
             elif token is KEYWORD_ARRAY_END:
                 try:
