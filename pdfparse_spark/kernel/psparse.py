@@ -115,6 +115,24 @@ _LIT_CACHE: dict[bytes, object] = {}
 # single-char operator tokens, preinterned
 _KW1 = [PSKeyword(chr(c)) for c in range(256)]
 
+# Fused fast-path token regex (Python 3.11 possessive quantifiers prevent
+# the backtracking that would mis-split "12." into int 1 + junk).  Branches
+# deliberately cover ONLY cases whose semantics equal the full scanner's:
+#   flt  "12.", "12.5" (digits then '.'), trailing digits optional
+#   int  "12", "+3", "-4" — not followed by '.' or another digit
+#   lit  /Name with no '#' escape ahead
+#   kw   letter-initial operator/keyword run
+_SIMPLE_TOKEN = re.compile(
+    rb"\s*+(?:"
+    rb"(?P<flt>[+-]?+[0-9]++\.[0-9]*+(?![0-9]))"
+    rb"|(?P<int>[+-]?+[0-9]++(?![.0-9]))"
+    rb"|(?P<lit>/[^#/%\[\]()<>{}\s]*+(?!\#))"
+    rb"|(?P<kw>[A-Za-z][^#/%\[\]()<>{}\s]*+)"
+    rb"|(?P<d2><<|>>)"  # dict delimiters
+    rb"|(?P<d1>[\[\]{}])"  # array/proc delimiters
+    rb")"
+)
+
 # Character classes; byte-level equivalents of pdfparse.lisp:42-53.
 _EOL = re.compile(rb"[\r\n]")
 _SPC = re.compile(rb"\s")
@@ -197,7 +215,50 @@ class PSBaseParser:
 
         Token values: int, float, bool, bytes (string/hexstring), PSLiteral,
         PSKeyword.  Comments are skipped.  Raises PSEOF at end of data.
+
+        Fast path: one fused regex match covers the overwhelmingly common
+        token shapes in content streams (numbers, escape-free names,
+        keywords, collection delimiters); everything else — strings,
+        hexstrings, comments, '#' escapes, malformed numbers, EOF — falls
+        through to the full scanner, which remains the semantic authority
+        (the differential fuzz test pins fast == slow on arbitrary soup).
         """
+        m = _SIMPLE_TOKEN.match(self.data, self.pos)
+        if m is not None:
+            g = m.lastgroup
+            self.pos = m.end()
+            start = m.start(g)
+            tok = m.group(g)
+            if g == "flt":
+                return start, float(tok)
+            if g == "int":
+                return start, int(tok)
+            if g == "kw":
+                val = _KW_CACHE.get(tok)
+                if val is None:
+                    if tok == b"true":
+                        val = True
+                    elif tok == b"false":
+                        val = False
+                    else:
+                        val = KWD(tok.decode("latin-1"))
+                    if len(_KW_CACHE) < _TOKEN_CACHE_MAX:
+                        _KW_CACHE[tok] = val
+                return start, val
+            if g == "lit":
+                raw = tok[1:]
+                lit = _LIT_CACHE.get(raw)
+                if lit is None:
+                    lit = LIT(raw.decode("latin-1"))
+                    if len(_LIT_CACHE) < _TOKEN_CACHE_MAX:
+                        _LIT_CACHE[raw] = lit
+                return start, lit
+            if g == "d2":
+                return start, KEYWORD_DICT_BEGIN if tok == b"<<" else KEYWORD_DICT_END
+            return start, _KW1[tok[0]]  # d1
+        return self._nexttoken_slow()
+
+    def _nexttoken_slow(self) -> tuple[int, object]:
         data = self.data
         n = len(data)
         pos = self.pos
