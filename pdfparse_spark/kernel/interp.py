@@ -558,16 +558,14 @@ class PDFPageInterpreter:
         except PSEOF:
             return
         # keyword→bound-method cache: PSKeywords are interned, so identity
-        # is stable; False marks known-unknown operators (non-strict skip)
+        # is stable; False marks known-unknown operators (non-strict skip).
+        # Objects come from the specialized iter_objects assembler (pinned
+        # differentially against nextobject).
         dispatch: dict = {}
         dispatch_get = dispatch.get
         push = self.push
-        while True:
-            try:
-                _, obj = parser.nextobject()
-            except PSEOF:
-                break
-            if isinstance(obj, PSKeyword):
+        for obj in parser.iter_objects():
+            if obj.__class__ is PSKeyword:
                 fn = dispatch_get(obj)
                 if fn is None:
                     name = obj.name

@@ -17,7 +17,22 @@ from __future__ import annotations
 
 import re
 
-from .psparse import KWD, LIT, PSEOF, PSKeyword, PSStackParser, PSTypeError
+from .psparse import (
+    KEYWORD_ARRAY_BEGIN,
+    KEYWORD_ARRAY_END,
+    KEYWORD_DICT_BEGIN,
+    KEYWORD_DICT_END,
+    KEYWORD_PROC_BEGIN,
+    KEYWORD_PROC_END,
+    KWD,
+    LIT,
+    PSEOF,
+    PSKeyword,
+    PSLiteral,
+    PSStackParser,
+    PSSyntaxError,
+    PSTypeError,
+)
 from .pdftypes import (
     PDFObjRef,
     PDFStream,
@@ -390,6 +405,82 @@ class PDFContentParser(PSStackParser):
         captured = bytes(out[: len(out) - (tlen + 1)]) if len(out) > tlen else b""
         captured = _EI_TRAIL_EOL.sub(b"", captured)
         return pos, captured
+
+    def iter_objects(self):
+        """Specialized object assembler for the interpreter's execute loop.
+
+        Yields the same object sequence ``nextobject`` would produce (minus
+        the positions, which execute ignores) but without the generic
+        stack-machine protocol — scalars stream straight through, and only
+        genuine collections ([...]  <<...>>  {...}  BI..ID dicts) allocate a
+        frame.  ``nextobject`` remains the semantic authority; the
+        differential test pins this generator against it on arbitrary soup.
+        """
+        nexttoken = self.nexttoken
+        frames: list = []  # (type, items) — 'a' array, 'p' proc, 'd'/'i' dict
+        while True:
+            try:
+                pos, token = nexttoken()
+            except PSEOF:
+                return
+            cls = token.__class__
+            if cls is int or cls is float or cls is bytes or cls is PSLiteral or cls is bool:
+                if frames:
+                    frames[-1][1].append(token)
+                else:
+                    yield token
+                continue
+            if token is KEYWORD_ARRAY_BEGIN:
+                frames.append(("a", []))
+            elif token is KEYWORD_ARRAY_END:
+                if frames and frames[-1][0] == "a":
+                    _t, items = frames.pop()
+                    if frames:
+                        frames[-1][1].append(items)
+                    else:
+                        yield items
+                # else: stray ']' dropped (lenient, nextobject parity)
+            elif token is KEYWORD_DICT_BEGIN:
+                frames.append(("d", []))
+            elif token is KEYWORD_DICT_END:
+                if frames and frames[-1][0] == "d":
+                    _t, items = frames.pop()
+                    if len(items) % 2 != 0:
+                        raise PSSyntaxError("invalid dictionary construct: %r" % items)
+                    d = {items[i]: items[i + 1] for i in range(0, len(items), 2)}
+                    if frames:
+                        frames[-1][1].append(d)
+                    else:
+                        yield d
+            elif token is KEYWORD_PROC_BEGIN:
+                frames.append(("p", []))
+            elif token is KEYWORD_PROC_END:
+                if frames and frames[-1][0] == "p":
+                    _t, items = frames.pop()
+                    if frames:
+                        frames[-1][1].append(items)
+                    else:
+                        yield items
+            elif token is KEYWORD_BI:
+                frames.append(("i", []))
+            elif token is KEYWORD_ID:
+                if frames and frames[-1][0] == "i":
+                    _t, items = frames.pop()
+                    if len(items) % 2 == 0:
+                        d = {items[i]: items[i + 1] for i in range(0, len(items), 2)}
+                        _dpos, data = self.get_inline_data(pos + 3)
+                        obj = PDFStream(d, data)
+                        if frames:
+                            frames[-1][1].append(obj)
+                            frames[-1][1].append(KEYWORD_EI)
+                        else:
+                            yield obj
+                            yield KEYWORD_EI
+                    # odd dict: dropped (lenient, do_keyword parity)
+            elif frames:
+                frames[-1][1].append(token)  # keyword inside a collection
+            else:
+                yield token
 
     def do_keyword(self, pos: int, token: PSKeyword) -> None:
         if token is KEYWORD_BI:
