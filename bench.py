@@ -277,6 +277,12 @@ every level, i.e. Spark overhead is not the limiter. On a real N -> 4N
 EXECUTOR scale-up, memory bandwidth grows with node count, which the
 4->16 leg (unsaturated bandwidth) is the honest single-box proxy for.
 
+Run-to-run variance: the sandbox VM's absolute CPU speed drifts +/-20-25%
+between time windows (same code, same corpus: 7.2k-15.2k turns/s at
+local[32] across the session as the kernel was optimized AND the host
+drifted). Compare legs only WITHIN one --scaling run (they execute
+back-to-back); absolute turns/sec in BENCH_r{{N}}.json inherits the drift.
+
 Reproduce: `python bench.py --scaling` (rewrites this file).
 """
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md"), "w") as f:
