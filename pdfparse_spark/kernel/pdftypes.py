@@ -74,8 +74,17 @@ class PDFObjRef:
 
 
 def resolve1(x):
-    """Resolve one level of indirection (loops over chained refs)."""
+    """Resolve one level of indirection (loops over chained refs).
+
+    Chain length is capped: a ref→ref cycle (1 0 obj 2 0 R / 2 0 obj 1 0 R)
+    would otherwise spin forever through the object cache — one adversarial
+    document must never pin an executor.  Real chains are 1-2 deep; on
+    overflow we resolve to None (lenient)."""
+    depth = 0
     while isinstance(x, PDFObjRef):
+        depth += 1
+        if depth > 32:
+            return None  # reference cycle
         x = x.resolve()
     return x
 

@@ -103,3 +103,42 @@ def test_shifted_xref_offset_is_lenient_like_reference():
     text, spans, status = extract_pdf_bytes(bytes(bad))
     assert isinstance(text, str)
     assert isinstance(status, str)
+
+
+def _build_classic(bodies, root=1):
+    out = bytearray(b"%PDF-1.4\n")
+    offs = {}
+    for i in sorted(bodies):
+        offs[i] = len(out)
+        out += b"%d 0 obj\n" % i + bodies[i] + b"\nendobj\n"
+    xp = len(out)
+    mx = max(bodies)
+    out += b"xref\n0 %d\n" % (mx + 1) + b"0000000000 65535 f \n"
+    for i in range(1, mx + 1):
+        out += b"%010d 00000 n \n" % offs.get(i, 0)
+    out += b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        mx + 1, root, xp,
+    )
+    return bytes(out)
+
+
+def test_reference_cycles_do_not_hang():
+    """ref→ref cycles must resolve leniently (depth cap), never spin —
+    one adversarial doc cannot pin an executor (pdftypes.resolve1)."""
+    r = extract_pdf_bytes(_build_classic({1: b"2 0 R", 2: b"1 0 R"}))
+    assert r[2] == "ok" and r[0] == ""
+    r = extract_pdf_bytes(
+        _build_classic({1: b"<< /Type /Catalog /Pages 2 0 R >>", 2: b"3 0 R", 3: b"2 0 R"})
+    )
+    assert isinstance(r[2], str)
+
+
+def test_ref_chained_contents_still_resolve():
+    from pdfparse_spark.fixtures.pdf_gen import _assemble, _doc_skeleton, _stream
+
+    content = b"BT /F1 12 Tf 72 720 Td (ChainOK) Tj ET"
+    bodies = _doc_skeleton(b"x")
+    bodies[5] = b"6 0 R"
+    bodies[6] = _stream(b"", content)
+    text, spans, status = extract_pdf_bytes(_assemble(bodies))
+    assert (text, status) == ("\nChainOK", "ok")
