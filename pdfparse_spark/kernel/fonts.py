@@ -188,6 +188,12 @@ def get_predefined_unicode_map(cidcoding, vertical: bool):
     raise CMapNotFound(cidcoding)
 
 
+# largest cidrange/bfrange span expanded eagerly: 2-byte CID space.  A
+# crafted <00000000> <ffffffff> range is a 4-billion-iteration bomb that
+# would pin an executor; real CMaps stay within one 2-byte prefix.
+_MAX_CMAP_RANGE = 1 << 16
+
+
 def nunpack(s: bytes, default: int = 0) -> int:
     if not s:
         return default
@@ -260,6 +266,8 @@ class CMapParser(PSStackParser):
                     continue
                 svar, evar = s[-4:], e[-4:]
                 s1, e1 = nunpack(svar), nunpack(evar)
+                if e1 - s1 >= _MAX_CMAP_RANGE:
+                    continue  # decompression-bomb range — lenient skip
                 vlen = len(svar)
                 for k in range(e1 - s1 + 1):
                     x = sprefix + struct.pack(">L", s1 + k)[-vlen:]
@@ -283,6 +291,8 @@ class CMapParser(PSStackParser):
                 ):
                     continue
                 s1, e1 = nunpack(s), nunpack(e)
+                if e1 - s1 >= _MAX_CMAP_RANGE:
+                    continue  # decompression-bomb range — lenient skip
                 if isinstance(code, list):
                     for k, c in zip(range(e1 - s1 + 1), code):
                         cmap.add_cid2unichr(s1 + k, c)

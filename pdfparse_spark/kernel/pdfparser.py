@@ -296,7 +296,15 @@ class PDFParser(PSStackParser):
         except ValueError:
             raise PDFNoValidXRef("bad startxref offset: %r" % prev)
 
-    def read_xref_from(self, start: int, xrefs: list) -> None:
+    def read_xref_from(self, start: int, xrefs: list, _seen: set | None = None) -> None:
+        # /Prev chains in the wild are short; a crafted self-referential
+        # Prev would otherwise recurse to the interpreter limit re-parsing
+        # the same section each level
+        if _seen is None:
+            _seen = set()
+        if start in _seen:
+            return
+        _seen.add(start)
         self.seek(start)
         try:
             pos, token = self.nexttoken()
@@ -315,9 +323,9 @@ class PDFParser(PSStackParser):
         xrefs.append(xref)
         trailer = xref.get_trailer()
         if LITERAL_XREFSTM in trailer:
-            self.read_xref_from(int_value(trailer[LITERAL_XREFSTM]), xrefs)
+            self.read_xref_from(int_value(trailer[LITERAL_XREFSTM]), xrefs, _seen)
         if LITERAL_PREV in trailer:
-            self.read_xref_from(int_value(trailer[LITERAL_PREV]), xrefs)
+            self.read_xref_from(int_value(trailer[LITERAL_PREV]), xrefs, _seen)
 
     def read_xref(self) -> list:
         try:

@@ -142,3 +142,34 @@ def test_ref_chained_contents_still_resolve():
     bodies[6] = _stream(b"", content)
     text, spans, status = extract_pdf_bytes(_assemble(bodies))
     assert (text, status) == ("\nChainOK", "ok")
+
+
+def test_cmap_range_bombs_skipped():
+    """A <00000000>-<ffffffff> bfrange/cidrange would expand to 4G entries;
+    bomb ranges are skipped leniently, legit ranges still map."""
+    from pdfparse_spark.kernel.fonts import CMapParser, FileCMap, FileUnicodeMap
+
+    u = FileUnicodeMap()
+    CMapParser(
+        u,
+        b"begincmap 1 beginbfrange <00000000> <ffffffff> <0041> endbfrange "
+        b"1 beginbfrange <20> <22> <0041> endbfrange endcmap",
+    ).run()
+    assert u.get_unichr(0x21) == "B"
+    c = FileCMap()
+    CMapParser(
+        c, b"begincmap 1 begincidrange <00000000> <ffffffff> 0 endcidrange endcmap"
+    ).run()
+
+
+def test_xref_prev_self_loop_is_bounded():
+    """/Prev pointing back at its own xref section must terminate."""
+    fx = _FX[0]
+    # append an incremental update whose trailer /Prev points at itself
+    data = fx.data
+    xref_pos = len(data)
+    upd = b"xref\n0 1\n0000000000 65535 f \ntrailer\n<< /Size 1 /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n" % (
+        xref_pos, xref_pos,
+    )
+    text, spans, status = extract_pdf_bytes(data + upd)
+    assert isinstance(status, str)
