@@ -523,7 +523,20 @@ class PDFPageInterpreter:
         xobj = stream_value(resolve1(self.xobjmap.get(xobjid)))
         subtype = resolve1(xobj.get(LIT("Subtype")))
         if subtype is LITERAL_FORM and xobj.get(LIT("BBox")) is not None:
+            # two caps against recursive/branching form graphs (a depth cap
+            # alone turns mutual recursion into 2^depth invocations):
+            #   depth ≤ 32     bounds the stack,
+            #   total ≤ 10_000 bounds the work (shared across the whole
+            #                  render via a mutable budget dup() propagates)
+            budget = getattr(self, "form_budget", None)
+            if budget is None:
+                budget = self.form_budget = {"n": 10_000}
+            if getattr(self, "xobj_depth", 0) >= 32 or budget["n"] <= 0:
+                return
+            budget["n"] -= 1
             interpreter = self.dup()
+            interpreter.xobj_depth = getattr(self, "xobj_depth", 0) + 1
+            interpreter.form_budget = budget
             bbox = list_value(resolve1(xobj.get(LIT("BBox"))))
             matrix = list_value(resolve1(xobj.get(LIT("Matrix")))) or list(
                 MATRIX_IDENTITY

@@ -47,6 +47,13 @@ class PDFNotImplementedError(PDFException):
     pass
 
 
+class PDFStreamBombError(PDFException):
+    """Stream whose decoded size exceeds the safety cap."""
+
+
+# decoded-stream size cap — see PDFStream.decode
+MAX_DECODED_STREAM = 256 << 20
+
 LITERAL_CRYPT = LIT("Crypt")
 LITERALS_FLATE_DECODE = (LIT("FlateDecode"), LIT("Fl"))
 LITERALS_LZW_DECODE = (LIT("LZWDecode"), LIT("LZW"))
@@ -220,7 +227,15 @@ class PDFStream:
         filters = self.get_filters()
         for f in filters:
             if f in LITERALS_FLATE_DECODE:
-                data = zlib.decompress(data)
+                # cap expansion: a ~1 MB stream can inflate to gigabytes and
+                # pin/OOM an executor (then the tokenizer would crawl it);
+                # no legitimate content stream approaches the cap
+                d = zlib.decompressobj()
+                data = d.decompress(data, MAX_DECODED_STREAM)
+                if d.unconsumed_tail:
+                    raise PDFStreamBombError(
+                        "stream inflates beyond %d bytes" % MAX_DECODED_STREAM
+                    )
             else:
                 raise PDFNotImplementedError(
                     "unsupported filter: %r" % (getattr(f, "name", f),)

@@ -173,3 +173,46 @@ def test_xref_prev_self_loop_is_bounded():
     )
     text, spans, status = extract_pdf_bytes(data + upd)
     assert isinstance(status, str)
+
+
+def test_flate_bomb_capped():
+    """A ~1 MB stream inflating to 1 GB must fail fast with a bomb error,
+    not decompress + tokenize gigabytes (pdftypes.MAX_DECODED_STREAM)."""
+    import zlib
+
+    from pdfparse_spark.fixtures.pdf_gen import _assemble
+
+    bomb = zlib.compress(b"\0" * (1 << 30), 9)
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+           b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>",
+        4: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        5: b"<< /Filter /FlateDecode /Length %d >>\nstream\n%s\nendstream" % (len(bomb), bomb),
+    }
+    text, spans, status = extract_pdf_bytes(_assemble(bodies))
+    assert status == "error:PDFStreamBombError"
+
+
+def test_mutually_recursive_forms_bounded():
+    """Form A invoking B twice and vice versa branches exponentially without
+    a shared invocation budget; must finish with the page text intact."""
+    from pdfparse_spark.fixtures.pdf_gen import _assemble, _stream
+
+    res = b"<< /Font << /F1 4 0 R >> /XObject << /XA 6 0 R /XB 7 0 R >> >>"
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+           b"/Resources %s /Contents 5 0 R >>" % res,
+        4: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        5: _stream(b"", b"BT /F1 9 Tf 5 5 Td (x) Tj ET /XA Do"),
+        6: _stream(b"/Type /XObject /Subtype /Form /BBox [0 0 1 1] /Resources %s" % res,
+                   b"/XB Do /XB Do"),
+        7: _stream(b"/Type /XObject /Subtype /Form /BBox [0 0 1 1] /Resources %s" % res,
+                   b"/XA Do /XA Do"),
+    }
+    text, spans, status = extract_pdf_bytes(_assemble(bodies))
+    assert status == "ok"
+    assert text.startswith("\nx")
