@@ -28,7 +28,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["OUTPUT_SCHEMA", "extract_batch", "run_extraction", "salt_repartition"]
+__all__ = [
+    "OUTPUT_SCHEMA",
+    "TELEMETRY_SCHEMA",
+    "extract_batch",
+    "extract_batch_telemetry",
+    "run_extraction",
+    "salt_repartition",
+]
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -55,6 +62,11 @@ OUTPUT_SCHEMA = T.StructType(
         T.StructField("parse_status", T.StringType(), False),
         T.StructField("n_chars", T.IntegerType(), False),
     ]
+)
+
+
+TELEMETRY_SCHEMA = T.StructType(
+    OUTPUT_SCHEMA.fields + [T.StructField("kernel_us", T.LongType(), False)]
 )
 
 
@@ -89,6 +101,49 @@ def extract_batch(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def extract_batch_telemetry(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Telemetry variant: also emits ``kernel_us`` — wall microseconds spent
+    in the kernel for each turn, measured at the call site inside the worker.
+
+    Per-partition sums of ``kernel_us`` are the straggler evidence the
+    partition-row-count proxy can't give: a partition can hold few rows but
+    one pathological 500-page PDF.  The ~100 ns perf_counter overhead per
+    turn is noise next to the 0.1–50 ms kernel cost, so telemetry mode is
+    cheap enough to leave on for audit runs (it is still opt-in: the extra
+    column changes the output schema).
+    """
+    from time import perf_counter_ns
+
+    from ..kernel.extract import extract_turn
+
+    for pdf in batches:
+        ctypes, texts, spans_col, statuses, nchars, micros = [], [], [], [], [], []
+        for text in pdf["text"]:
+            t0 = perf_counter_ns()
+            ctype, extracted, spans, status = extract_turn(text)
+            micros.append((perf_counter_ns() - t0) // 1000)
+            ctypes.append(ctype)
+            texts.append(extracted)
+            spans_col.append([{"page": p, "start": s, "end": e} for (p, s, e) in spans])
+            statuses.append(status)
+            nchars.append(len(extracted))
+        yield pd.DataFrame(
+            {
+                "conv_id": pdf["conv_id"],
+                "turn_idx": pdf["turn_idx"],
+                "role": pdf["role"],
+                "tool": pdf["tool"],
+                "ts": pdf["ts"],
+                "content_type": ctypes,
+                "extracted_text": texts,
+                "spans": spans_col,
+                "parse_status": statuses,
+                "n_chars": nchars,
+                "kernel_us": pd.array(micros, dtype="int64"),
+            }
+        )
+
+
 def salt_repartition(df: DataFrame, num_partitions: int, salt: int = 64) -> DataFrame:
     """P10: spread hot conv_ids over up to ``salt`` partitions.
 
@@ -106,10 +161,20 @@ def run_extraction(
     df: DataFrame,
     num_partitions: int | None = None,
     salt: int = 64,
+    telemetry: bool = False,
 ) -> DataFrame:
-    """Full extraction stage over a transcripts DataFrame (input_hint schema)."""
+    """Full extraction stage over a transcripts DataFrame (input_hint schema).
+
+    ``telemetry=True`` adds per-turn ``kernel_us`` and the executing
+    ``part_id`` (``spark_partition_id`` is stable here: mapInPandas is a
+    narrow op, so the id is the salted-shuffle partition that did the work).
+    Aggregate with :func:`pdfparse_spark.pipeline.metrics.straggler_stats`.
+    """
     cols = ["conv_id", "turn_idx", "role", "tool", "ts", "text"]
     df = df.select(*cols)  # column pruning before the shuffle
     if num_partitions:
         df = salt_repartition(df, num_partitions, salt)
+    if telemetry:
+        out = df.mapInPandas(extract_batch_telemetry, schema=TELEMETRY_SCHEMA)
+        return out.withColumn("part_id", F.spark_partition_id())
     return df.mapInPandas(extract_batch, schema=OUTPUT_SCHEMA)

@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["match_rate", "content_type_stats", "join_golden"]
+__all__ = ["match_rate", "content_type_stats", "join_golden", "straggler_stats"]
 
 
 def join_golden(extracted: DataFrame, golden: DataFrame) -> DataFrame:
@@ -36,6 +36,34 @@ def match_rate(joined: DataFrame) -> DataFrame:
         F.count("*").alias("n_turns"),
         F.sum(F.col("match").cast("long")).alias("n_match"),
         F.round(F.avg(F.col("match").cast("double")), 6).alias("rate"),
+    )
+
+
+def straggler_stats(telemetry_out: DataFrame) -> DataFrame:
+    """Per-partition kernel wall-time skew over a ``run_extraction(...,
+    telemetry=True)`` result.
+
+    Row counts are a poor straggler proxy — one 500-page PDF outweighs a
+    thousand text turns.  This measures where the CPU time actually went:
+    ``kernel_us`` summed per executing partition, reduced to max / median /
+    mean and the max-over-median ratio (the BENCH straggler bound is ≤ 2).
+    One aggregation row out; safe to .collect() at any scale.
+    """
+    per_part = telemetry_out.groupBy("part_id").agg(
+        F.count("*").alias("n_turns"),
+        (F.sum("kernel_us") / 1000.0).alias("kernel_ms"),
+    )
+    return per_part.agg(
+        F.count("*").alias("n_partitions"),
+        F.sum("n_turns").alias("n_turns"),
+        F.round(F.sum("kernel_ms"), 1).alias("total_kernel_ms"),
+        F.round(F.max("kernel_ms"), 1).alias("max_partition_ms"),
+        F.round(F.expr("percentile(kernel_ms, 0.5)"), 1).alias("median_partition_ms"),
+        F.round(F.avg("kernel_ms"), 1).alias("mean_partition_ms"),
+        F.round(
+            F.max("kernel_ms") / F.greatest(F.expr("percentile(kernel_ms, 0.5)"), F.lit(1e-9)),
+            3,
+        ).alias("max_over_median"),
     )
 
 

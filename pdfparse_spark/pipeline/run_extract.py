@@ -24,7 +24,7 @@ import time
 
 from pyspark.sql import functions as F
 
-from .metrics import content_type_stats
+from .metrics import content_type_stats, straggler_stats
 from .resume import read_ledger, read_output, run_resumable
 from .session import get_spark
 from .transcripts import synthesize, transcripts_df, make_transcript_rows
@@ -42,6 +42,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--buckets-per-wave", type=int, default=2)
     p.add_argument("--partitions", type=int, default=None, help="salted partitions (default 4x cores)")
     p.add_argument("--salt", type=int, default=64)
+    p.add_argument(
+        "--telemetry",
+        action="store_true",
+        help="after the run, re-extract with per-turn kernel timing and "
+        "print per-partition straggler stats (audit mode; output not written)",
+    )
     args = p.parse_args(argv)
 
     spark = get_spark(master=args.master, app_name="pdfparse_extract")
@@ -80,6 +86,11 @@ def main(argv: list[str] | None = None) -> int:
         "ledger_rows": ledger.count() if ledger is not None else 0,
     }))
     content_type_stats(out).show(truncate=False)
+    if args.telemetry:
+        from .extract import run_extraction
+
+        tel = run_extraction(df, num_partitions=partitions, salt=args.salt, telemetry=True)
+        straggler_stats(tel).show(truncate=False)
     spark.stop()
     return 0
 

@@ -136,3 +136,28 @@ def test_multimodal_plumbing(spark):
     for r in rows[:20]:
         assert r["width"] == 64 + r["n_bytes"] % 512
         assert r["n_frames"] == 1 + r["n_bytes"] % 24
+
+
+def test_telemetry_kernel_timing_and_straggler_stats(spark):
+    """telemetry=True adds per-turn kernel_us + executing part_id; the
+    straggler aggregate reduces them to one row of partition-skew evidence.
+    The default (non-telemetry) output schema is pinned unchanged by
+    test_output_schema_stable."""
+    from pdfparse_spark.pipeline.extract import run_extraction
+    from pdfparse_spark.pipeline.metrics import straggler_stats
+    from pdfparse_spark.pipeline.transcripts import synthesize
+
+    df, _ = synthesize(spark, n_convs=6, turns_per_conv=6, seed=7)
+    out = run_extraction(df, num_partitions=8, salt=16, telemetry=True)
+    assert {"kernel_us", "part_id"} <= set(out.columns)
+
+    rows = out.select("kernel_us", "part_id").collect()
+    assert len(rows) == df.count()
+    assert all(r["kernel_us"] >= 0 for r in rows)
+    assert sum(r["kernel_us"] for r in rows) > 0  # PDF turns cost real time
+
+    s = straggler_stats(out).collect()[0]
+    assert s["n_turns"] == df.count()
+    assert s["n_partitions"] == len({r["part_id"] for r in rows})
+    assert s["max_partition_ms"] >= s["median_partition_ms"] >= 0
+    assert s["max_over_median"] >= 1.0
