@@ -303,6 +303,60 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII patterns shared by the Spark op and the DuckDB oracle — restricted to
+# syntax both Java regex and RE2 support identically (no lookaround, no
+# backrefs).  Emails are redacted BEFORE urls so `user@host` inside a URL
+# query-string can't be double-counted.
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_URL_RE = "https?://[^\\s]+"
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count + redact emails and URLs with typed placeholders.
+
+    The documents vocab carries no PII, so each row is augmented with a
+    deterministic contact tail built from doc_id (identically in the oracle)
+    — the op under test is the redaction itself.  Scale: pure JVM-side
+    regexp over one column, whole-stage-codegen'd, no shuffle at all.
+    """
+    d = _docs(spark, sf_dir)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@mail.example.com or https://ex.org/d/"),
+        F.col("doc_id"),
+        F.lit("?ref=corpus"),
+    )
+    d = d.select("doc_id", raw.alias("raw"))
+    return d.select(
+        "doc_id",
+        F.expr("regexp_count(raw, '%s')" % _EMAIL_RE).alias("n_emails"),
+        F.expr("regexp_count(raw, '%s')" % _URL_RE).alias("n_urls"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+        ).alias("redacted"),
+    )
+
+
+def text_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus length profile with EXACT percentiles.
+
+    Scale note: `percentile` is exact (sorts per group) — fine when the
+    group count is tiny (languages) and rows-per-group are millions; for
+    high-cardinality groups at 100 TB switch to approx_percentile, which is
+    a sketch merge.  The oracle (quantile_cont) pins the exact variant.
+    """
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 2).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 2).alias("p90_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -527,6 +581,30 @@ ORACLES: dict[str, str] = {
                sha256(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')) AS fingerprint
         FROM documents
     """,
+    "text_pii_redact": f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text || ' contact user' || doc_id
+                        || '@mail.example.com or https://ex.org/d/' || doc_id
+                        || '?ref=corpus' AS raw
+            FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(raw, '{_URL_RE}')) AS n_urls,
+               regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_URL_RE}', '<URL>', 'g') AS redacted
+        FROM aug
+    """,
+    "text_length_stats": """
+        SELECT lang,
+               count(*) AS n_docs,
+               round(avg(n_chars), 2) AS avg_chars,
+               round(quantile_cont(n_chars, 0.5), 2) AS p50_chars,
+               round(quantile_cont(n_chars, 0.9), 2) AS p90_chars,
+               max(n_chars) AS max_chars
+        FROM documents GROUP BY lang
+    """,
     "sim_cosine_topk": f"""
         WITH e AS ({_SQL_EMB_NORM}),
         q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e WHERE vec_id % 50 = 0),
@@ -620,6 +698,8 @@ QUERIES = {
     "text_quality": text_quality,
     "text_tokens": text_tokens,
     "text_fingerprint": text_fingerprint,
+    "text_pii_redact": text_pii_redact,
+    "text_length_stats": text_length_stats,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,

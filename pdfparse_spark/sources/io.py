@@ -56,6 +56,8 @@ def load_transcripts(
             fmt = "json"
         elif path.endswith(".csv"):
             fmt = "csv"
+        elif path.endswith(".orc"):
+            fmt = "orc"
         else:
             fmt = "parquet"
     if fmt == "iceberg":
@@ -64,15 +66,25 @@ def load_transcripts(
         return spark.read.schema(INPUT_SCHEMA).json(path)
     if fmt == "csv":
         return spark.read.schema(INPUT_SCHEMA).option("header", "true").csv(path)
+    if fmt == "orc":
+        return spark.read.orc(path)
     return spark.read.parquet(path)
 
 
 def write_output(df: DataFrame, path: str, mode: str = "overwrite", fmt: str = "auto") -> None:
     """Write extraction output; Iceberg when targeting a catalog table."""
     if fmt == "auto":
-        fmt = "iceberg" if "/" not in path and iceberg_available(df.sparkSession) else "parquet"
+        if "/" not in path and iceberg_available(df.sparkSession):
+            fmt = "iceberg"
+        elif path.endswith(".orc"):
+            fmt = "orc"
+        else:
+            fmt = "parquet"
     if fmt == "iceberg":
         writer = df.writeTo(path)
         (writer.createOrReplace() if mode == "overwrite" else writer.append())
+        return
+    if fmt == "orc":
+        df.write.mode(mode).orc(path)
         return
     df.write.mode(mode).parquet(path)

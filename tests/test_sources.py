@@ -39,3 +39,15 @@ def test_iceberg_gracefully_absent(spark, tmp_path):
     out = str(tmp_path / "o")
     write_output(df, out)
     assert spark.read.parquet(out).count() == df.count()
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC sink + source (full payload incl. PDF/HTML turns, like parquet)."""
+    df, _ = synthesize(spark, n_convs=3, turns_per_conv=4, seed=6)
+    oc = str(tmp_path / "t.orc")
+    write_output(df, oc, fmt="orc")
+    got = load_transcripts(spark, oc)
+    assert got.count() == df.count()
+    assert [(f.name, f.dataType) for f in got.schema] == [
+        (f.name, f.dataType) for f in df.schema
+    ]
