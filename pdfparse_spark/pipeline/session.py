@@ -59,6 +59,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let conv_id-bucketed tables satisfy joins keyed (conv_id, turn_idx):
+        # co-partitioning on a key subset is sufficient for correctness, and
+        # our conv_id buckets are skew-safe by construction (hash of a
+        # high-cardinality id) — see pipeline/bucketed.py
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .config("spark.python.worker.reuse", "true")
