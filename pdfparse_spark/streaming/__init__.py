@@ -1,1 +1,2 @@
 from .stream_extract import start_stream_extraction  # noqa: F401
+from .windowed import start_windowed_stats, windowed_turn_stats  # noqa: F401

@@ -69,3 +69,60 @@ def test_stateful_conv_stats_across_restarts(spark, tmp_path):
     for r in got2.collect():
         latest[r["conv_id"]] = max(latest[r["conv_id"]], r["n_turns"])
     assert all(v == 6 for v in latest.values()), dict(latest)
+
+
+def test_windowed_stats_watermark_append(spark, tmp_path):
+    """Watermarked tumbling windows in append mode: closed windows emit
+    exactly the batch aggregation's rows; windows the watermark has not
+    passed stay unemitted (bounded state, late data folded until close)."""
+    import datetime as dt
+
+    from pdfparse_spark.pipeline.extract import OUTPUT_SCHEMA
+    from pdfparse_spark.streaming.windowed import start_windowed_stats, windowed_turn_stats
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def row(conv, idx, minute, second, ctype, n_chars, status="ok"):
+        return (conv, idx, "user", "", base + dt.timedelta(minutes=minute, seconds=second),
+                ctype, "x" * n_chars, [], status, n_chars)
+
+    # file 1: three 1-minute windows' worth of turns, incl. a failed parse
+    early = [
+        row("c1", 0, 0, 5, "text", 10),
+        row("c1", 1, 0, 50, "text", 20),
+        row("c2", 0, 1, 10, "pdf", 30),
+        row("c2", 1, 1, 40, "pdf", 0, "error:PSEOF"),
+        row("c3", 0, 2, 30, "html", 40),
+    ]
+    # file 2: a sentinel far ahead — advances the watermark past all early
+    # windows; its own window must NOT emit (watermark never passes it)
+    sentinel = [row("c9", 0, 60, 0, "text", 1)]
+
+    in_dir = tmp_path / "extracted"
+    in_dir.mkdir()
+    spark.createDataFrame(early, OUTPUT_SCHEMA).coalesce(1).write.parquet(str(in_dir / "f1"))
+    spark.createDataFrame(sentinel, OUTPUT_SCHEMA).coalesce(1).write.parquet(str(in_dir / "f2"))
+
+    out_dir, ck = str(tmp_path / "stats"), str(tmp_path / "ck")
+    q = start_windowed_stats(spark, str(in_dir) + "/f*", out_dir, ck,
+                             window_duration="1 minute", watermark_delay="2 minutes")
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    expected = windowed_turn_stats(spark.createDataFrame(early, OUTPUT_SCHEMA))
+    assert got.count() == expected.count() == 3
+    j = got.join(
+        expected.select(
+            F.col("win_start"), F.col("content_type").alias("ct"),
+            F.col("n_turns").alias("nt"), F.col("total_chars").alias("tc"),
+            F.col("n_ok").alias("nk"),
+        ),
+        "win_start",
+    )
+    bad = j.filter(
+        (F.col("content_type") != F.col("ct")) | (F.col("n_turns") != F.col("nt"))
+        | (F.col("total_chars") != F.col("tc")) | (F.col("n_ok") != F.col("nk"))
+    ).count()
+    assert bad == 0
+    # the sentinel's own window never closed → not emitted
+    assert got.filter(F.col("content_type") == "text").count() == 1
