@@ -207,7 +207,19 @@ class PDFDocument:
         return obj
 
     def _getobj_objstm(self, strmid: int, index: int, objid: int):
-        stream = stream_value(self.getobj(strmid))
+        # a forged xref can claim an ObjStm lives inside itself (or in a
+        # cycle of containers); fetching the container would then recurse
+        # forever — resolve leniently to "missing" instead
+        opening = getattr(self, "_objstm_opening", None)
+        if opening is None:
+            opening = self._objstm_opening = set()
+        if strmid in opening:
+            return None
+        opening.add(strmid)
+        try:
+            stream = stream_value(self.getobj(strmid))
+        finally:
+            opening.discard(strmid)
         n = int_value(stream.get(LITERAL_N, 0))
         if strmid in self._parsed_objs:
             objs = self._parsed_objs[strmid]
@@ -254,25 +266,26 @@ class PDFDocument:
     # --- page tree -----------------------------------------------------------
     def get_pages(self):
         """Lazy DFS over /Pages tree with attribute inheritance
-        (pdfparse.lisp:1629-1687)."""
+        (pdfparse.lisp:1629-1687).
+
+        Explicit-stack DFS, not recursion: a legitimately deep (or
+        maliciously nested) /Pages chain must not hit the Python recursion
+        limit — 5000-deep trees walk fine.  The seen-set breaks cycles;
+        kids are pushed reversed so pages still come out in document order.
+        """
         if self.catalog is None:
             return
         root = self.catalog.get(LITERAL_PAGES)
         if root is None:
             return
         seen: set[int] = set()
-
-        def search(obj, parent: dict):
-            if isinstance(obj, PDFObjRef):
-                pageid = obj.objid
+        stack: list[tuple[object, dict]] = [(root, self.catalog)]
+        while stack:
+            obj, parent = stack.pop()
+            if isinstance(obj, (PDFObjRef, int)):
+                pageid = obj.objid if isinstance(obj, PDFObjRef) else obj
                 if pageid in seen:
-                    return
-                seen.add(pageid)
-                tree = dict(dict_value(self.getobj(pageid)))
-            elif isinstance(obj, int):
-                pageid = obj
-                if pageid in seen:
-                    return
+                    continue
                 seen.add(pageid)
                 tree = dict(dict_value(self.getobj(pageid)))
             else:
@@ -283,9 +296,7 @@ class PDFDocument:
                     tree[k] = parent[k]
             typ = tree.get(LITERAL_TYPE)
             if typ is LITERAL_PAGES and LITERAL_KIDS in tree:
-                for kid in list_value(tree[LITERAL_KIDS]):
-                    yield from search(kid, tree)
+                for kid in reversed(list(list_value(tree[LITERAL_KIDS]))):
+                    stack.append((kid, tree))
             elif typ is LITERAL_PAGE:
                 yield PDFPage(self, pageid, tree)
-
-        yield from search(root, self.catalog)

@@ -216,3 +216,89 @@ def test_mutually_recursive_forms_bounded():
     text, spans, status = extract_pdf_bytes(_assemble(bodies))
     assert status == "ok"
     assert text.startswith("\nx")
+
+
+def test_deep_page_tree_iterative_walk():
+    """A 5000-deep /Pages chain must extract fine (explicit-stack DFS),
+    not die on the Python recursion limit."""
+    from pdfparse_spark.fixtures.pdf_gen import _assemble, _stream
+
+    bodies = {1: b"<< /Type /Catalog /Pages 2 0 R >>"}
+    depth = 5000
+    for i in range(depth):
+        kid = 3 + i if i < depth - 1 else 9000
+        bodies[2 + i] = b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % kid
+    bodies[9000] = (
+        b"<< /Type /Page /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 9001 0 R >> >> /Contents 9002 0 R >>"
+    )
+    bodies[9001] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    bodies[9002] = _stream(b"", b"BT /F1 9 Tf 5 5 Td (deep) Tj ET")
+    text, spans, status = extract_pdf_bytes(_assemble(bodies))
+    assert status == "ok"
+    assert text == "\ndeep"
+
+
+def _xrefstream_doc(selfref=False, giant_w=False):
+    """PDF-1.5 doc with catalog..font in an ObjStm; knobs forge the xref:
+    selfref → the ObjStm's own entry claims it lives inside itself;
+    giant_w → /W declares a 2-megabyte middle field."""
+    import zlib
+
+    from pdfparse_spark.fixtures.pdf_gen import _flate_stream, _png_up_encode, _stream
+
+    content = b"BT /F1 12 Tf 72 720 Td (X) Tj ET"
+    objstm_objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>"),
+        (4, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ]
+    payload = bytearray()
+    header = bytearray()
+    for objid, body in objstm_objs:
+        header += b"%d %d " % (objid, len(payload))
+        payload += body + b"\n"
+    first = len(header)
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {5: len(out)}
+    out += b"5 0 obj\n" + _stream(b"", content) + b"\nendobj\n"
+    offsets[6] = len(out)
+    out += b"6 0 obj\n" + _flate_stream(
+        b"/Type /ObjStm /N %d /First %d" % (len(objstm_objs), first),
+        bytes(header) + bytes(payload),
+    ) + b"\nendobj\n"
+    xref_pos = len(out)
+    rows = [bytes([0, 0, 0, 255])]
+    for idx in range(4):
+        rows.append(bytes([2, 0, 6, idx]))
+    rows.append(bytes([1]) + offsets[5].to_bytes(2, "big") + bytes([0]))
+    if selfref:
+        rows.append(bytes([2, 0, 6, 0]))
+    else:
+        rows.append(bytes([1]) + offsets[6].to_bytes(2, "big") + bytes([0]))
+    rows.append(bytes([1]) + xref_pos.to_bytes(2, "big") + bytes([0]))
+    w = b"[1 2000000 1]" if giant_w else b"[1 2 1]"
+    xref_data = zlib.compress(_png_up_encode(rows))
+    out += (b"7 0 obj\n<< /Type /XRef /Size 8 /W " + w + b" /Root 1 0 R "
+            b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >> "
+            b"/Length %d >>\nstream\n" % len(xref_data))
+    out += xref_data + b"\nendstream\nendobj\n"
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
+    return bytes(out)
+
+
+def test_objstm_self_containment_is_lenient():
+    """An ObjStm whose xref entry points into itself must degrade leniently
+    (cycle guard in _getobj_objstm resolves the container to missing →
+    no catalog → zero pages), not unwind a RecursionError."""
+    text, spans, status = extract_pdf_bytes(_xrefstream_doc(selfref=True))
+    assert status == "ok" and text == ""
+
+
+def test_giant_xref_w_is_bounded():
+    """A forged /W of [1 2000000 1] must not allocate per-entry gigabytes;
+    the doc degrades leniently (fallback scan finds no catalog → no pages)."""
+    text, spans, status = extract_pdf_bytes(_xrefstream_doc(giant_w=True))
+    assert status == "ok" and text == ""
