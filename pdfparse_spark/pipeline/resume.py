@@ -78,10 +78,18 @@ def run_resumable(
     num_partitions: int | None = None,
     salt: int = 64,
     fail_after_waves: int | None = None,
+    telemetry: bool = False,
 ) -> dict:
     """Run the extraction resumably.  ``fail_after_waves`` injects a crash
     after k committed waves (test hook for the kill/rerun invariant).
     Returns run stats: waves run, buckets skipped (already in ledger).
+
+    ``telemetry=True`` runs the kernel with per-turn timing: wave output
+    gains ``kernel_us``/``part_id`` columns and each ledger row records the
+    bucket's total ``kernel_ms`` — per-partition/per-bucket wall-time
+    lineage (SURVEY.md §7 straggler evidence).  The ledger column exists in
+    both modes (null when off) so telemetry and plain waves share one
+    ledger directory.
     """
     bdf = bucket_of(df, n_buckets)
     ledger = read_ledger(spark, ledger_dir)
@@ -104,17 +112,24 @@ def run_resumable(
         subset = bdf.filter(F.col("bucket").isin([int(b) for b in wave_buckets]))
         t0 = time.monotonic()
         out = run_extraction(
-            subset.drop("bucket"), num_partitions=num_partitions, salt=salt
+            subset.drop("bucket"), num_partitions=num_partitions, salt=salt,
+            telemetry=telemetry,
         ).withColumn("bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)))
         out.write.mode("overwrite").parquet(wave_path)
         wall_ms = int((time.monotonic() - t0) * 1000)
 
+        kernel_ms = (
+            F.round(F.sum("kernel_us") / 1000.0, 1)
+            if telemetry
+            else F.lit(None).cast("double")
+        )
         counts = (
             spark.read.parquet(wave_path)
             .groupBy("bucket")
             .agg(
                 F.count("*").alias("n_turns"),
                 F.sum(F.when(F.col("parse_status") == "ok", 1).otherwise(0)).alias("n_ok"),
+                kernel_ms.alias("kernel_ms"),
             )
         )
         # every bucket of the wave gets a ledger row, even an empty one —

@@ -45,8 +45,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--telemetry",
         action="store_true",
-        help="after the run, re-extract with per-turn kernel timing and "
-        "print per-partition straggler stats (audit mode; output not written)",
+        help="run the kernel with per-turn timing: wave output carries "
+        "kernel_us/part_id, the ledger records per-bucket kernel_ms, and "
+        "per-partition straggler stats print at the end",
     )
     args = p.parse_args(argv)
 
@@ -72,6 +73,7 @@ def main(argv: list[str] | None = None) -> int:
         buckets_per_wave=args.buckets_per_wave,
         num_partitions=partitions,
         salt=args.salt,
+        telemetry=args.telemetry,
     )
     wall = time.monotonic() - t0
     out = read_output(spark, args.out + "/extracted", args.out + "/ledger")
@@ -86,11 +88,10 @@ def main(argv: list[str] | None = None) -> int:
         "ledger_rows": ledger.count() if ledger is not None else 0,
     }))
     content_type_stats(out).show(truncate=False)
-    if args.telemetry:
-        from .extract import run_extraction
-
-        tel = run_extraction(df, num_partitions=partitions, salt=args.salt, telemetry=True)
-        straggler_stats(tel).show(truncate=False)
+    # mixed out dirs (earlier waves written without --telemetry) lack the
+    # timing columns; only the aggregate needs them, the run itself doesn't
+    if args.telemetry and {"kernel_us", "part_id"} <= set(out.columns):
+        straggler_stats(out).show(truncate=False)
     spark.stop()
     return 0
 

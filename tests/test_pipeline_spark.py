@@ -161,3 +161,24 @@ def test_telemetry_kernel_timing_and_straggler_stats(spark):
     assert s["n_partitions"] == len({r["part_id"] for r in rows})
     assert s["max_partition_ms"] >= s["median_partition_ms"] >= 0
     assert s["max_over_median"] >= 1.0
+
+
+def test_resumable_ledger_records_kernel_ms(spark, tmp_path):
+    """telemetry=True through run_resumable: ledger rows carry per-bucket
+    kernel_ms; plain runs record null in the same ledger schema."""
+    from pdfparse_spark.pipeline.resume import read_ledger, read_output, run_resumable
+    from pdfparse_spark.pipeline.transcripts import synthesize
+
+    df, _ = synthesize(spark, n_convs=6, turns_per_conv=4, seed=3)
+    out = str(tmp_path / "o")
+    led = str(tmp_path / "l")
+    run_resumable(spark, df, out, led, n_buckets=4, buckets_per_wave=2,
+                  num_partitions=4, telemetry=True)
+    ledger = read_ledger(spark, led)
+    rows = ledger.collect()
+    assert {r["bucket"] for r in rows} == {0, 1, 2, 3}
+    nonempty = [r for r in rows if r["n_turns"] > 0]
+    assert nonempty and all(r["kernel_ms"] is not None and r["kernel_ms"] > 0 for r in nonempty)
+    got = read_output(spark, out, led)
+    assert got.count() == df.count()
+    assert {"kernel_us", "part_id"} <= set(got.columns)
