@@ -408,7 +408,12 @@ class PSBaseParser:
                     octd.append(data[i])
                     i += 1
                 if octd:
-                    out.append(int(octd, 8))
+                    # PDF 32000 7.3.4.2: "high-order overflow shall be
+                    # ignored" — \777 is byte 0xFF.  (The reference feeds
+                    # (code-char 511) into its 8-bit string here,
+                    # pdfparse.lisp:480 — a bug per its own byte
+                    # discipline; we follow the spec, SURVEY.md §5.2.)
+                    out.append(int(octd, 8) & 0xFF)
                     continue
                 if i < n:
                     esc = _ESC_STRING.get(data[i])

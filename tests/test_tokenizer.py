@@ -174,3 +174,14 @@ def test_string_escape_edge_cases():
 def test_number_edge_cases():
     toks = get_tokens(b"16 -5 3.14 .5 1. 007")
     assert toks == [(0, 16), (3, -5), (6, 3.14), (11, 0.5), (14, 1.0), (17, 7)]
+
+
+def test_octal_escape_overflow_wraps():
+    """\\777 in a literal string is byte 0xFF: PDF 32000 7.3.4.2 says the
+    high-order overflow shall be ignored.  (Deviates from the reference,
+    which builds (code-char 511) into its 8-bit string — pdfparse.lisp:480;
+    recorded in SURVEY.md §5.2.)  Found by extended differential fuzz:
+    unwrapped it raised an uncaught ValueError."""
+    assert [o for _, o in get_objects(rb"(\777)")] == [b"\xff"]
+    assert [o for _, o in get_objects(rb"(\400a)")] == [b"\x00a"]
+    assert [o for _, o in get_objects(rb"(\377)")] == [b"\xff"]
