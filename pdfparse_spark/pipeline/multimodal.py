@@ -81,6 +81,64 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(decode_meta_batch, schema=MM_META_SCHEMA)
 
 
+MM_PIPELINE_SCHEMA = T.StructType(
+    MM_META_SCHEMA.fields
+    + [
+        T.StructField("out_w", T.LongType(), False),
+        T.StructField("out_h", T.LongType(), False),
+        T.StructField("sampled_frames", T.ArrayType(T.LongType()), False),
+    ]
+)
+
+_FIT_W, _FIT_H = 224, 224  # resize target box
+_FRAME_STRIDE = 4
+
+
+def _fake_resize(w: int, h: int, tw: int = _FIT_W, th: int = _FIT_H) -> tuple[int, int]:
+    """Aspect-preserving fit into (tw, th), integer math only (so the
+    DuckDB oracle reproduces it exactly — no float-rounding parity risk).
+    A real deployment replaces this with PIL's Image.resize and returns the
+    resized payload alongside."""
+    if w * th <= h * tw:  # height-limited
+        return (w * th) // h, th
+    return tw, (h * tw) // w
+
+
+def _fake_frame_sample(n_frames: int, stride: int = _FRAME_STRIDE) -> list[int]:
+    """Every ``stride``-th frame index — the video keyframe-sampling shape;
+    a real deployment seeks those frames with av/ffmpeg."""
+    return list(range(0, n_frames, stride))
+
+
+def mm_pipeline_batch(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """decode → resize-fit → frame-sample in ONE mapInPandas pass: the fat
+    payload column crosses into Python exactly once and never re-shuffles."""
+    for pdf in batches:
+        cols: dict[str, list] = {k: [] for k in
+                                 ("n_bytes", "width", "height", "n_frames",
+                                  "out_w", "out_h", "sampled_frames")}
+        for payload in pdf["payload"]:
+            n, w, h, f = _fake_decode(bytes(payload) if payload is not None else b"")
+            ow, oh = _fake_resize(w, h)
+            cols["n_bytes"].append(n)
+            cols["width"].append(w)
+            cols["height"].append(h)
+            cols["n_frames"].append(f)
+            cols["out_w"].append(ow)
+            cols["out_h"].append(oh)
+            cols["sampled_frames"].append(_fake_frame_sample(f))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], **cols})
+
+
+def mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal plumbing: binary payload → decode meta → aspect-fit
+    resize dims → sampled frame indices, one Arrow crossing."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return docs.mapInPandas(mm_pipeline_batch, schema=MM_PIPELINE_SCHEMA)
+
+
 ORACLES = {
     # the stub's arithmetic is deliberately SQL-expressible so even the
     # mapInPandas plumbing gets a value-level oracle check
@@ -92,6 +150,24 @@ ORACLES = {
                1 + octet_length(encode(text)) % 24 AS n_frames
         FROM documents
     """,
+    "mm_pipeline": """
+        WITH meta AS (
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   64 + octet_length(encode(text)) % 512 AS width,
+                   64 + (octet_length(encode(text)) * 7) % 512 AS height,
+                   1 + octet_length(encode(text)) % 24 AS n_frames
+            FROM documents
+        )
+        SELECT doc_id, n_bytes, width, height, n_frames,
+               CASE WHEN width * 224 <= height * 224
+                    THEN (width * 224) // height ELSE 224 END AS out_w,
+               CASE WHEN width * 224 <= height * 224
+                    THEN 224 ELSE (height * 224) // width END AS out_h,
+               list_transform(range(0, n_frames, 4), x -> CAST(x AS BIGINT))
+                   AS sampled_frames
+        FROM meta
+    """,
 }
 
-QUERIES = {"mm_decode_meta": mm_decode_meta}
+QUERIES = {"mm_decode_meta": mm_decode_meta, "mm_pipeline": mm_pipeline}
