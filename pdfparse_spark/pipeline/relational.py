@@ -210,6 +210,86 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent click at
+    or before it (DuckDB oracles this with a native ASOF LEFT JOIN).
+
+    Spark has no asof-join operator; the scalable form is union + one
+    window pass — O(n log n) per user partition, one shuffle on user_id,
+    never the range-join O(clicks x purchases) blowup.  Clicks are deduped
+    to max event_id per (user, ts) so both engines break ts ties
+    identically; at equal ts the click sorts first (kind 0 < 1), matching
+    ASOF's >= semantics.
+    """
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+        .select("user_id", "ts", "event_id", F.lit(0).alias("kind"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("kind")
+    )
+    u = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.withColumn(
+        "click_id",
+        F.last(F.when(F.col("kind") == 0, F.col("event_id")), ignorenulls=True).over(w),
+    ).withColumn(
+        "click_ts",
+        F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    gap = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.col("click_ts").cast("timestamp"))
+    ) / 1000000.0
+    return (
+        carried.filter(F.col("kind") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "click_id",
+            F.round(gap, 3).alias("gap_sec"),
+        )
+    )
+
+
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate (hypertable-rollup shape): per (event_type, day),
+    per event_type, and grand-total counts + value sums in one pass —
+    Spark computes the grouping sets with partial aggregation, no
+    re-scan per level."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts").cast("timestamp")).cast("timestamp_ntz")
+    )
+    return ev.rollup("event_type", "day").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into per-type value-sum columns by user decile.
+    Explicit pivot values keep the output schema static (no extra
+    distinct-scan job, deterministic columns for the oracle)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_decile", F.pmod(F.col("user_id"), F.lit(10))
+    )
+    return (
+        ev.groupBy("user_decile")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.round(F.sum("value"), 2))
+    )
+
+
 def r11_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured props column: JSON-path extraction + aggregate."""
     ev = _t(spark, sf_dir, "events")
@@ -345,6 +425,32 @@ ORACLES: dict[str, str] = {
                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
         FROM events GROUP BY event_type
     """,
+    "events_asof_join": """
+        WITH clicks AS (
+            SELECT user_id, ts, max(event_id) AS event_id
+            FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        ), purchases AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+               round((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0, 3) AS gap_sec
+        FROM purchases p
+        ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "events_rollup": """
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM events GROUP BY ROLLUP(event_type, day)
+    """,
+    "events_pivot": """
+        SELECT user_id % 10 AS user_decile,
+               round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+               round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
+               round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+               round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+               round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
+        FROM events GROUP BY 1
+    """,
     "text_ngrams": """
         WITH toks AS (
             SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), w -> w <> '') AS arr
@@ -390,6 +496,9 @@ QUERIES = {
     "r14_event_users": r14_event_users,
     "events_sessionize": events_sessionize,
     "events_tumbling_window": events_tumbling_window,
+    "events_asof_join": events_asof_join,
+    "events_rollup": events_rollup,
+    "events_pivot": events_pivot,
     "r11_json_extract": r11_json_extract,
     "text_ngrams": text_ngrams,
 }
