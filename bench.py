@@ -42,9 +42,12 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "text_quality",
     "text_fingerprint",
+    "text_pii_redact",
     "sim_cosine_topk",
     "sim_ann_lsh",
-    "mm_decode_meta",
+    "events_asof_join",
+    "events_rollup",
+    "mm_pipeline",
 ]
 
 
