@@ -182,3 +182,20 @@ def test_resumable_ledger_records_kernel_ms(spark, tmp_path):
     got = read_output(spark, out, led)
     assert got.count() == df.count()
     assert {"kernel_us", "part_id"} <= set(got.columns)
+
+
+def test_plan_hygiene_all_queries(spark):
+    """Sweep EVERY driver-contract query's physical plan: no accidental
+    CartesianProduct / BroadcastNestedLoopJoin anywhere except the ops
+    whose semantics genuinely are all-pairs against a tiny broadcast side:
+    the brute-force cosine top-k oracle and its embedding near-dup twin,
+    and IVF's nearest-centroid assignment (n x 16 fixed centroids —
+    O(n·k) with constant k is the right plan at any scale)."""
+    import __spark_entry__ as e
+
+    allowed_all_pairs = {"sim_cosine_topk", "dedup_embedding_cosine", "sim_ann_ivf"}
+    for name, fn in e.queries().items():
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        if name not in allowed_all_pairs:
+            assert "BroadcastNestedLoop" not in plan, name
