@@ -210,6 +210,29 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) 6h windows every 3h: each event lands in exactly
+    two windows; per-window/type counts + value sums.  Spark materializes
+    the overlap by exploding each row into its windows — at 100 TB the
+    duplication factor is window/slide (2 here), a deliberate, bounded
+    cost.  The DuckDB oracle reproduces the epoch-aligned window starts
+    with integer microsecond math."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "6 hours", "3 hours").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the user's most recent click at
     or before it (DuckDB oracles this with a native ASOF LEFT JOIN).
@@ -425,6 +448,19 @@ ORACLES: dict[str, str] = {
                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
         FROM events GROUP BY event_type
     """,
+    "events_hopping_window": """
+        WITH hops AS (
+            SELECT event_type, value,
+                   unnest([
+                       epoch_us(ts) - epoch_us(ts) % 10800000000,
+                       epoch_us(ts) - epoch_us(ts) % 10800000000 - 10800000000
+                   ]) AS win_us
+            FROM events
+        )
+        SELECT make_timestamp(win_us) AS window_start, event_type,
+               count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM hops GROUP BY 1, 2
+    """,
     "events_asof_join": """
         WITH clicks AS (
             SELECT user_id, ts, max(event_id) AS event_id
@@ -496,6 +532,7 @@ QUERIES = {
     "r14_event_users": r14_event_users,
     "events_sessionize": events_sessionize,
     "events_tumbling_window": events_tumbling_window,
+    "events_hopping_window": events_hopping_window,
     "events_asof_join": events_asof_join,
     "events_rollup": events_rollup,
     "events_pivot": events_pivot,

@@ -324,6 +324,52 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual dedup DECISION a training pipeline makes: within each
+    exact-duplicate group keep the doc with the best quality score (doc_id
+    as the deterministic tie-break), emit kept id + how many it displaced.
+
+    Scale: one hash-agg shuffle on sha256(text) after a narrow per-row
+    quality projection — same cost shape as dedup_exact; the window runs
+    inside the group partition (max group size == dup multiplicity).
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "text", F.expr(_TOKS).alias("arr"))
+    scored = d.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("text_hash"),
+        # same composite as text_quality, unrounded (ranking only)
+        (
+            F.least(F.size("arr") / F.lit(64.0), F.lit(1.0))
+            * (
+                0.5
+                + 0.5
+                * (
+                    F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
+                    / F.greatest(F.length("text"), F.lit(1))
+                )
+            )
+            * (
+                1.0
+                - 0.5
+                * (
+                    F.expr("size(filter(arr, w -> w IN ('the','a','and','of','to','in','is')))")
+                    / F.greatest(F.size("arr"), F.lit(1))
+                )
+            )
+        ).alias("q"),
+    )
+    w = Window.partitionBy("text_hash").orderBy(F.col("q").desc(), F.col("doc_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("text_hash")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keep_doc_id"),
+            (F.count("*") - 1).alias("n_discarded"),
+            F.round(F.max("q"), 4).alias("best_quality"),
+        )
+    )
+
+
 # PII patterns shared by the Spark op and the DuckDB oracle — restricted to
 # syntax both Java regex and RE2 support identically (no lookaround, no
 # backrefs).  Emails are redacted BEFORE urls so `user@host` inside a URL
@@ -602,6 +648,27 @@ ORACLES: dict[str, str] = {
                sha256(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')) AS fingerprint
         FROM documents
     """,
+    "dedup_keep_best": f"""
+        WITH scored AS (
+            SELECT doc_id, sha256(text) AS text_hash,
+                   least(len({_SQL_TOKS}) / 64.0, 1.0)
+                   * (0.5 + 0.5 * (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                                   * 1.0 / greatest(length(text), 1)))
+                   * (1.0 - 0.5 * (len(list_filter({_SQL_TOKS},
+                                       w -> w IN ('the','a','and','of','to','in','is')))
+                                   * 1.0 / greatest(len({_SQL_TOKS}), 1))) AS q
+            FROM documents
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY text_hash
+                                         ORDER BY q DESC, doc_id) AS rn
+            FROM scored
+        )
+        SELECT text_hash,
+               min(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+               count(*) - 1 AS n_discarded,
+               round(max(q), 4) AS best_quality
+        FROM ranked GROUP BY text_hash
+    """,
     "text_pii_redact": f"""
         WITH aug AS (
             SELECT doc_id,
@@ -721,6 +788,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_pii_redact": text_pii_redact,
     "text_length_stats": text_length_stats,
+    "dedup_keep_best": dedup_keep_best,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
