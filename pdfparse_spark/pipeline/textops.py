@@ -535,6 +535,65 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
+
+
+def _kmeans_assign(e: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Assign each vector to its nearest centroid.  Centroids are a
+    driver-side list (k x dim floats — a few KB at any corpus size), shipped
+    as a broadcast-joined literal DataFrame; min_by picks the argmin
+    cluster in one aggregation."""
+    spark = e.sparkSession
+    cdf = spark.createDataFrame(
+        [(cid, [float(x) for x in vec]) for cid, vec in cents], "cid: int, cv: array<double>"
+    )
+    d2 = F.expr("aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")
+    return (
+        e.crossJoin(F.broadcast(cdf))
+        .select("vec_id", "v", "cid", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cid", F.struct("d2", "cid")).alias("cid"),
+            F.min("d2").alias("d2"),
+            F.first("v").alias("v"),
+        )
+    )
+
+
+def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative Lloyd's k-means over the embedding column — the canonical
+    Spark iterative-algorithm shape: per-iteration work is fully
+    distributed (assign = broadcast join + min_by, update = elementwise
+    mean via posexplode), only the k x dim centroid table (a few KB)
+    returns to the driver between iterations.  Deterministic seeded init
+    (every 61st vector).  Rows-only check; invariants (inertia decreases,
+    assignments are nearest-centroid) pinned in tests/test_textops.py.
+    """
+    e = _emb_norm(spark, sf_dir).select("vec_id", "v")
+    seeds = e.filter(F.col("vec_id") % 61 == 0).orderBy("vec_id").limit(_KMEANS_K).collect()
+    cents = [(i, list(r["v"])) for i, r in enumerate(seeds)]
+    for _ in range(_KMEANS_ITERS):
+        assigned = _kmeans_assign(e, cents)
+        rows = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        cents = [
+            (cid, [dims[p] for p in sorted(dims)]) for cid, dims in sorted(by_cid.items())
+        ]
+    final = _kmeans_assign(e, cents)
+    return final.groupBy("cid").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.sum("d2"), 3).alias("inertia"),
+    )
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: cos ≥ τ with candidates from the
     same sign-LSH bucket (equality join — the scale path; a true near-dup
@@ -794,4 +853,5 @@ QUERIES = {
     "sim_ann_ivf": sim_ann_ivf,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "embed_label_stats": embed_label_stats,
+    "embed_kmeans": embed_kmeans,  # rows-only (iterative; invariants in pytest)
 }

