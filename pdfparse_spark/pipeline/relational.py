@@ -210,6 +210,22 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def r15_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: users who clicked INTERSECT purchased, minus (EXCEPT)
+    users who ever errored — both distinct-set semantics, implemented with
+    Spark's intersect/exceptAll-free column ops (intersect + subtract are
+    hash-aggregate + shuffle-on-key under the hood, same cost shape as a
+    semi/anti join chain at 100 TB)."""
+    ev = _t(spark, sf_dir, "events")
+    # value > 45 keeps ~10% of events so the set algebra actually
+    # discriminates (every user does everything at full saturation)
+    hi = ev.filter(F.col("value") > 45)
+    clickers = hi.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = hi.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    erring = hi.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return clickers.intersect(buyers).subtract(erring).orderBy("user_id")
+
+
 def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping (sliding) 6h windows every 3h: each event lands in exactly
     two windows; per-window/type counts + value sums.  Spark materializes
@@ -448,6 +464,15 @@ ORACLES: dict[str, str] = {
                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
         FROM events GROUP BY event_type
     """,
+    "r15_set_ops": """
+        SELECT user_id FROM (
+            SELECT user_id FROM events WHERE event_type = 'click' AND value > 45
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 45
+        )
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'error' AND value > 45
+    """,
     "events_hopping_window": """
         WITH hops AS (
             SELECT event_type, value,
@@ -532,6 +557,7 @@ QUERIES = {
     "r14_event_users": r14_event_users,
     "events_sessionize": events_sessionize,
     "events_tumbling_window": events_tumbling_window,
+    "r15_set_ops": r15_set_ops,
     "events_hopping_window": events_hopping_window,
     "events_asof_join": events_asof_join,
     "events_rollup": events_rollup,
