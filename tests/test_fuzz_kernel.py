@@ -302,3 +302,16 @@ def test_giant_xref_w_is_bounded():
     the doc degrades leniently (fallback scan finds no catalog → no pages)."""
     text, spans, status = extract_pdf_bytes(_xrefstream_doc(giant_w=True))
     assert status == "ok" and text == ""
+
+
+def test_corrupted_owner_hash_rejected():
+    """Corrupting /O changes the derived key, so the /U check must fail →
+    lenient PDFEncryptionError (R2 handler; /U corruption is pinned by the
+    verify recipe probes)."""
+    from pdfparse_spark.fixtures.pdf_gen import fx_rc4_encrypted
+
+    data = fx_rc4_encrypted().data
+    k = data.find(b"/O <") + 4
+    bad = data[:k] + (b"00" if data[k : k + 2] != b"00" else b"ff") + data[k + 2 :]
+    text, spans, status = extract_pdf_bytes(bad)
+    assert status == "error:PDFEncryptionError"
