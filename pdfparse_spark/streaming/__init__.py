@@ -1,2 +1,3 @@
 from .stream_extract import start_stream_extraction  # noqa: F401
 from .windowed import start_windowed_stats, windowed_turn_stats  # noqa: F401
+from .dedup import dedup_stream, start_stream_dedup  # noqa: F401

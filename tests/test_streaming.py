@@ -126,3 +126,37 @@ def test_windowed_stats_watermark_append(spark, tmp_path):
     assert bad == 0
     # the sentinel's own window never closed → not emitted
     assert got.filter(F.col("content_type") == "text").count() == 1
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: duplicates within the watermark horizon are
+    dropped; the surviving set matches batch dropDuplicates on text_hash."""
+    import datetime as dt
+
+    from pdfparse_spark.pipeline.transcripts import INPUT_SCHEMA
+    from pdfparse_spark.streaming.dedup import dedup_stream, start_stream_dedup
+
+    base = dt.datetime(2026, 1, 1, 9, 0, 0)
+
+    def row(conv, idx, minute, text):
+        return (conv, idx, "user", text, "", base + dt.timedelta(minutes=minute))
+
+    rows = [
+        row("c1", 0, 0, "alpha"),
+        row("c1", 1, 1, "beta"),
+        row("c2", 0, 2, "alpha"),   # dup of c1/0 within horizon → dropped
+        row("c2", 1, 3, "gamma"),
+        row("c3", 0, 4, "beta"),    # dup → dropped
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    spark.createDataFrame(rows, INPUT_SCHEMA).coalesce(1).write.parquet(str(in_dir / "f1"))
+
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = start_stream_dedup(spark, str(in_dir) + "/f*", out_dir, ck)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    batch = dedup_stream(spark.createDataFrame(rows, INPUT_SCHEMA))
+    assert got.count() == batch.count() == 3
+    assert {r["text"] for r in got.collect()} == {"alpha", "beta", "gamma"}
