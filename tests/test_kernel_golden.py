@@ -143,3 +143,28 @@ def test_text_state_ops_no_output_effect():
     # TD sets leading to -ty, then T* advances by it
     td = run(b"BT /F1 12 Tf 72 720 Td (A) Tj 0 -14 TD (B) Tj T* (C) Tj ET")
     assert td == "\nA\nB\nC"
+
+
+def test_type3_font_with_differences():
+    """Type3 font (pdfparse.lisp:3517-3548): decoding goes through the
+    /Encoding Differences → glyph-name → unicode simple-font path; the
+    CharProcs streams are never executed (matches the reference's simple
+    device, which only needs the decoded characters)."""
+    from pdfparse_spark.fixtures.pdf_gen import _assemble, _stream
+    from pdfparse_spark.kernel.extract import extract_pdf_bytes
+
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+           b"/Resources << /Font << /F3 4 0 R >> >> /Contents 6 0 R >>",
+        4: b"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 1000 1000] "
+           b"/FontMatrix [0.001 0 0 0.001 0 0] /FirstChar 97 /LastChar 99 "
+           b"/Widths [500 500 500] /CharProcs << /a 5 0 R >> "
+           b"/Encoding << /Type /Encoding /Differences [97 /a /b /c] >> >>",
+        5: _stream(b"", b"500 0 d0"),
+        6: _stream(b"", b"BT /F3 12 Tf 72 720 Td (abc) Tj ET"),
+    }
+    text, spans, status = extract_pdf_bytes(_assemble(bodies))
+    assert (text, status) == ("\nabc", "ok")
+    assert spans == [(1, 0, 4)]
