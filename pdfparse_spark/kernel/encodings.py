@@ -89,6 +89,16 @@ ENCODINGS: dict[str, dict[int, str]] = {
 }
 
 
+def decode_text(s: bytes) -> str:
+    """Text-string decode for outlines/metadata (pdfparse.lisp:1994-2005):
+    a UTF-16BE BOM selects UTF-16BE, else each byte maps through
+    PDFDocEncoding (unmapped codes become NUL, like the reference's
+    zero-filled table)."""
+    if s.startswith(b"\xfe\xff"):
+        return s[2:].decode("utf-16-be", "replace")
+    return "".join(PDF2UNICODE.get(b, "\x00") for b in s)
+
+
 def _build_glyphlist() -> dict[str, str]:
     """Subset of the Adobe Glyph List covering the latin character set
     (glyph names used by the four standard encodings plus common extras).

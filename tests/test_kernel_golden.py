@@ -168,3 +168,16 @@ def test_type3_font_with_differences():
     text, spans, status = extract_pdf_bytes(_assemble(bodies))
     assert (text, status) == ("\nabc", "ok")
     assert spans == [(1, 0, 4)]
+
+
+def test_decode_text_pdfdoc_and_utf16():
+    """decode-text parity (pdfparse.lisp:1994-2005): BOM → UTF-16BE,
+    else PDFDocEncoding byte map (0x90 → right single quote, 0x92 → ™,
+    0xA0 → euro; unmapped slots → NUL like the reference's zero-filled
+    table)."""
+    from pdfparse_spark.kernel.encodings import decode_text
+
+    assert decode_text(b"Hello") == "Hello"
+    assert decode_text(b"\xfe\xff\x00H\x00i\x26\x03") == "Hi☃"
+    assert decode_text(b"\x90\x92\xa0") == "’™€"
+    assert decode_text(b"\x7f") == "\x00"  # unmapped → NUL
