@@ -210,6 +210,32 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch distinct counts (approx_count_distinct, rsd=2%) next to
+    the exact count per event type.  At 100 TB the sketch replaces the
+    exact distinct's full shuffle of the key set with fixed-size
+    mergeable registers.  Rows-only check (the sketch is
+    implementation-defined); the ≤5% error band is pinned in pytest.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling by language (the training-data rebalance
+    op): Bernoulli sampling per stratum with a fixed seed, summarized as
+    per-lang kept counts.  Rows-only (sampling RNG is engine-specific);
+    binomial bounds pinned in pytest.  Scale: sampleBy is a narrow map —
+    no shuffle at all before the summary aggregate."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fractions = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "la": 0.1}
+    kept = d.sampleBy("lang", fractions, seed=42)
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
 def r15_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operators: users who clicked INTERSECT purchased, minus (EXCEPT)
     users who ever errored — both distinct-set semantics, implemented with
@@ -558,6 +584,8 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_tumbling_window": events_tumbling_window,
     "r15_set_ops": r15_set_ops,
+    "events_approx_users": events_approx_users,  # rows-only (sketch)
+    "docs_stratified_sample": docs_stratified_sample,  # rows-only (RNG)
     "events_hopping_window": events_hopping_window,
     "events_asof_join": events_asof_join,
     "events_rollup": events_rollup,

@@ -201,3 +201,35 @@ def test_plan_hygiene_all_queries(spark):
         assert "CartesianProduct" not in plan, name
         if name not in allowed_all_pairs:
             assert "BroadcastNestedLoop" not in plan, name
+
+
+def test_approx_users_within_error_band(spark):
+    """HLL sketch (rsd=2%) must land within 5% of the exact distinct."""
+    from pdfparse_spark.pipeline.relational import events_approx_users
+
+    for r in events_approx_users(spark, "/root/testdata/sf0.01").collect():
+        err = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
+        assert err <= 0.05, (r["event_type"], r["approx_users"], r["exact_users"])
+
+
+def test_stratified_sample_binomial_bounds(spark):
+    """Per-stratum kept counts stay within generous binomial bounds of
+    n*p (±6 sigma) and sampling is deterministic under a fixed seed."""
+    import math
+
+    from pdfparse_spark.pipeline.relational import docs_stratified_sample
+
+    sf = "/root/testdata/sf0.01"
+    totals = {
+        r["lang"]: r["cnt"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    fractions = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "la": 0.1}
+    first = {r["lang"]: r["n_kept"] for r in docs_stratified_sample(spark, sf).collect()}
+    for lang, kept in first.items():
+        n, p = totals[lang], fractions[lang]
+        sigma = math.sqrt(n * p * (1 - p))
+        assert abs(kept - n * p) <= 6 * sigma + 1, (lang, kept, n * p)
+    second = {r["lang"]: r["n_kept"] for r in docs_stratified_sample(spark, sf).collect()}
+    assert first == second  # fixed seed → deterministic
