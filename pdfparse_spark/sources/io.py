@@ -22,7 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..pipeline.transcripts import INPUT_SCHEMA
 
-__all__ = ["iceberg_available", "load_transcripts", "write_output"]
+__all__ = [
+    "iceberg_available",
+    "load_transcripts",
+    "write_output",
+    "write_range_clustered",
+]
 
 _ICEBERG = None
 
@@ -88,3 +93,29 @@ def write_output(df: DataFrame, path: str, mode: str = "overwrite", fmt: str = "
         df.write.mode(mode).orc(path)
         return
     df.write.mode(mode).parquet(path)
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    num_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet range-clustered on (conv_id, turn_idx): files carry
+    NON-OVERLAPPING conv_id ranges (pinned by tests/test_sources.py).
+
+    Why at 100 TB: parquet row-group min/max stats ("zone maps") only
+    prune when values are clustered — a hash layout smears every conv_id
+    range across every file, so a point/range predicate on conv_id reads
+    everything.  repartitionByRange gives disjoint per-file ranges (range
+    boundaries from a reservoir sample — one extra sampling pass), and the
+    within-file sort keeps row groups tight, so
+    ``WHERE conv_id = 'x'`` touches exactly one file.  This is the
+    parquet analogue of Iceberg's sorted-table write ordering.
+    """
+    (
+        df.repartitionByRange(num_files, "conv_id", "turn_idx")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .write.mode(mode)
+        .parquet(path)
+    )

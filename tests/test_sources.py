@@ -51,3 +51,27 @@ def test_orc_roundtrip(spark, tmp_path):
     assert [(f.name, f.dataType) for f in got.schema] == [
         (f.name, f.dataType) for f in df.schema
     ]
+
+
+def test_range_clustered_write_has_disjoint_file_ranges(spark, tmp_path):
+    """Range-clustered parquet: per-file conv_id ranges must be pairwise
+    disjoint (that's what lets row-group min/max stats prune scans)."""
+    from pyspark.sql import functions as F
+
+    from pdfparse_spark.sources import write_range_clustered
+
+    df, _ = synthesize(spark, n_convs=12, turns_per_conv=4, seed=8)
+    out = str(tmp_path / "clustered")
+    write_range_clustered(df, out, num_files=4)
+
+    ranges = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("conv_id").alias("lo"), F.max("conv_id").alias("hi"))
+        .collect()
+    )
+    assert len(ranges) > 1
+    spans = sorted((r["lo"], r["hi"]) for r in ranges)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
+    assert spark.read.parquet(out).count() == df.count()
