@@ -17,7 +17,6 @@ keys, never an O(n²) cross join.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -82,11 +81,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles — this op exists as the correctness oracle for MinHash-LSH,
     which is the 100 TB path (dedup_minhash_lsh).
     """
-    # the shingle table feeds three subtrees (sizes + both join sides);
-    # persisting it turns three tokenize-and-explode scans into one
-    # (~2x cold wall at sf0.1, identical rows).  MEMORY_AND_DISK: spills
-    # rather than OOMs if a huge corpus ever runs the exact op.
-    sh = _shingle_rows(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _shingle_rows(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -120,9 +115,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage-codegen'd.  No DuckDB oracle (hash family differs);
     pinned against dedup_ngram_jaccard in tests/test_textops.py.
     """
-    # persisted: feeds both the signature aggregation and the candidate
-    # verification join (see dedup_ngram_jaccard note)
-    sh = _shingle_rows(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _shingle_rows(spark, sf_dir)
     # hash family: each shingle string is xxhash64'd ONCE, then the 32
     # permutations rehash that long — 1 string hash + 32 long hashes per
     # row instead of 32 string hashes (2.9x faster signature stage at
