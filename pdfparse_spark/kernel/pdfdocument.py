@@ -24,7 +24,7 @@ from .pdftypes import (
     stream_value,
 )
 
-__all__ = ["PDFDocument", "PDFPage", "PDFEncryptionError"]
+__all__ = ["PDFDocument", "PDFPage", "PDFEncryptionError", "PDFNoOutlines"]
 
 LITERAL_OBJSTM = LIT("ObjStm")
 LITERAL_PAGE = LIT("Page")
@@ -40,6 +40,11 @@ PASSWORD_PADDING = bytes(
     [40, 191, 78, 94, 78, 117, 138, 65, 100, 0, 78, 86, 255, 250, 1, 8,
      46, 46, 0, 182, 208, 104, 62, 128, 47, 12, 169, 254, 100, 83, 105, 122]
 )
+
+
+class PDFNoOutlines(Exception):
+    """Raised by get_outlines when the catalog has no /Outlines
+    (the reference errors with \"No Outlines\", pdfparse.lisp get-outlines)."""
 
 
 class PDFEncryptionError(Exception):
@@ -262,6 +267,57 @@ class PDFDocument:
         if isinstance(obj, PDFStream):
             obj.set_objid(objid, int(genno) if isinstance(genno, int) else 0)
         return obj
+
+    # --- outlines ------------------------------------------------------------
+    def get_outlines(self):
+        """DFS over the /Outlines tree, yielding (title, dest, a, se) like
+        the reference's get-outlines generator (children after their node,
+        then siblings).  Title strings go through decode_text
+        (PDFDocEncoding / UTF-16BE).
+
+        Deviation from the reference, recorded in SURVEY.md §5.2: its
+        emit condition tests membership of the STRING key \"A\" in a
+        literal-keyed dict — which never matches — so entries whose only
+        target is an /A action are silently dropped; per the PDF spec we
+        emit when Title plus either /A or /Dest is present.  Explicit
+        stack + seen-set: sibling chains cannot recurse past the Python
+        limit and /Next cycles terminate.
+        """
+        from .encodings import decode_text
+
+        if self.catalog is None or LIT("Outlines") not in self.catalog:
+            raise PDFNoOutlines()
+        lit_t, lit_a, lit_d, lit_se = LIT("Title"), LIT("A"), LIT("Dest"), LIT("SE")
+        lit_first, lit_next = LIT("First"), LIT("Next")
+        seen: set[int] = set()
+
+        def _entry(obj):
+            if isinstance(obj, PDFObjRef):
+                if obj.objid in seen:
+                    return None
+                seen.add(obj.objid)
+            try:
+                return dict_value(resolve1(obj))
+            except Exception:
+                return None
+
+        stack = [_entry(self.catalog[LIT("Outlines")])]
+        while stack:
+            entry = stack.pop()
+            if not isinstance(entry, dict):
+                continue
+            if lit_t in entry and (lit_a in entry or lit_d in entry):
+                yield (
+                    decode_text(str_value(resolve1(entry[lit_t]))),
+                    entry.get(lit_d),
+                    entry.get(lit_a),
+                    entry.get(lit_se),
+                )
+            # push Next first so First (children) pops before the sibling
+            if lit_next in entry:
+                stack.append(_entry(entry[lit_next]))
+            if lit_first in entry:
+                stack.append(_entry(entry[lit_first]))
 
     # --- page tree -----------------------------------------------------------
     def get_pages(self):

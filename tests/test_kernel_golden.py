@@ -181,3 +181,41 @@ def test_decode_text_pdfdoc_and_utf16():
     assert decode_text(b"\xfe\xff\x00H\x00i\x26\x03") == "Hi☃"
     assert decode_text(b"\x90\x92\xa0") == "’™€"
     assert decode_text(b"\x7f") == "\x00"  # unmapped → NUL
+
+
+def test_get_outlines_dfs_and_decode():
+    """Outline tree DFS (reference get-outlines): node, then children,
+    then siblings; UTF-16BE titles decoded; /A-only entries emitted (spec
+    fix over the reference's dead string-key membership test, SURVEY
+    §5.2); no /Outlines → PDFNoOutlines."""
+    import pytest
+
+    from pdfparse_spark.fixtures.pdf_gen import _assemble
+    from pdfparse_spark.kernel.pdfdocument import PDFDocument, PDFNoOutlines
+    from pdfparse_spark.kernel.pdfparser import PDFParser
+
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R /Outlines 4 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Resources << >> >>",
+        4: b"<< /First 5 0 R /Last 7 0 R /Count 3 >>",
+        5: b"<< /Title (Chapter 1) /Dest [3 0 R /Fit] /First 6 0 R /Last 6 0 R /Next 7 0 R >>",
+        6: b"<< /Title <FEFF00A700200031> /Dest [3 0 R /Fit] >>",      # UTF-16BE: '§ 1'
+        7: b"<< /Title (Actions) /A << /S /URI /URI (http://x) >> >>",  # /A-only entry
+        8: b"<< /Title (No target) >>",                                 # never emitted
+    }
+    doc = PDFDocument()
+    parser = PDFParser(_assemble(bodies))
+    parser.set_document(doc)
+    doc.set_parser(parser)
+    titles = [t for (t, dest, a, se) in doc.get_outlines()]
+    assert titles == ["Chapter 1", "§ 1", "Actions"]
+
+    plain = {k: v for k, v in bodies.items() if k != 4}
+    plain[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    doc2 = PDFDocument()
+    p2 = PDFParser(_assemble(plain))
+    p2.set_document(doc2)
+    doc2.set_parser(p2)
+    with pytest.raises(PDFNoOutlines):
+        list(doc2.get_outlines())
