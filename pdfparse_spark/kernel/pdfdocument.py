@@ -319,6 +319,61 @@ class PDFDocument:
             if lit_first in entry:
                 stack.append(_entry(entry[lit_first]))
 
+    # --- name trees ----------------------------------------------------------
+    def lookup_name(self, cat, key: bytes):
+        """Look ``key`` up in the catalog's /Names → ``cat`` name tree
+        (reference get-outlines' sibling `lookup-name`).  Walks /Limits
+        pruning, flat /Names leaf pairs, and /Kids recursion per PDF 32000
+        §7.9.6; raises KeyError when absent.
+
+        Deviation recorded in SURVEY.md §5.2: the reference fetches the
+        leaf value from a hash built over /Kids where the /Names pair
+        list belongs, and orders string keys with numeric `<` — the
+        function cannot succeed as written; ours follows the spec.
+        """
+        if self.catalog is None or LIT("Names") not in self.catalog:
+            raise KeyError((cat, key))
+        names = dict_value(resolve1(self.catalog[LIT("Names")]))
+        if cat not in names:
+            raise KeyError((cat, key))
+
+        lit_limits, lit_names, lit_kids = LIT("Limits"), LIT("Names"), LIT("Kids")
+
+        def lookup(d: dict):
+            if lit_limits in d:
+                lo, hi = list_value(resolve1(d[lit_limits]))[:2]
+                if key < str_value(resolve1(lo)) or str_value(resolve1(hi)) < key:
+                    return None
+            if lit_names in d:
+                flat = list_value(resolve1(d[lit_names]))
+                for i in range(0, len(flat) - 1, 2):
+                    if str_value(resolve1(flat[i])) == key:
+                        return flat[i + 1]
+            if lit_kids in d:
+                for kid in list_value(resolve1(d[lit_kids])):
+                    v = lookup(dict_value(resolve1(kid)))
+                    if v is not None:
+                        return v
+            return None
+
+        v = lookup(dict_value(resolve1(names[cat])))
+        if v is None:
+            raise KeyError((cat, key))
+        return v
+
+    def get_dest(self, name: bytes):
+        """Named destination: /Names → /Dests tree first, then the legacy
+        catalog /Dests dictionary (reference get-dest fallback order)."""
+        try:
+            return self.lookup_name(LIT("Dests"), name)
+        except KeyError:
+            if self.catalog is not None and LIT("Dests") in self.catalog:
+                dests = dict_value(resolve1(self.catalog[LIT("Dests")]))
+                k = LIT(name.decode("latin-1")) if isinstance(name, bytes) else name
+                if k in dests:
+                    return dests[k]
+            raise KeyError(name)
+
     # --- page tree -----------------------------------------------------------
     def get_pages(self):
         """Lazy DFS over /Pages tree with attribute inheritance

@@ -219,3 +219,40 @@ def test_get_outlines_dfs_and_decode():
     doc2.set_parser(p2)
     with pytest.raises(PDFNoOutlines):
         list(doc2.get_outlines())
+
+
+def test_lookup_name_and_get_dest():
+    """Name-tree lookup (/Names → /Dests with Limits pruning + Kids
+    recursion, PDF 32000 §7.9.6) and the legacy catalog-/Dests fallback.
+    Spec fix over the reference's lookup-name recorded in SURVEY §5.2."""
+    import pytest
+
+    from pdfparse_spark.fixtures.pdf_gen import _assemble
+    from pdfparse_spark.kernel.pdfdocument import PDFDocument
+    from pdfparse_spark.kernel.pdfparser import PDFParser
+
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R /Names << /Dests 4 0 R >> "
+           b"/Dests << /legacy [3 0 R /Fit] >> >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Resources << >> >>",
+        4: b"<< /Kids [5 0 R 6 0 R] >>",
+        5: b"<< /Limits [(aaa) (mmm)] /Names [(aaa) [3 0 R /Fit] (ccc) [3 0 R /XYZ 0 0 0]] >>",
+        6: b"<< /Limits [(nnn) (zzz)] /Names [(zzz) [3 0 R /FitH 5]] >>",
+    }
+    doc = PDFDocument()
+    parser = PDFParser(_assemble(bodies))
+    parser.set_document(doc)
+    doc.set_parser(parser)
+
+    from pdfparse_spark.kernel.pdftypes import LIT, list_value, resolve1
+
+    assert list_value(resolve1(doc.lookup_name(LIT("Dests"), b"ccc")))[1] is LIT("XYZ")
+    assert list_value(resolve1(doc.lookup_name(LIT("Dests"), b"zzz")))[1] is LIT("FitH")
+    with pytest.raises(KeyError):
+        doc.lookup_name(LIT("Dests"), b"qqq")  # inside no leaf, pruned by Limits
+    # get_dest: name tree first, then the legacy catalog /Dests dict
+    assert list_value(resolve1(doc.get_dest(b"aaa")))[1] is LIT("Fit")
+    assert list_value(resolve1(doc.get_dest(b"legacy")))[1] is LIT("Fit")
+    with pytest.raises(KeyError):
+        doc.get_dest(b"absent")
