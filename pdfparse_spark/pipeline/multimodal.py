@@ -86,7 +86,11 @@ MM_PIPELINE_SCHEMA = T.StructType(
     + [
         T.StructField("out_w", T.LongType(), False),
         T.StructField("out_h", T.LongType(), False),
-        T.StructField("sampled_frames", T.ArrayType(T.LongType()), False),
+        # scalar encoding of the sampled-frame list (count + csv) — the
+        # driver's pandas-based canonicalizer cannot sort list cells, so the
+        # gate contract forbids ArrayType output columns
+        T.StructField("n_sampled", T.LongType(), False),
+        T.StructField("frames_csv", T.StringType(), False),
     ]
 )
 
@@ -116,17 +120,19 @@ def mm_pipeline_batch(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]
     for pdf in batches:
         cols: dict[str, list] = {k: [] for k in
                                  ("n_bytes", "width", "height", "n_frames",
-                                  "out_w", "out_h", "sampled_frames")}
+                                  "out_w", "out_h", "n_sampled", "frames_csv")}
         for payload in pdf["payload"]:
             n, w, h, f = _fake_decode(bytes(payload) if payload is not None else b"")
             ow, oh = _fake_resize(w, h)
+            frames = _fake_frame_sample(f)
             cols["n_bytes"].append(n)
             cols["width"].append(w)
             cols["height"].append(h)
             cols["n_frames"].append(f)
             cols["out_w"].append(ow)
             cols["out_h"].append(oh)
-            cols["sampled_frames"].append(_fake_frame_sample(f))
+            cols["n_sampled"].append(len(frames))
+            cols["frames_csv"].append(",".join(str(i) for i in frames))
         yield pd.DataFrame({"doc_id": pdf["doc_id"], **cols})
 
 
@@ -164,8 +170,8 @@ ORACLES = {
                     THEN (width * 224) // height ELSE 224 END AS out_w,
                CASE WHEN width * 224 <= height * 224
                     THEN 224 ELSE (height * 224) // width END AS out_h,
-               list_transform(range(0, n_frames, 4), x -> CAST(x AS BIGINT))
-                   AS sampled_frames
+               (n_frames + 3) // 4 AS n_sampled,
+               array_to_string(range(0, n_frames, 4), ',') AS frames_csv
         FROM meta
     """,
 }

@@ -485,7 +485,7 @@ ORACLES: dict[str, str] = {
     "r11_json_extract": """
         SELECT event_type,
                count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
                min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
         FROM events GROUP BY event_type
@@ -563,7 +563,7 @@ ORACLES: dict[str, str] = {
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
             FROM g
         )
-        SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events
+        SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions, count(*) AS n_events
         FROM s GROUP BY user_id
     """,
 }
