@@ -29,6 +29,7 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
     zip via addPyFile once per session — a no-op burden when PYTHONPATH/cwd
     already covers it, a lifesaver when not (same mechanism as the
     spark-submit --py-files cluster path)."""
+    import hashlib
     import os
     import zipfile
 
@@ -36,15 +37,25 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
     if key in _PYFILES_SHIPPED:
         return
     repo = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join("/tmp", "pdfparse_spark_pyfiles.zip")
+    pkg = os.path.join(repo, "pdfparse_spark")
+    sources = sorted(
+        os.path.join(root, f)
+        for root, _dirs, files in os.walk(pkg)
+        for f in files
+        if f.endswith(".py")
+    )
+    # key the zip by a content hash so source edits never ship a stale zip
+    # that would shadow the current package on Python workers
+    digest = hashlib.sha256()
+    for full in sources:
+        digest.update(os.path.relpath(full, repo).encode())
+        with open(full, "rb") as fh:
+            digest.update(fh.read())
+    zpath = os.path.join("/tmp", "pdfparse_spark_pyfiles_%s.zip" % digest.hexdigest()[:12])
     if not os.path.exists(zpath):
         with zipfile.ZipFile(zpath + ".tmp", "w", zipfile.ZIP_DEFLATED) as zf:
-            pkg = os.path.join(repo, "pdfparse_spark")
-            for root, _dirs, files in os.walk(pkg):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        zf.write(full, os.path.relpath(full, repo))
+            for full in sources:
+                zf.write(full, os.path.relpath(full, repo))
         os.replace(zpath + ".tmp", zpath)
     try:
         spark.sparkContext.addPyFile(zpath)
@@ -53,13 +64,24 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
     _PYFILES_SHIPPED.add(key)
 
 
+_CORPUS_CACHE: dict[tuple, tuple] = {}
+
+
 def _extract_corpus(spark: SparkSession, n_convs: int = 12, turns_per_conv: int = 8):
+    """Memoized per (session, shape): the four extract_* gate queries share
+    one synthesized corpus and ONE persisted extraction pass instead of
+    re-running the kernel per query."""
     from pdfparse_spark.pipeline.extract import run_extraction
     from pdfparse_spark.pipeline.transcripts import synthesize
 
+    key = (id(spark), n_convs, turns_per_conv)
+    hit = _CORPUS_CACHE.get(key)
+    if hit is not None:
+        return hit
     _ensure_workers_can_import(spark)
     df, golden = synthesize(spark, n_convs=n_convs, turns_per_conv=turns_per_conv, seed=7)
-    extracted = run_extraction(df, num_partitions=8, salt=16)
+    extracted = run_extraction(df, num_partitions=8, salt=16).persist()
+    _CORPUS_CACHE[key] = (extracted, golden)
     return extracted, golden
 
 

@@ -176,6 +176,24 @@ def fx_winansi_differences() -> PDFFixture:
     return PDFFixture("pdf_winansi_differences", data, text, [(1, 0, len(text))])
 
 
+def fx_agl_differences() -> PDFFixture:
+    """/Differences naming non-Latin AGL glyphs (Greek, math, Hebrew
+    presentation form) — exercises the full 4,281-entry Adobe Glyph List
+    (reference glyphlist.lisp:59), not just the Latin subset.  The
+    /dalethatafpatah entry is one of the AGL's 81 multi-codepoint values."""
+    font = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom "
+        b"/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+        b"/Differences [65 /alpha /summation 97 /aleph /dalethatafpatah] >> >>"
+    )
+    content = b"BT /F1 12 Tf 72 720 Td (AB ab x) Tj ET"
+    data = _assemble(_doc_skeleton(content, font_body=font))
+    # A→α B→∑ (names consume successive codes), a→ℵ b→ד?ֲ (2 codepoints),
+    # space/x pass through WinAnsi
+    text = "\nα∑ ℵדֲ x"
+    return PDFFixture("pdf_agl_differences", data, text, [(1, 0, len(text))])
+
+
 _TOUNICODE_HEADER = (
     b"/CIDInit /ProcSet findresource begin\n"
     b"12 dict begin\n"
@@ -553,6 +571,7 @@ _FIXTURE_BUILDERS = [
     fx_tj_array,
     fx_hexstring_escapes,
     fx_winansi_differences,
+    fx_agl_differences,
     fx_tounicode_bfchar,
     fx_cid_identity_h,
     fx_cid_unmapped,

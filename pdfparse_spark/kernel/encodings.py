@@ -99,83 +99,12 @@ def decode_text(s: bytes) -> str:
     return "".join(PDF2UNICODE.get(b, "\x00") for b in s)
 
 
-def _build_glyphlist() -> dict[str, str]:
-    """Subset of the Adobe Glyph List covering the latin character set
-    (glyph names used by the four standard encodings plus common extras).
-    Public data: the AGL is published by Adobe."""
-    gl: dict[str, str] = {}
-    # letters and digits
-    for c in "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz":
-        gl[c] = c
-    for name, ch in zip(
-        "zero one two three four five six seven eight nine".split(),
-        "0123456789",
-    ):
-        gl[name] = ch
-    gl.update(
-        {
-            "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
-            "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
-            "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
-            "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
-            "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
-            "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
-            "backslash": "\\", "bracketright": "]", "asciicircum": "^",
-            "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
-            "braceright": "}", "asciitilde": "~",
-            "quoteright": "’", "quoteleft": "‘",
-            "quotedblleft": "“", "quotedblright": "”",
-            "quotesinglbase": "‚", "quotedblbase": "„",
-            "endash": "–", "emdash": "—", "bullet": "•",
-            "dagger": "†", "daggerdbl": "‡", "ellipsis": "…",
-            "perthousand": "‰", "guilsinglleft": "‹",
-            "guilsinglright": "›", "guillemotleft": "«",
-            "guillemotright": "»", "exclamdown": "¡",
-            "questiondown": "¿", "cent": "¢", "sterling": "£",
-            "currency": "¤", "yen": "¥", "florin": "ƒ",
-            "section": "§", "dieresis": "¨", "copyright": "©",
-            "ordfeminine": "ª", "ordmasculine": "º",
-            "logicalnot": "¬", "registered": "®", "macron": "¯",
-            "degree": "°", "plusminus": "±", "acute": "´",
-            "mu": "µ", "paragraph": "¶", "periodcentered": "·",
-            "cedilla": "¸", "onequarter": "¼", "onehalf": "½",
-            "threequarters": "¾", "multiply": "×", "divide": "÷",
-            "fraction": "⁄", "minus": "−", "fi": "ﬁ",
-            "fl": "ﬂ", "circumflex": "ˆ", "caron": "ˇ",
-            "breve": "˘", "dotaccent": "˙", "ring": "˚",
-            "ogonek": "˛", "tilde": "˜", "hungarumlaut": "˝",
-            "Euro": "€", "trademark": "™", "brokenbar": "¦",
-            "onesuperior": "¹", "twosuperior": "²",
-            "threesuperior": "³", "nbspace": " ",
-            "softhyphen": "­",
-        }
-    )
-    # accented latin (names per AGL)
-    accented = {
-        "Aacute": 0xC1, "Acircumflex": 0xC2, "Adieresis": 0xC4, "Agrave": 0xC0,
-        "Aring": 0xC5, "Atilde": 0xC3, "Ccedilla": 0xC7, "Eacute": 0xC9,
-        "Ecircumflex": 0xCA, "Edieresis": 0xCB, "Egrave": 0xC8, "Eth": 0xD0,
-        "Iacute": 0xCD, "Icircumflex": 0xCE, "Idieresis": 0xCF, "Igrave": 0xCC,
-        "Ntilde": 0xD1, "Oacute": 0xD3, "Ocircumflex": 0xD4, "Odieresis": 0xD6,
-        "Ograve": 0xD2, "Oslash": 0xD8, "Otilde": 0xD5, "Thorn": 0xDE,
-        "Uacute": 0xDA, "Ucircumflex": 0xDB, "Udieresis": 0xDC, "Ugrave": 0xD9,
-        "Yacute": 0xDD, "aacute": 0xE1, "acircumflex": 0xE2, "adieresis": 0xE4,
-        "agrave": 0xE0, "aring": 0xE5, "atilde": 0xE3, "ccedilla": 0xE7,
-        "eacute": 0xE9, "ecircumflex": 0xEA, "edieresis": 0xEB, "egrave": 0xE8,
-        "eth": 0xF0, "iacute": 0xED, "icircumflex": 0xEE, "idieresis": 0xEF,
-        "igrave": 0xEC, "ntilde": 0xF1, "oacute": 0xF3, "ocircumflex": 0xF4,
-        "odieresis": 0xF6, "ograve": 0xF2, "oslash": 0xF8, "otilde": 0xF5,
-        "thorn": 0xFE, "uacute": 0xFA, "ucircumflex": 0xFB, "udieresis": 0xFC,
-        "ugrave": 0xF9, "yacute": 0xFD, "ydieresis": 0xFF, "germandbls": 0xDF,
-        "AE": 0xC6, "ae": 0xE6, "OE": 0x152, "oe": 0x153, "Lslash": 0x141,
-        "lslash": 0x142, "Scaron": 0x160, "scaron": 0x161, "Ydieresis": 0x178,
-        "Zcaron": 0x17D, "zcaron": 0x17E, "dotlessi": 0x131,
-    }
-    gl.update({name: chr(cp) for name, cp in accented.items()})
-    return gl
-
-
-GLYPHNAME2UNICODE = _build_glyphlist()
+# Full Adobe Glyph List (4,281 entries; public Adobe data, same table the
+# reference embeds at glyphlist.lisp:59).  Generated module — regenerate with
+# scripts/gen_glyphlist.py.  Round 1 shipped a 231-name Latin subset; any
+# /Differences array or Type1 header naming e.g. /alpha or /summation now
+# resolves instead of dropping.
+from ._agl_data import AGL as GLYPHNAME2UNICODE
 
 
 def name2unicode(name) -> str:

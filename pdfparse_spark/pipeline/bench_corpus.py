@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import base64
 import datetime as _dt
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -72,8 +73,17 @@ def ensure_bench_corpus(
     n_convs: int,
     files: int = 256,
 ) -> str:
-    """Build (once) and return the parquet path for an n_convs corpus."""
-    path = os.path.join(cache_dir, "corpus_%dconvs" % n_convs)
+    """Build (once) and return the parquet path for an n_convs corpus.
+
+    The cache path is keyed by (n_convs, template-content hash) so edits to
+    the fixture generators force regeneration instead of silently reusing a
+    stale corpus that would invalidate benchmark comparability."""
+    digest = hashlib.sha256()
+    for row in _template_rows():
+        digest.update(repr(row).encode())
+    path = os.path.join(
+        cache_dir, "corpus_%dconvs_%s" % (n_convs, digest.hexdigest()[:12])
+    )
     marker = os.path.join(path, "_SUCCESS")
     if os.path.exists(marker):
         return path

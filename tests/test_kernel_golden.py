@@ -256,3 +256,21 @@ def test_lookup_name_and_get_dest():
     assert list_value(resolve1(doc.get_dest(b"legacy")))[1] is LIT("Fit")
     with pytest.raises(KeyError):
         doc.get_dest(b"absent")
+
+
+def test_full_adobe_glyph_list():
+    """The kernel ships the complete AGL (reference glyphlist.lisp:59 —
+    4,281 entries), not just the Latin subset: Greek, math, dingbats,
+    smallcaps, and multi-codepoint Hebrew presentation forms resolve."""
+    from pdfparse_spark.kernel._agl_data import AGL
+    from pdfparse_spark.kernel.encodings import name2unicode
+
+    assert len(AGL) == 4281
+    assert name2unicode("alpha") == "α"
+    assert name2unicode("summation") == "∑"
+    assert name2unicode("aleph") == "ℵ"
+    assert name2unicode("Asmall") == "\uf761"  # smallcap private-use
+    assert name2unicode("infinity") == "\u221e"
+    assert name2unicode("dalethatafpatah") == "דֲ"  # multi-codepoint
+    # uniXXXX / trailing-digit fallbacks still apply after the table miss
+    assert name2unicode("uni0041") == "A"
