@@ -48,13 +48,32 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh) exploded distinct shingles — input to jaccard + minhash."""
-    return (
+# Shingles appearing in more than this many documents are dropped before any
+# exact-Jaccard equi-join: a hot boilerplate shingle ("all rights reserved")
+# otherwise blows the a.sh = b.sh join up quadratically on that one key.
+# Dropping ultra-common shingles changes Jaccard negligibly (they carry no
+# discrimination) — standard practice in web-scale near-dedup.  128 is far
+# above the max df on the test corpora (25 at sf0.1), so small-scale results
+# are bit-identical; at 100 TB it bounds the worst key to 128² pairs.
+_MAX_SHINGLE_DF = 128
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str, max_df: int | None = None) -> DataFrame:
+    """(doc_id, sh) exploded distinct shingles — input to jaccard + minhash.
+
+    With ``max_df``, shingles whose document frequency exceeds it are
+    dropped via a count window over the shingle key — one shuffle on ``sh``,
+    the same partitioning the downstream equi-join needs anyway.
+    """
+    sh = (
         _docs(spark, sf_dir)
         .select("doc_id", F.expr(_TOKS).alias("arr"))
         .select("doc_id", F.explode(F.expr(_SHINGLES)).alias("sh"))
     )
+    if max_df is None:
+        return sh
+    w = Window.partitionBy("sh")
+    return sh.withColumn("df", F.count("*").over(w)).filter(F.col("df") <= max_df).drop("df")
 
 
 # ---------------------------------------------------------------------------
@@ -77,11 +96,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-word-shingle Jaccard pairs ≥ 0.5 (the small-scale oracle).
 
-    Scale: the shingle self-equi-join explodes quadratically on hot
-    shingles — this op exists as the correctness oracle for MinHash-LSH,
-    which is the 100 TB path (dedup_minhash_lsh).
+    Scale: quadratic in pair count by design — this op exists as the
+    correctness oracle for MinHash-LSH, which is the 100 TB path
+    (dedup_minhash_lsh) — but the per-key blowup is bounded: shingles with
+    document frequency > _MAX_SHINGLE_DF are dropped before the self-join
+    (mirrored exactly in the DuckDB oracle).
     """
-    sh = _shingle_rows(spark, sf_dir)
+    sh = _shingle_rows(spark, sf_dir, max_df=_MAX_SHINGLE_DF)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -114,8 +135,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs.  Hash family: xxhash64(seed, shingle) — JVM-side,
     whole-stage-codegen'd.  No DuckDB oracle (hash family differs);
     pinned against dedup_ngram_jaccard in tests/test_textops.py.
+
+    Both the signatures and the exact-Jaccard verification join run over
+    the df-capped shingle table (df ≤ _MAX_SHINGLE_DF), so the candidate
+    re-join cannot blow up on a hot boilerplate shingle either.
     """
-    sh = _shingle_rows(spark, sf_dir)
+    sh = _shingle_rows(spark, sf_dir, max_df=_MAX_SHINGLE_DF)
     # hash family: each shingle string is xxhash64'd ONCE, then the 32
     # permutations rehash that long — 1 string hash + 32 long hashes per
     # row instead of 32 string hashes (2.9x faster signature stage at
@@ -642,8 +667,12 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": f"""
         WITH toks AS (
             SELECT doc_id, {_SQL_TOKS} AS arr FROM documents
-        ), sh AS (
+        ), sh0 AS (
             SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM toks
+        ), sh AS (
+            -- same document-frequency cap as the Spark side (_MAX_SHINGLE_DF)
+            SELECT doc_id, sh FROM sh0
+            QUALIFY count(*) OVER (PARTITION BY sh) <= {_MAX_SHINGLE_DF}
         ), sizes AS (
             SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
         ), inter AS (

@@ -166,3 +166,50 @@ def test_embed_kmeans_invariants(spark):
     cents = [(i, list(r["v"])) for i, r in enumerate(seeds)]
     seed_inertia = _kmeans_assign(e, cents).agg(F.sum("d2")).collect()[0][0]
     assert final_inertia <= seed_inertia + 1e-6
+
+
+def test_shingle_df_cap_kills_hot_shingle_blowup(spark, tmp_path):
+    """A boilerplate sentence shared by every doc would make the exact
+    shingle self-join quadratic on those keys; the df cap drops it while
+    keeping genuinely duplicated content pairs."""
+    import pandas as pd
+    from pdfparse_spark.pipeline import textops
+
+    boiler = "all rights reserved contact the site administrator for details"
+    texts = [boiler + " unique payload %d alpha beta gamma delta " % i * 3 for i in range(28)]
+    texts.append(texts[0])  # one true duplicate pair: (0, 28)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = str(tmp_path)
+    pdf.to_parquet(d + "/documents.parquet")
+
+    # capped shingle table: no shingle exceeds the cap, boilerplate gone
+    capped = textops._shingle_rows(spark, d, max_df=5)
+    df_counts = capped.groupBy("sh").count().collect()
+    assert df_counts and max(r["count"] for r in df_counts) <= 5
+    uncapped_rows = textops._shingle_rows(spark, d).count()
+    assert capped.count() < uncapped_rows
+
+    # with the cap at production setting the true duplicate still pairs
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             textops.dedup_ngram_jaccard(spark, d).collect()}
+    assert (0, 28) in pairs and pairs[(0, 28)] == 1.0
+
+
+def test_jaccard_cap_is_noop_on_fixture_corpus(spark, monkeypatch):
+    """On the test corpora no shingle reaches _MAX_SHINGLE_DF (max df 25 at
+    sf0.1), so capped and uncapped pair sets are identical — the cap only
+    changes behavior on pathological boilerplate."""
+    from pdfparse_spark.pipeline import textops
+
+    capped = sorted(map(tuple, textops.dedup_ngram_jaccard(spark, SF).collect()))
+    monkeypatch.setattr(textops, "_MAX_SHINGLE_DF", 1 << 40)
+    uncapped = sorted(map(tuple, textops.dedup_ngram_jaccard(spark, SF).collect()))
+    assert capped == uncapped
