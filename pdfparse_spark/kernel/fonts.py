@@ -466,29 +466,41 @@ def get_widths(seq: list) -> dict[int, float]:
     return widths
 
 
-# Core-14 font names: the reference ships full AFM metrics for these
-# (metrics.lisp:31); only the *presence* of the entry affects text decode
-# (widths are never consulted by the simple device), so we keep name→empty
-# metrics (SURVEY.md §2.C "optional for golden parity").
-CORE14 = frozenset(
-    [
-        "Helvetica", "Helvetica-Bold", "Helvetica-Oblique", "Helvetica-BoldOblique",
-        "Times-Roman", "Times-Bold", "Times-Italic", "Times-BoldItalic",
-        "Courier", "Courier-Bold", "Courier-Oblique", "Courier-BoldOblique",
-        "Symbol", "ZapfDingbats",
-    ]
-)
+# Core-14 AFM metrics (reference metrics.lisp:31, public Adobe Core 35 AFM
+# data): full descriptors + advance widths by char code, generated into
+# _afm_data.py by scripts/gen_afm.py.  The simple device never consults
+# x-advance, so golden text is unchanged — but any layout device that
+# synthesizes word spacing or detects columns needs the real widths.
+from ._afm_data import FONT_METRICS
+
+CORE14 = frozenset(FONT_METRICS)
+
+_METRICS_CACHE: dict[str, tuple[dict, dict]] = {}
 
 
 def get_font_metrics(basefont) -> tuple[dict, dict] | None:
+    """(descriptor, widths-by-char-code) for a core-14 BaseFont name,
+    None otherwise.  Descriptor keys (and name-valued entries) are wrapped
+    in PSLiteral to match dictionary objects parsed from PDF files."""
     name = getattr(basefont, "name", basefont)
-    if isinstance(name, str):
-        # subset prefixes like 'ABCDEF+Helvetica'
-        if len(name) > 7 and name[6] == "+":
-            name = name[7:]
-        if name in CORE14:
-            return ({LIT("FontName"): LIT(name)}, {})
-    return None
+    if not isinstance(name, str):
+        return None
+    # subset prefixes like 'ABCDEF+Helvetica'
+    if len(name) > 7 and name[6] == "+":
+        name = name[7:]
+    cached = _METRICS_CACHE.get(name)
+    if cached is not None:
+        return cached
+    entry = FONT_METRICS.get(name)
+    if entry is None:
+        return None
+    raw_desc, widths = entry
+    descriptor = {
+        LIT(k): (LIT(v) if isinstance(v, str) else v) for k, v in raw_desc.items()
+    }
+    result = (descriptor, dict(widths))
+    _METRICS_CACHE[name] = result
+    return result
 
 
 # --- Type1 font-file header encoding (pdfparse.lisp:2875-2901) ---------------

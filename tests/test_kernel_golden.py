@@ -274,3 +274,23 @@ def test_full_adobe_glyph_list():
     assert name2unicode("dalethatafpatah") == "דֲ"  # multi-codepoint
     # uniXXXX / trailing-digit fallbacks still apply after the table miss
     assert name2unicode("uni0041") == "A"
+
+
+def test_core14_afm_metrics():
+    """Core-14 AFM data (reference metrics.lisp:31): real descriptors and
+    advance widths, consumed by PDFType1Font when /Widths is absent."""
+    from pdfparse_spark.kernel.fonts import PDFType1Font, get_font_metrics
+    from pdfparse_spark.kernel.psparse import LIT
+
+    desc, widths = get_font_metrics(LIT("Helvetica"))
+    assert desc[LIT("FontName")] is LIT("Helvetica")
+    assert desc[LIT("Ascent")] == 718.0 and desc[LIT("Descent")] == -207.0
+    assert widths[65] == 667 and widths[32] == 278  # 'A', space
+    mono = get_font_metrics("Courier-Bold")[1]
+    assert set(mono.values()) == {600}  # fixed-pitch
+    # subset-prefixed names resolve to the same table
+    assert get_font_metrics("ABCDEF+Times-Roman")[1][65] == 722
+    assert get_font_metrics("NoSuchFont") is None
+    # the font object picks up AFM widths when the spec carries no /Widths
+    font = PDFType1Font({LIT("BaseFont"): LIT("Helvetica")})
+    assert font.widths[77] == 833  # 'M'
