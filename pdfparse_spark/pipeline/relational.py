@@ -22,6 +22,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ntz_diff_us(end, start):
+    """Microseconds between two TIMESTAMP_NTZ columns via pure local-datetime
+    subtraction.  TZ-independent by construction: NTZ minus NTZ is an
+    INTERVAL DAY TO SECOND with no zone conversion, whereas
+    timestamp_diff/unix_micros round-trip NTZ through the session timezone
+    and shift across DST boundaries (verified in
+    test_sessionize_asof_tz_independent)."""
+    secs = (end - start).cast("interval day to second").cast("decimal(28,6)")
+    return (secs * 1000000).cast("long")
+
+
 def r1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projection / rename / computed column (R1)."""
     return _t(spark, sf_dir, "documents").select(
@@ -181,9 +192,9 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts after a >30 min gap; per-user session/event counts."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # parquet ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP (session TZ=UTC)
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    gap = us - F.unix_micros(F.lag(F.col("ts").cast("timestamp")).over(w))
+    # parquet ts is TIMESTAMP_NTZ; NTZ-minus-NTZ interval math is
+    # session-TZ-independent (incl. across DST boundaries)
+    gap = _ntz_diff_us(F.col("ts"), F.lag("ts").over(w))
     sess = ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800 * 1000000), 1).otherwise(0))
     sess = sess.withColumn("sess_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
     return sess.groupBy("user_id").agg(
@@ -309,10 +320,8 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_ts",
         F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w),
     )
-    gap = (
-        F.unix_micros(F.col("ts").cast("timestamp"))
-        - F.unix_micros(F.col("click_ts").cast("timestamp"))
-    ) / 1000000.0
+    # NTZ-direct diff: TZ-independent (see _ntz_diff_us)
+    gap = _ntz_diff_us(F.col("ts"), F.col("click_ts")) / 1000000.0
     return (
         carried.filter(F.col("kind") == 1)
         .select(

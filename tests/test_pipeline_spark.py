@@ -233,3 +233,46 @@ def test_stratified_sample_binomial_bounds(spark):
         assert abs(kept - n * p) <= 6 * sigma + 1, (lang, kept, n * p)
     second = {r["lang"]: r["n_kept"] for r in docs_stratified_sample(spark, sf).collect()}
     assert first == second  # fixed seed → deterministic
+
+
+def test_sessionize_asof_tz_independent(spark, tmp_path):
+    """Gap math subtracts TIMESTAMP_NTZ values directly (timestamp_diff),
+    so sessionize and as-of join results are identical under any session
+    timezone — including events spanning the US DST spring-forward, where
+    an NTZ -> session-TZ round-trip would hit nonexistent local times."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pdfparse_spark.pipeline.relational import events_asof_join, events_sessionize
+
+    # events every 20 min across 2026-03-08 01:00-04:00 (US spring forward:
+    # 02:00-03:00 America/New_York does not exist as a local wall time)
+    base = dt.datetime(2026, 3, 8, 1, 0, 0)
+    rows = []
+    for i in range(10):
+        ts = base + dt.timedelta(minutes=20 * i)
+        rows.append((i, ts, 1, "click" if i % 2 == 0 else "purchase", 10.0, "{}"))
+    # a >30min gap to split sessions, after the DST window
+    rows.append((10, base + dt.timedelta(hours=5), 1, "click", 10.0, "{}"))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # Spark rejects NANOS parquet
+    d = str(tmp_path)
+    pdf.to_parquet(d + "/events.parquet")
+
+    def run_both():
+        sess = sorted(map(tuple, events_sessionize(spark, d).collect()))
+        asof = sorted(map(tuple, events_asof_join(spark, d).collect()))
+        return sess, asof
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc = run_both()
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        nyc = run_both()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    assert utc == nyc
+    # sanity: the 5h jump opened a second session for user 1
+    assert utc[0][0] == (1, 2, 11)
