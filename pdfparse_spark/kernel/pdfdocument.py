@@ -339,27 +339,32 @@ class PDFDocument:
 
         lit_limits, lit_names, lit_kids = LIT("Limits"), LIT("Names"), LIT("Kids")
 
-        def lookup(d: dict):
+        # explicit-stack DFS with a seen-set over node objids — a crafted
+        # /Kids cycle or arbitrarily deep chain must not hit the recursion
+        # limit (same hardening as get_pages / get_outlines)
+        seen: set[int] = set()
+        stack: list[object] = [names[cat]]
+        while stack:
+            node = stack.pop()
+            if isinstance(node, PDFObjRef):
+                if node.objid in seen:
+                    continue
+                seen.add(node.objid)
+            d = dict_value(resolve1(node))
             if lit_limits in d:
                 lo, hi = list_value(resolve1(d[lit_limits]))[:2]
                 if key < str_value(resolve1(lo)) or str_value(resolve1(hi)) < key:
-                    return None
+                    continue
             if lit_names in d:
                 flat = list_value(resolve1(d[lit_names]))
                 for i in range(0, len(flat) - 1, 2):
                     if str_value(resolve1(flat[i])) == key:
                         return flat[i + 1]
             if lit_kids in d:
-                for kid in list_value(resolve1(d[lit_kids])):
-                    v = lookup(dict_value(resolve1(kid)))
-                    if v is not None:
-                        return v
-            return None
-
-        v = lookup(dict_value(resolve1(names[cat])))
-        if v is None:
-            raise KeyError((cat, key))
-        return v
+                # reversed push keeps in-order traversal (parity with the
+                # recursive first-match-wins walk)
+                stack.extend(reversed(list(list_value(resolve1(d[lit_kids])))))
+        raise KeyError((cat, key))
 
     def get_dest(self, name: bytes):
         """Named destination: /Names → /Dests tree first, then the legacy

@@ -57,14 +57,23 @@ def read_ledger(spark: SparkSession, ledger_dir: str) -> DataFrame | None:
 
 def read_output(spark: SparkSession, out_dir: str, ledger_dir: str | None = None) -> DataFrame:
     """Committed output = parquet waves restricted to ledger-committed
-    buckets.  Without a ledger_dir, returns the raw waves (test use only)."""
+    (bucket, wave) pairs.  Without a ledger_dir, returns the raw waves
+    (test use only).
+
+    Joining on the wave path as well as the bucket closes the orphan-wave
+    hole: if a crash lands between a wave's parquet commit and its ledger
+    append, and the job is then re-run with a different
+    ``buckets_per_wave``, the orphan dir's buckets eventually commit via a
+    differently-composed wave path — a bucket-only semi-join would
+    re-admit the orphan rows and duplicate turns."""
     out = spark.read.option("basePath", out_dir).parquet(out_dir + "/wave=*")
     if ledger_dir is not None:
         ledger = read_ledger(spark, ledger_dir)
         if ledger is None:
             return out.limit(0)
-        done = ledger.select("bucket").distinct()
-        out = out.join(F.broadcast(done), "bucket", "left_semi")
+        done = ledger.select("bucket", F.col("wave").cast("string").alias("wave")).distinct()
+        out = out.withColumn("wave", F.col("wave").cast("string"))
+        out = out.join(F.broadcast(done), ["bucket", "wave"], "left_semi")
     return out
 
 
@@ -108,7 +117,8 @@ def run_resumable(
     waves = [todo[i : i + buckets_per_wave] for i in range(0, len(todo), buckets_per_wave)]
     waves_run = 0
     for wave_buckets in waves:
-        wave_path = "%s/wave=%s" % (out_dir, "_".join(str(b) for b in wave_buckets))
+        wave_str = "_".join(str(b) for b in wave_buckets)
+        wave_path = "%s/wave=%s" % (out_dir, wave_str)
         subset = bdf.filter(F.col("bucket").isin([int(b) for b in wave_buckets]))
         t0 = time.monotonic()
         out = run_extraction(
@@ -140,6 +150,7 @@ def run_resumable(
             .fillna(0, ["n_turns", "n_ok"])
             .withColumn("wall_ms", F.lit(wall_ms))
             .withColumn("n_buckets", F.lit(n_buckets))
+            .withColumn("wave", F.lit(wave_str))
         )
         stats.write.mode("append").parquet(ledger_dir)
         waves_run += 1

@@ -294,3 +294,48 @@ def test_core14_afm_metrics():
     # the font object picks up AFM widths when the spec carries no /Widths
     font = PDFType1Font({LIT("BaseFont"): LIT("Helvetica")})
     assert font.widths[77] == 833  # 'M'
+
+
+def test_lookup_name_cycle_and_depth_hardened():
+    """A crafted /Kids cycle or a deep /Kids chain in the name tree must
+    terminate (seen-set + explicit stack), matching the get_pages /
+    get_outlines hardening — no RecursionError, no hang."""
+    import pytest
+
+    from pdfparse_spark.fixtures.pdf_gen import _assemble
+    from pdfparse_spark.kernel.pdfdocument import PDFDocument
+    from pdfparse_spark.kernel.pdfparser import PDFParser
+    from pdfparse_spark.kernel.pdftypes import LIT, list_value, resolve1
+
+    def make_doc(bodies):
+        doc = PDFDocument()
+        parser = PDFParser(_assemble(bodies))
+        parser.set_document(doc)
+        doc.set_parser(parser)
+        return doc
+
+    common = {
+        1: b"<< /Type /Catalog /Pages 2 0 R /Names << /Dests 4 0 R >> >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Resources << >> >>",
+    }
+    # cycle: 4 -> 5 -> 4
+    cyc = dict(common)
+    cyc[4] = b"<< /Kids [5 0 R] >>"
+    cyc[5] = b"<< /Kids [4 0 R] /Names [(hit) [3 0 R /Fit]] >>"
+    doc = make_doc(cyc)
+    assert list_value(resolve1(doc.lookup_name(LIT("Dests"), b"hit")))[1] is LIT("Fit")
+    with pytest.raises(KeyError):
+        doc.lookup_name(LIT("Dests"), b"absent")  # cycle must terminate
+
+    # depth: a 5000-node /Kids chain with the leaf at the bottom
+    deep = dict(common)
+    n = 5000
+    for i in range(n):
+        objid = 4 + i
+        if i < n - 1:
+            deep[objid] = b"<< /Kids [%d 0 R] >>" % (objid + 1)
+        else:
+            deep[objid] = b"<< /Names [(deep) [3 0 R /Fit]] >>"
+    doc = make_doc(deep)
+    assert list_value(resolve1(doc.lookup_name(LIT("Dests"), b"deep")))[1] is LIT("Fit")

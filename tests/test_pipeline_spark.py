@@ -89,6 +89,18 @@ def test_resume_kill_rerun(spark, tmp_path):
     final.limit(5).withColumn("bucket", F.lit(99)).write.parquet(out + "/wave=99")
     assert read_output(spark, out, ledger).count() == df.count()
 
+    # the harder orphan: a wave dir whose BUCKETS later committed via a
+    # differently-composed wave path (buckets_per_wave changed across a
+    # crash-resume).  A bucket-only semi-join would re-admit these rows
+    # and duplicate turns; the (bucket, wave) join must not.
+    orphan = spark.read.option("basePath", out).parquet(out + "/wave=0").drop("wave")
+    orphan.write.parquet(out + "/wave=0_1")
+    assert read_output(spark, out, ledger).count() == df.count()
+    assert (
+        read_output(spark, out, ledger).select("conv_id", "turn_idx").distinct().count()
+        == df.count()
+    )
+
 
 def test_entry_contract(spark):
     import __spark_entry__ as e
