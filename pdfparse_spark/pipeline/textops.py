@@ -449,6 +449,182 @@ def text_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition filters: top-unigram mass fraction and
+    duplicate-trigram occurrence fraction, plus the pass/fail decision a
+    training pipeline actually applies.
+
+    Scale: one explode + two hash aggregates keyed by (doc_id, gram) with
+    map-side combine — the gram key includes doc_id, so hot vocabulary never
+    concentrates on one reducer; everything JVM-side, no UDFs.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", F.expr(_TOKS).alias("arr"))
+    base = d.select("doc_id", "arr", F.size("arr").alias("n_tokens"))
+    uni = (
+        base.select("doc_id", F.explode("arr").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_uni"))
+    )
+    # trigrams WITH multiplicity (repetition is the signal — no distinct)
+    tri_expr = (
+        "CASE WHEN size(arr) >= 3 THEN transform(sequence(1, size(arr) - 2), "
+        "i -> concat_ws(' ', element_at(arr, i), element_at(arr, i + 1), element_at(arr, i + 2))) "
+        "ELSE array() END"
+    )
+    tri = (
+        base.select("doc_id", F.explode(F.expr(tri_expr)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_tri"), F.count("*").alias("n_tri_distinct"))
+    )
+    out = (
+        base.select("doc_id", "n_tokens")
+        .join(uni, "doc_id", "left")
+        .join(tri, "doc_id", "left")
+        .fillna(0, ["top_uni", "n_tri", "n_tri_distinct"])
+    )
+    top_frac = F.col("top_uni") / F.greatest(F.col("n_tokens"), F.lit(1))
+    dup_frac = F.when(
+        F.col("n_tri") > 0, 1.0 - F.col("n_tri_distinct") / F.col("n_tri")
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round(top_frac, 4).alias("top_unigram_frac"),
+        F.round(dup_frac, 4).alias("dup_trigram_frac"),
+        (
+            (F.col("n_tokens") >= 8)
+            & (top_frac <= 0.2)
+            & (dup_frac <= 0.3)
+        ).cast("int").alias("gopher_pass"),
+    )
+
+
+_DECON_BENCH_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark set
+
+
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any 5-gram
+    with a (deterministic) held-out benchmark subset of the corpus.
+
+    Scale: benchmark shingles are the small side — broadcast to a semi-ish
+    join keyed by the shingle string; the training side streams through
+    with one (doc_id)-keyed aggregate.  At a real 100 TB run the benchmark
+    set (eval suites) is tiny by construction, so broadcast always fits.
+    """
+    five = (
+        "CASE WHEN size(arr) >= 5 THEN "
+        "array_distinct(transform(sequence(1, size(arr) - 4), "
+        "i -> concat_ws(' ', element_at(arr, i), element_at(arr, i + 1), "
+        "element_at(arr, i + 2), element_at(arr, i + 3), element_at(arr, i + 4)))) "
+        "ELSE array() END"
+    )
+    sh = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(_TOKS).alias("arr"))
+        .select("doc_id", F.explode(F.expr(five)).alias("sh"))
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % _DECON_BENCH_MOD == 0)
+        .select("sh")
+        .distinct()
+    )
+    train = sh.filter(F.col("doc_id") % _DECON_BENCH_MOD != 0)
+    hits = (
+        train.join(F.broadcast(bench), "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    totals = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    return (
+        totals.join(hits, "doc_id", "left")
+        .fillna(0, ["n_overlap"])
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.greatest(F.col("n_shingles"), F.lit(1)), 4).alias(
+                "contam_frac"
+            ),
+            (F.col("n_overlap") > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-order assignment: rank
+    every doc by md5(seed || doc_id) — reproducible across engines and
+    runs, unlike rand().
+
+    Scale: a single range-partitioned global sort on a 16-byte key (Spark
+    samples the key space, so partitions balance); at 100 TB this is the
+    canonical 'shuffle the corpus once before epoch 0' job.  md5 (not
+    xxhash64) so DuckDB reproduces the exact order for the oracle.
+    """
+    d = _docs(spark, sf_dir)
+    key = F.md5(F.encode(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string")), "utf-8"))
+    return (
+        d.select("doc_id", key.alias("shuffle_key"))
+        .withColumn(
+            "shuffle_rank",
+            F.row_number().over(Window.orderBy("shuffle_key", "doc_id")),
+        )
+    )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-duplicate pair graph (the step
+    that turns pairwise dedup output into keep-one-per-cluster decisions):
+    iterative min-label propagation to a fixpoint.
+
+    Scale: each iteration is one shuffle join keyed by doc_id (the classic
+    large-graph CC loop — converges in graph-diameter iterations, and dup
+    graphs are shallow); only a single scalar (the change count) crosses
+    the driver per iteration.  Oracle: DuckDB recursive-CTE transitive
+    closure — exponential in path count, viable only at oracle scale.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    edges = edges.persist()
+    while True:
+        neigh = (
+            edges.join(labels, edges.doc_a == labels.doc_id)
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).cast("long").alias("chg"),
+            )
+            .persist()
+        )
+        changed = new_labels.agg(F.sum("chg")).collect()[0][0] or 0
+        labels.unpersist()
+        labels = new_labels.drop("chg")
+        if changed == 0:
+            break
+    w = Window.partitionBy("label")
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        F.count("*").over(w).alias("cluster_size"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -659,13 +835,12 @@ _SQL_EMB_NORM = (
 
 _SQL_DOT = "list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * nv[i]))"
 
-ORACLES: dict[str, str] = {
-    "dedup_exact": (
-        "SELECT sha256(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keep_doc_id "
-        "FROM documents GROUP BY 1"
-    ),
-    "dedup_ngram_jaccard": f"""
-        WITH toks AS (
+# Capped exact-Jaccard pair CTE chain (shared by the dedup_ngram_jaccard
+# oracle and the dedup_clusters transitive-closure oracle).  A bare CTE
+# list ending in `pairs`; callers prepend WITH / WITH RECURSIVE and append
+# their own SELECT (and further CTEs).
+_SQL_JACCARD_PAIRS = f"""
+        toks AS (
             SELECT doc_id, {_SQL_TOKS} AS arr FROM documents
         ), sh0 AS (
             SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM toks
@@ -679,14 +854,25 @@ ORACLES: dict[str, str] = {
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
             FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
             GROUP BY 1, 2
+        ), pairs AS (
+            SELECT doc_a, doc_b, jaccard FROM (
+                SELECT doc_a, doc_b,
+                       round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+            ) WHERE jaccard >= 0.5
         )
-        SELECT doc_a, doc_b, jaccard FROM (
-            SELECT doc_a, doc_b,
-                   round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = doc_a
-            JOIN sizes sb ON sb.doc_id = doc_b
-        ) WHERE jaccard >= 0.5
+"""
+
+ORACLES: dict[str, str] = {
+    "dedup_exact": (
+        "SELECT sha256(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keep_doc_id "
+        "FROM documents GROUP BY 1"
+    ),
+    "dedup_ngram_jaccard": f"""
+        WITH {_SQL_JACCARD_PAIRS}
+        SELECT doc_a, doc_b, jaccard FROM pairs
     """,
     "text_langid": f"""
         WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS arr FROM documents)
@@ -863,6 +1049,87 @@ ORACLES: dict[str, str] = {
         SELECT label, count(*) AS n_vecs, round(avg(nrm), 4) AS avg_norm
         FROM ({_SQL_EMB_NORM}) GROUP BY label
     """,
+    "text_gopher_quality": f"""
+        WITH toks AS (
+            SELECT doc_id, {_SQL_TOKS} AS arr FROM documents
+        ), base AS (
+            SELECT doc_id, arr, len(arr) AS n_tokens FROM toks
+        ), uni AS (
+            SELECT doc_id, max(c) AS top_uni FROM (
+                SELECT doc_id, w, count(*) AS c
+                FROM (SELECT doc_id, unnest(arr) AS w FROM base) GROUP BY 1, 2
+            ) GROUP BY doc_id
+        ), tri AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tri, count(*) AS n_tri_distinct
+            FROM (
+                SELECT doc_id, g, count(*) AS c FROM (
+                    SELECT doc_id, unnest(list_transform(range(1, greatest(len(arr) - 1, 1)),
+                           i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS g
+                    FROM base WHERE len(arr) >= 3
+                ) GROUP BY 1, 2
+            ) GROUP BY doc_id
+        ), j AS (
+            SELECT b.doc_id, b.n_tokens,
+                   coalesce(top_uni, 0) * 1.0 / greatest(b.n_tokens, 1) AS top_frac,
+                   CASE WHEN coalesce(n_tri, 0) > 0
+                        THEN 1.0 - n_tri_distinct * 1.0 / n_tri ELSE 0.0 END AS dup_frac
+            FROM base b LEFT JOIN uni USING (doc_id) LEFT JOIN tri USING (doc_id)
+        )
+        SELECT doc_id, n_tokens,
+               round(top_frac, 4) AS top_unigram_frac,
+               round(dup_frac, 4) AS dup_trigram_frac,
+               CAST(n_tokens >= 8 AND top_frac <= 0.2 AND dup_frac <= 0.3 AS INT) AS gopher_pass
+        FROM j
+    """,
+    "decontaminate_ngram": f"""
+        WITH toks AS (
+            SELECT doc_id, {_SQL_TOKS} AS arr FROM documents
+        ), sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(arr) - 3, 1)),
+                   i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3] || ' ' || arr[i+4]))) AS sh
+            FROM toks WHERE len(arr) >= 5
+        ), bench AS (
+            SELECT DISTINCT sh FROM sh WHERE doc_id % {_DECON_BENCH_MOD} = 0
+        ), train AS (
+            SELECT * FROM sh WHERE doc_id % {_DECON_BENCH_MOD} <> 0
+        ), hits AS (
+            SELECT doc_id, count(*) AS n_overlap FROM train
+            WHERE sh IN (SELECT sh FROM bench) GROUP BY doc_id
+        ), totals AS (
+            SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.n_shingles, coalesce(h.n_overlap, 0) AS n_overlap,
+               round(coalesce(h.n_overlap, 0) * 1.0 / greatest(t.n_shingles, 1), 4) AS contam_frac,
+               CAST(coalesce(h.n_overlap, 0) > 0 AS INT) AS contaminated
+        FROM totals t LEFT JOIN hits h USING (doc_id)
+    """,
+    "docs_global_shuffle": """
+        SELECT doc_id,
+               md5('seed42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+               row_number() OVER (ORDER BY md5('seed42:' || CAST(doc_id AS VARCHAR)), doc_id)
+                   AS shuffle_rank
+        FROM documents
+    """,
+    "dedup_clusters": f"""
+        WITH RECURSIVE {_SQL_JACCARD_PAIRS},
+        und AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION
+            SELECT doc_b AS a, doc_a AS b FROM pairs
+        ), nodes AS (
+            SELECT DISTINCT a AS doc_id FROM und
+        ), reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+        ), lab AS (
+            SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+        )
+        SELECT l.doc_id, l.cluster_id, c.cluster_size
+        FROM lab l JOIN (
+            SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id
+        ) c USING (cluster_id)
+    """,
 }
 
 QUERIES = {
@@ -883,4 +1150,8 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "embed_label_stats": embed_label_stats,
     "embed_kmeans": embed_kmeans,  # rows-only (iterative; invariants in pytest)
+    "text_gopher_quality": text_gopher_quality,
+    "decontaminate_ngram": decontaminate_ngram,
+    "docs_global_shuffle": docs_global_shuffle,
+    "dedup_clusters": dedup_clusters,
 }
