@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "events_asof_join",
     "events_rollup",
     "mm_pipeline",
+    "text_gopher_quality",
+    "decontaminate_ngram",
+    "docs_global_shuffle",
+    "dedup_clusters",
 ]
 
 
