@@ -557,20 +557,40 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle for training-order assignment: rank
     every doc by md5(seed || doc_id) — reproducible across engines and
-    runs, unlike rand().
+    runs, unlike rand().  md5 (not xxhash64) so DuckDB reproduces the
+    exact order for the oracle.
 
-    Scale: a single range-partitioned global sort on a 16-byte key (Spark
-    samples the key space, so partitions balance); at 100 TB this is the
-    canonical 'shuffle the corpus once before epoch 0' job.  md5 (not
-    xxhash64) so DuckDB reproduces the exact order for the oracle.
+    Scale: a naive `row_number() OVER (ORDER BY key)` collapses to an
+    Exchange SinglePartition — every row through one task.  Instead:
+    two-phase rank.  Phase 1 ranks within 256 buckets (first md5 byte —
+    uniform by construction) under hashpartitioning; phase 2 adds each
+    bucket's global offset, a 256-row cumulative sum broadcast back.  The
+    only single-partition work is over the 256 offset rows.
     """
     d = _docs(spark, sf_dir)
     key = F.md5(F.encode(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string")), "utf-8"))
+    keyed = d.select("doc_id", key.alias("shuffle_key")).withColumn(
+        "bkt", F.substring("shuffle_key", 1, 2)
+    )
+    counts = keyed.groupBy("bkt").agg(F.count("*").alias("n"))
+    # 256 rows: the unbounded-preceding window over them is trivially cheap
+    offsets = counts.withColumn(
+        "bkt_offset",
+        F.coalesce(
+            F.sum("n").over(
+                Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("bkt", "bkt_offset")
+    w = Window.partitionBy("bkt").orderBy("shuffle_key", "doc_id")
     return (
-        d.select("doc_id", key.alias("shuffle_key"))
-        .withColumn(
-            "shuffle_rank",
-            F.row_number().over(Window.orderBy("shuffle_key", "doc_id")),
+        keyed.withColumn("bkt_rank", F.row_number().over(w))
+        .join(F.broadcast(offsets), "bkt")
+        .select(
+            "doc_id",
+            "shuffle_key",
+            (F.col("bkt_offset") + F.col("bkt_rank")).cast("int").alias("shuffle_rank"),
         )
     )
 
