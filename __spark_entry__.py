@@ -148,6 +148,52 @@ def _extract_conv_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conv_reassemble(extracted).select("conv_id", "n_turns", "n_chars")
 
 
+def _extract_split_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: per-page-parallel extraction (split_extract) must equal
+    whole-doc extraction row-for-row on a corpus with heavy multi-page
+    PDFs — the split is the straggler lever salting can't provide, and the
+    exact |Δy|>3 boundary merge is the invariant under test."""
+    import base64
+    import datetime as dt
+
+    from pdfparse_spark.fixtures.pdf_gen import build_pdf_fixtures, make_big_pdf
+    from pdfparse_spark.pipeline.extract import run_extraction
+    from pdfparse_spark.pipeline.split_extract import run_extraction_split
+    from pdfparse_spark.pipeline.transcripts import transcripts_df
+
+    _ensure_workers_can_import(spark)
+    payloads = [
+        "pdfb64:" + base64.b64encode(make_big_pdf(24, 8, seed=11).data).decode(),
+        "pdfb64:" + base64.b64encode(make_big_pdf(12, 6, seed=4).data).decode(),
+        "a plain text turn",
+    ] + ["pdfb64:" + base64.b64encode(fx.data).decode() for fx in build_pdf_fixtures()[:6]]
+    ts = dt.datetime(2026, 1, 1)
+    rows = [("sp%02d" % i, i, "user", p, "", ts) for i, p in enumerate(payloads)]
+    df = transcripts_df(spark, rows, partitions=4)
+    whole = run_extraction(df, num_partitions=8).select(
+        "conv_id", "turn_idx", "extracted_text", "spans", "parse_status"
+    )
+    split = run_extraction_split(
+        df, num_partitions=8, page_threshold=8, pages_per_seg=4
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("extracted_text").alias("s_text"),
+        F.col("spans").alias("s_spans"),
+        F.col("parse_status").alias("s_status"),
+    )
+    j = whole.join(split, ["conv_id", "turn_idx"], "full_outer")
+    eq = (
+        (F.col("extracted_text") == F.col("s_text"))
+        & (F.col("spans") == F.col("s_spans"))
+        & (F.col("parse_status") == F.col("s_status"))
+    )
+    return j.agg(
+        F.count("*").alias("n_turns"),
+        F.sum(eq.cast("long")).alias("n_identical"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdfparse_spark.pipeline import multimodal, pandas_udfs, relational, textops
 
@@ -160,6 +206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["extract_transcripts"] = _extract_transcripts
     q["extract_match_golden"] = _extract_match_golden
     q["extract_turn_offsets"] = _extract_turn_offsets
+    q["extract_split_parity"] = _extract_split_parity
     return q
 
 

@@ -29,6 +29,11 @@ class SimpleTextDevice:
         self._page_no = 0
         self._page_start = 0
         self.spans: list[tuple[int, int, int]] = []
+        # segment-merge metadata (per-page split extraction): y of the first
+        # rendered string and the final last_y, so a reassembly step can
+        # apply the |Δy|>3 newline policy EXACTLY across segment boundaries
+        self.first_y: float | None = None
+        self.rendered_any = False
 
     # --- page lifecycle ---------------------------------------------------
     def begin_page(self, page, ctm) -> None:
@@ -66,6 +71,9 @@ class SimpleTextDevice:
     # --- the policy ---------------------------------------------------------
     def render_string(self, textstate, seq) -> None:
         y = textstate.matrix[5]
+        if not self.rendered_any:
+            self.first_y = y
+            self.rendered_any = True
         chars: list[str] = []
         if abs(self._last_y - y) > 3:
             chars.append("\n")
@@ -130,3 +138,7 @@ class SimpleTextDevice:
 
     def get_text(self) -> str:
         return "".join(self._parts)
+
+    @property
+    def last_y(self) -> float:
+        return self._last_y

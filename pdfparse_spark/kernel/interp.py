@@ -627,9 +627,16 @@ def process_pdf(
     password: bytes = b"",
     maxpages: int = 0,
     caching: bool = True,
+    page_start: int = 1,
+    page_end: int | None = None,
 ) -> None:
     """Top entry point (pdfparse.lisp:2796-2816): parse → xref → pages →
-    interpret each page into the device."""
+    interpret each page into the device.
+
+    ``page_start``/``page_end`` select a 1-based half-open page window for
+    per-page-parallel extraction of huge documents: pages outside the window
+    are walked (the tree iterator is cheap) but never interpreted, so the
+    expensive content decode is confined to the window."""
     parser = PDFParser(data)
     doc = PDFDocument(caching=caching)
     parser.set_document(doc)
@@ -640,4 +647,19 @@ def process_pdf(
     for pageno, page in enumerate(doc.get_pages(), 1):
         if maxpages and pageno > maxpages:
             break
+        if pageno < page_start:
+            continue
+        if page_end is not None and pageno >= page_end:
+            break
         interpreter.process_page(page)
+
+
+def count_pdf_pages(data: bytes, password: bytes = b"") -> int:
+    """Page count via xref + page-tree walk only — no content decode, so
+    this probe is ~100x cheaper than extraction for content-heavy docs."""
+    parser = PDFParser(data)
+    doc = PDFDocument()
+    parser.set_document(doc)
+    doc.set_parser(parser)
+    doc.initialize(password)
+    return sum(1 for _ in doc.get_pages())

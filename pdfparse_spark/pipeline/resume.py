@@ -88,10 +88,17 @@ def run_resumable(
     salt: int = 64,
     fail_after_waves: int | None = None,
     telemetry: bool = False,
+    split_pages: bool = False,
 ) -> dict:
     """Run the extraction resumably.  ``fail_after_waves`` injects a crash
     after k committed waves (test hook for the kill/rerun invariant).
     Returns run stats: waves run, buckets skipped (already in ledger).
+
+    ``split_pages=True`` routes heavy documents through the per-page-
+    parallel extractor (split_extract.run_extraction_split) — identical
+    output rows, no single-task straggler on a huge PDF.  Mutually
+    exclusive with ``telemetry`` (the split path has no per-turn timing
+    column).
 
     ``telemetry=True`` runs the kernel with per-turn timing: wave output
     gains ``kernel_us``/``part_id`` columns and each ledger row records the
@@ -100,6 +107,8 @@ def run_resumable(
     both modes (null when off) so telemetry and plain waves share one
     ledger directory.
     """
+    if split_pages and telemetry:
+        raise ValueError("split_pages and telemetry are mutually exclusive")
     bdf = bucket_of(df, n_buckets)
     ledger = read_ledger(spark, ledger_dir)
     done: set[int] = set()
@@ -121,10 +130,20 @@ def run_resumable(
         wave_path = "%s/wave=%s" % (out_dir, wave_str)
         subset = bdf.filter(F.col("bucket").isin([int(b) for b in wave_buckets]))
         t0 = time.monotonic()
-        out = run_extraction(
-            subset.drop("bucket"), num_partitions=num_partitions, salt=salt,
-            telemetry=telemetry,
-        ).withColumn("bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)))
+        if split_pages:
+            from .split_extract import run_extraction_split
+
+            extracted = run_extraction_split(
+                subset.drop("bucket"), num_partitions=num_partitions, salt=salt
+            )
+        else:
+            extracted = run_extraction(
+                subset.drop("bucket"), num_partitions=num_partitions, salt=salt,
+                telemetry=telemetry,
+            )
+        out = extracted.withColumn(
+            "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))
+        )
         out.write.mode("overwrite").parquet(wave_path)
         wall_ms = int((time.monotonic() - t0) * 1000)
 

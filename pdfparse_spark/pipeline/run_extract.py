@@ -43,6 +43,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--partitions", type=int, default=None, help="salted partitions (default 4x cores)")
     p.add_argument("--salt", type=int, default=64)
     p.add_argument(
+        "--split-pages",
+        action="store_true",
+        help="per-page-parallel extraction of heavy PDFs (no single-task "
+        "straggler on a huge document); identical output rows",
+    )
+    p.add_argument(
         "--telemetry",
         action="store_true",
         help="run the kernel with per-turn timing: wave output carries "
@@ -74,6 +80,7 @@ def main(argv: list[str] | None = None) -> int:
         num_partitions=partitions,
         salt=args.salt,
         telemetry=args.telemetry,
+        split_pages=args.split_pages,
     )
     wall = time.monotonic() - t0
     out = read_output(spark, args.out + "/extracted", args.out + "/ledger")

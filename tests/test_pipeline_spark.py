@@ -288,3 +288,84 @@ def test_sessionize_asof_tz_independent(spark, tmp_path):
     assert utc == nyc
     # sanity: the 5h jump opened a second session for user 1
     assert utc[0][0] == (1, 2, 11)
+
+
+def test_split_extraction_matches_whole(spark):
+    """Per-page-parallel extraction (heavy docs split into page-range
+    segments, exact |Δy|>3 merge at boundaries) must be row-identical to
+    whole-doc extraction — including a PDF whose page boundary does NOT
+    break the line, and error-status fixtures."""
+    import base64
+    import datetime as dt
+
+    from pdfparse_spark.fixtures.pdf_gen import (
+        _assemble, _stream, build_pdf_fixtures, make_big_pdf)
+    from pdfparse_spark.pipeline.extract import run_extraction
+    from pdfparse_spark.pipeline.split_extract import run_extraction_split
+    from pdfparse_spark.pipeline.transcripts import transcripts_df
+
+    def as_turn(data):
+        return "pdfb64:" + base64.b64encode(data).decode()
+
+    # page 2 continues page 1's line (|Δy| = 1 <= 3): no boundary newline
+    cont = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+           b"/Resources << /Font << /F1 7 0 R >> >> /Contents 4 0 R >>",
+        4: _stream(b"", b"BT /F1 12 Tf 72 500 Td (end of page one ) Tj ET"),
+        5: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+           b"/Resources << /Font << /F1 7 0 R >> >> /Contents 6 0 R >>",
+        6: _stream(b"", b"BT /F1 12 Tf 72 501 Td (continues on page two) Tj ET"),
+        7: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    payloads = [as_turn(make_big_pdf(40, 10, seed=5).data),   # heavy: 40 pages
+                as_turn(make_big_pdf(9, 6, seed=2).data),     # heavy at threshold 8
+                as_turn(_assemble(cont)),                     # light, boundary case
+                "plain text turn", "<html><body><p>Hello para</p></body></html>"]
+    payloads += [as_turn(fx.data) for fx in build_pdf_fixtures()]
+    ts = dt.datetime(2026, 1, 1)
+    rows = [("c%02d" % i, i, "user", p, "", ts) for i, p in enumerate(payloads)]
+    df = transcripts_df(spark, rows, partitions=4)
+
+    whole = {(r["conv_id"], r["turn_idx"]): r for r in run_extraction(df, 8).collect()}
+    split = {(r["conv_id"], r["turn_idx"]): r
+             for r in run_extraction_split(df, 8, page_threshold=8, pages_per_seg=3).collect()}
+    assert set(whole) == set(split)
+    for k in whole:
+        w, s = whole[k], split[k]
+        assert s["extracted_text"] == w["extracted_text"], k
+        assert s["spans"] == w["spans"], k
+        assert s["parse_status"] == w["parse_status"], k
+        assert s["content_type"] == w["content_type"], k
+
+
+def test_split_extraction_spreads_heavy_doc(spark):
+    """The point of the split: one huge doc's segments land on MANY
+    partitions instead of pinning one task."""
+    import base64
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from pdfparse_spark.fixtures.pdf_gen import make_big_pdf
+    from pdfparse_spark.pipeline.split_extract import (
+        _PROBE_SCHEMA, _SEGMENT_SCHEMA, _probe_batch, _segment_batch)
+    from pdfparse_spark.pipeline.transcripts import transcripts_df
+
+    turn = "pdfb64:" + base64.b64encode(make_big_pdf(64, 8, seed=1).data).decode()
+    df = transcripts_df(
+        spark, [("conv", 0, "user", turn, "", dt.datetime(2026, 1, 1))], partitions=1)
+    probe = df.select("conv_id", "turn_idx", "text").mapInPandas(
+        _probe_batch, schema=_PROBE_SCHEMA)
+    assert probe.collect()[0]["n_pages"] == 64
+    segs = (
+        df.join(F.broadcast(probe), ["conv_id", "turn_idx"])
+        .withColumn("p_start", F.explode(F.sequence(F.lit(1), F.col("n_pages"), F.lit(8))))
+        .withColumn("p_end", F.col("p_start") + F.lit(8))
+        .withColumn("seg_idx", ((F.col("p_start") - 1) / F.lit(8)).cast("int"))
+        .repartition(8, "conv_id", "turn_idx", "seg_idx")
+    )
+    out = segs.mapInPandas(_segment_batch, schema=_SEGMENT_SCHEMA)
+    parts = out.select(F.spark_partition_id().alias("pid")).distinct().count()
+    assert parts >= 4  # 8 segments over 8 partitions; hash collisions allowed
