@@ -202,6 +202,31 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session-window operator (F.session_window, 30 min
+    gap) — the built-in face of the lag+cumsum sessionize: per (user,
+    session) event counts, value sums, and the session's end timestamp.
+
+    Semantics note (mirrored exactly in the oracle): session_window merges
+    an event into the previous session iff gap < 30 min STRICTLY, i.e. a
+    gap of exactly 1800s starts a new session — one off from the manual
+    events_sessionize rule (new session iff gap > 1800s).  Both are valid
+    sessionizations; the oracle pins each op's own rule.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window(F.col("ts").cast("timestamp"), "30 minutes"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("timestamp_ntz").alias("sess_start"),
+            F.col("session_window.end").cast("timestamp_ntz").alias("sess_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 6h event-time windows (the batch face of the streaming
     windowed-agg operator): per-window, per-type counts + value sums."""
@@ -486,6 +511,26 @@ ORACLES: dict[str, str] = {
                round(sum(value), 2) AS total_value
         FROM events GROUP BY event_type
     """,
+    "events_session_window": """
+        WITH g AS (
+            SELECT user_id, ts, event_id, value,
+                   epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+            FROM events
+        ), s AS (
+            SELECT user_id, ts, value,
+                   sum(CASE WHEN gap IS NULL OR gap >= 1800 * 1000000 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM g
+        )
+        SELECT user_id,
+               min(ts) AS sess_start,
+               max(ts) + INTERVAL 30 MINUTE AS sess_end,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM s GROUP BY user_id, sid
+    """,
     "events_tumbling_window": """
         SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start, event_type,
                count(*) AS n_events, round(sum(value), 2) AS total_value
@@ -591,6 +636,7 @@ QUERIES = {
     "r13_status_reassembly": r13_status_reassembly,
     "r14_event_users": r14_event_users,
     "events_sessionize": events_sessionize,
+    "events_session_window": events_session_window,
     "events_tumbling_window": events_tumbling_window,
     "r15_set_ops": r15_set_ops,
     "events_approx_users": events_approx_users,  # rows-only (sketch)

@@ -162,14 +162,25 @@ def run_extraction_split(
     salt: int = 64,
     page_threshold: int = 32,
     pages_per_seg: int = 8,
+    probe_min_bytes: int = 0,
 ) -> DataFrame:
     """Extraction with per-page parallelism for heavy documents.  Output
-    rows are identical to :func:`run_extraction` (schema and values)."""
+    rows are identical to :func:`run_extraction` (schema and values).
+
+    ``probe_min_bytes`` skips the page-count probe for payloads below the
+    threshold (a JVM-side length check): kernel time scales with content
+    size, so a small payload cannot be a straggler regardless of its page
+    count — at scale this keeps the probe off the long tail of small docs
+    entirely.
+    """
     cols = ["conv_id", "turn_idx", "role", "tool", "ts", "text"]
     df = df.select(*cols)
     is_pdf = F.col("text").startswith("pdfb64:") | F.col("text").startswith("%PDF-")
+    probe_pred = is_pdf
+    if probe_min_bytes > 0:
+        probe_pred = probe_pred & (F.length("text") >= probe_min_bytes)
     probe = (
-        df.filter(is_pdf)
+        df.filter(probe_pred)
         .select("conv_id", "turn_idx", "text")
         .mapInPandas(_probe_batch, schema=_PROBE_SCHEMA)
     )
