@@ -339,3 +339,37 @@ def test_lookup_name_cycle_and_depth_hardened():
             deep[objid] = b"<< /Names [(deep) [3 0 R /Fit]] >>"
     doc = make_doc(deep)
     assert list_value(resolve1(doc.lookup_name(LIT("Dests"), b"deep")))[1] is LIT("Fit")
+
+
+def test_split_merge_mid_doc_error_parity():
+    """A corrupt page mid-document: split extraction must truncate exactly
+    where whole-doc extraction stops (partial text kept, later segments
+    dropped, same error status) at every segment size."""
+    import base64
+
+    from pdfparse_spark.fixtures.pdf_gen import _assemble, _stream
+    from pdfparse_spark.kernel.extract import (
+        extract_pdf_segment, extract_turn, merge_pdf_segments, probe_pdf_pages)
+
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R 5 0 R 7 0 R 9 0 R] /Count 4 >>",
+        11: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    for i, page_id in enumerate((3, 5, 7, 9)):
+        cid = page_id + 1
+        bodies[page_id] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 11 0 R >> >> /Contents %d 0 R >>" % cid
+        )
+        if page_id == 7:  # page 3: corrupt Flate stream -> error mid-doc
+            bodies[cid] = b"<< /Filter /FlateDecode /Length 6 >>\nstream\nXXXXXX\nendstream"
+        else:
+            bodies[cid] = _stream(b"", b"BT /F1 12 Tf 72 720 Td (page %d text) Tj ET" % (i + 1))
+    t = "pdfb64:" + base64.b64encode(_assemble(bodies)).decode()
+    _, text, spans, status = extract_turn(t)
+    assert status.startswith("error:") and text.endswith("page 2 text")
+    n = probe_pdf_pages(t)
+    for pps in (1, 2, 3):
+        segs = [extract_pdf_segment(t, a, a + pps) for a in range(1, n + 1, pps)]
+        assert merge_pdf_segments(segs) == (text, [tuple(s) for s in spans], status), pps

@@ -160,3 +160,48 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     batch = dedup_stream(spark.createDataFrame(rows, INPUT_SCHEMA))
     assert got.count() == batch.count() == 3
     assert {r["text"] for r in got.collect()} == {"alpha", "beta", "gamma"}
+
+
+def test_streaming_sessions_watermark_append(spark, tmp_path):
+    """Native session_window sessionization in append mode: sessions closed
+    by the watermark emit exactly the batch aggregation's rows; the
+    sentinel's own (still-open) session stays unemitted."""
+    import datetime as dt
+
+    from pdfparse_spark.pipeline.extract import OUTPUT_SCHEMA
+    from pdfparse_spark.streaming.sessions import conv_sessions, start_conv_sessions
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def row(conv, idx, minute, second, n_chars, status="ok"):
+        return (conv, idx, "user", "", base + dt.timedelta(minutes=minute, seconds=second),
+                "text", "x" * n_chars, [], status, n_chars)
+
+    # c1: two sessions (turns at 0-1 min, then a >5 min quiet gap, then 10 min)
+    # c2: one session with a failed parse inside
+    early = [
+        row("c1", 0, 0, 10, 10),
+        row("c1", 1, 1, 0, 20),
+        row("c1", 2, 10, 0, 30),
+        row("c2", 0, 2, 0, 40),
+        row("c2", 1, 3, 0, 0, "error:PSEOF"),
+    ]
+    sentinel = [row("c9", 0, 120, 0, 1)]
+
+    in_dir = tmp_path / "extracted"
+    in_dir.mkdir()
+    spark.createDataFrame(early, OUTPUT_SCHEMA).coalesce(1).write.parquet(str(in_dir / "f1"))
+    spark.createDataFrame(sentinel, OUTPUT_SCHEMA).coalesce(1).write.parquet(str(in_dir / "f2"))
+
+    out_dir, ck = str(tmp_path / "sessions"), str(tmp_path / "ck")
+    q = start_conv_sessions(spark, str(in_dir) + "/f*", out_dir, ck,
+                            gap="5 minutes", watermark_delay="10 minutes")
+    q.awaitTermination(120)
+
+    got = {(r["conv_id"], r["sess_start"]): (r["n_turns"], r["total_chars"], r["n_ok"])
+           for r in spark.read.parquet(out_dir).collect()}
+    expected = {(r["conv_id"], r["sess_start"]): (r["n_turns"], r["total_chars"], r["n_ok"])
+                for r in conv_sessions(
+                    spark.createDataFrame(early, OUTPUT_SCHEMA)).collect()}
+    assert got == expected
+    assert len(got) == 3  # c1 x2 sessions + c2 x1; sentinel session unemitted
