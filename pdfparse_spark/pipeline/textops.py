@@ -645,6 +645,51 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end near-dup dedup DECISION: pair graph → connected
+    components → keep the best-quality doc per cluster (doc_id tie-break),
+    emit survivor + displaced count — what a training pipeline actually
+    writes back.
+
+    Scale: clusters from the iterative CC loop (see dedup_clusters); the
+    survivor choice is one window over cluster_id — cluster sizes are
+    bounded by real-world dup multiplicity, so the per-partition sort is
+    tiny.  Quality is the text_quality composite, unrounded (ranking only).
+    """
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    d = _docs(spark, sf_dir).select("doc_id", "text", F.expr(_TOKS).alias("arr"))
+    scored = d.select(
+        "doc_id",
+        (
+            F.least(F.size("arr") / F.lit(64.0), F.lit(1.0))
+            * (
+                0.5
+                + 0.5
+                * (
+                    F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
+                    / F.greatest(F.length("text"), F.lit(1))
+                )
+            )
+            * (
+                1.0
+                - 0.5
+                * (
+                    F.expr("size(filter(arr, w -> w IN ('the','a','and','of','to','in','is')))")
+                    / F.greatest(F.size("arr"), F.lit(1))
+                )
+            )
+        ).alias("q"),
+    )
+    j = clusters.join(scored, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.col("q").desc(), F.col("doc_id"))
+    ranked = j.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("cluster_id").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keep_doc_id"),
+        (F.count("*") - 1).alias("n_discarded"),
+        F.round(F.max("q"), 4).alias("best_quality"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -1130,6 +1175,41 @@ ORACLES: dict[str, str] = {
                    AS shuffle_rank
         FROM documents
     """,
+    "dedup_cluster_keep_best": f"""
+        WITH RECURSIVE {_SQL_JACCARD_PAIRS},
+        und AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION
+            SELECT doc_b AS a, doc_a AS b FROM pairs
+        ), nodes AS (
+            SELECT DISTINCT a AS doc_id FROM und
+        ), reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+        ), lab AS (
+            SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+        ), scored AS (
+            SELECT doc_id,
+                   least(len({_SQL_TOKS}) / 64.0, 1.0)
+                   * (0.5 + 0.5 * (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                                   * 1.0 / greatest(length(text), 1)))
+                   * (1.0 - 0.5 * (len(list_filter({_SQL_TOKS},
+                                       w -> w IN ('the','a','and','of','to','in','is')))
+                                   * 1.0 / greatest(len({_SQL_TOKS}), 1))) AS q
+            FROM documents
+        ), ranked AS (
+            SELECT l.cluster_id, s.doc_id, s.q,
+                   row_number() OVER (PARTITION BY l.cluster_id
+                                      ORDER BY s.q DESC, s.doc_id) AS rn
+            FROM lab l JOIN scored s USING (doc_id)
+        )
+        SELECT cluster_id,
+               min(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+               count(*) - 1 AS n_discarded,
+               round(max(q), 4) AS best_quality
+        FROM ranked GROUP BY cluster_id
+    """,
     "dedup_clusters": f"""
         WITH RECURSIVE {_SQL_JACCARD_PAIRS},
         und AS (
@@ -1174,4 +1254,5 @@ QUERIES = {
     "decontaminate_ngram": decontaminate_ngram,
     "docs_global_shuffle": docs_global_shuffle,
     "dedup_clusters": dedup_clusters,
+    "dedup_cluster_keep_best": dedup_cluster_keep_best,
 }
