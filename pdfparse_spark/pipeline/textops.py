@@ -567,9 +567,15 @@ def docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket's global offset, a 256-row cumulative sum broadcast back.  The
     only single-partition work is over the 256 offset rows.
     """
-    d = _docs(spark, sf_dir)
+    return _md5_shuffle_rank(_docs(spark, sf_dir))
+
+
+def _md5_shuffle_rank(d: DataFrame, *extra_cols: str) -> DataFrame:
+    """Two-phase deterministic global rank by md5(seed || doc_id) over any
+    DataFrame with a doc_id column (see docs_global_shuffle for the scale
+    argument); ``extra_cols`` are carried through."""
     key = F.md5(F.encode(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string")), "utf-8"))
-    keyed = d.select("doc_id", key.alias("shuffle_key")).withColumn(
+    keyed = d.select("doc_id", *extra_cols).withColumn("shuffle_key", key).withColumn(
         "bkt", F.substring("shuffle_key", 1, 2)
     )
     counts = keyed.groupBy("bkt").agg(F.count("*").alias("n"))
@@ -589,6 +595,7 @@ def docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(offsets), "bkt")
         .select(
             "doc_id",
+            *extra_cols,
             "shuffle_key",
             (F.col("bkt_offset") + F.col("bkt_rank")).cast("int").alias("shuffle_rank"),
         )
@@ -642,6 +649,43 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("label").alias("cluster_id"),
         F.count("*").over(w).alias("cluster_size"),
+    )
+
+
+def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation pipeline a training run actually executes, as
+    one Catalyst plan: repetition-quality filter (gopher_pass) ∧ near-dup
+    cluster survivorship (keep-best) → deterministic training-order rank.
+
+    Scale: each leg keeps its own documented plan shape (doc_id-keyed
+    aggregates, CC loop, broadcast offsets); the composition joins on
+    doc_id only — the fat text column is consumed inside each leg and
+    never crosses a join.
+    """
+    passed = text_gopher_quality(spark, sf_dir).filter(
+        F.col("gopher_pass") == 1
+    ).select("doc_id", "n_tokens")
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    keepers = dedup_cluster_keep_best(spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    # clustered docs that are NOT their cluster's survivor get dropped
+    dropped = clusters.join(keepers, "doc_id", "left_anti").select("doc_id")
+    curated = passed.join(dropped, "doc_id", "left_anti")
+    return _md5_shuffle_rank(curated, "n_tokens")
+
+
+def text_length_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of text_length_stats: approx_percentile (a mergeable
+    t-digest-style sketch — map-side partials, constant-size merge) instead
+    of exact percentile's per-group sort.  Rows-only check (sketch output
+    is implementation-defined); the ±1% accuracy band vs the exact op is
+    pinned in pytest."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.expr("approx_percentile(n_chars, 0.5, 10000)"), 2).alias("p50_chars"),
+        F.round(F.expr("approx_percentile(n_chars, 0.9, 10000)"), 2).alias("p90_chars"),
     )
 
 
@@ -930,6 +974,37 @@ _SQL_JACCARD_PAIRS = f"""
         )
 """
 
+# Gopher repetition-quality CTE chain (names prefixed g* so it composes
+# with the jaccard chain inside one statement).  Ends with `gj`
+# (doc_id, n_tokens, top_frac, dup_frac); callers prepend WITH [RECURSIVE].
+_SQL_GOPHER_CTES = f"""
+        gtoks AS (
+            SELECT doc_id, {_SQL_TOKS} AS arr FROM documents
+        ), gbase AS (
+            SELECT doc_id, arr, len(arr) AS n_tokens FROM gtoks
+        ), guni AS (
+            SELECT doc_id, max(c) AS top_uni FROM (
+                SELECT doc_id, w, count(*) AS c
+                FROM (SELECT doc_id, unnest(arr) AS w FROM gbase) GROUP BY 1, 2
+            ) GROUP BY doc_id
+        ), gtri AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tri, count(*) AS n_tri_distinct
+            FROM (
+                SELECT doc_id, g, count(*) AS c FROM (
+                    SELECT doc_id, unnest(list_transform(range(1, greatest(len(arr) - 1, 1)),
+                           i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS g
+                    FROM gbase WHERE len(arr) >= 3
+                ) GROUP BY 1, 2
+            ) GROUP BY doc_id
+        ), gj AS (
+            SELECT b.doc_id, b.n_tokens,
+                   coalesce(top_uni, 0) * 1.0 / greatest(b.n_tokens, 1) AS top_frac,
+                   CASE WHEN coalesce(n_tri, 0) > 0
+                        THEN 1.0 - n_tri_distinct * 1.0 / n_tri ELSE 0.0 END AS dup_frac
+            FROM gbase b LEFT JOIN guni USING (doc_id) LEFT JOIN gtri USING (doc_id)
+        )
+"""
+
 ORACLES: dict[str, str] = {
     "dedup_exact": (
         "SELECT sha256(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keep_doc_id "
@@ -1115,36 +1190,12 @@ ORACLES: dict[str, str] = {
         FROM ({_SQL_EMB_NORM}) GROUP BY label
     """,
     "text_gopher_quality": f"""
-        WITH toks AS (
-            SELECT doc_id, {_SQL_TOKS} AS arr FROM documents
-        ), base AS (
-            SELECT doc_id, arr, len(arr) AS n_tokens FROM toks
-        ), uni AS (
-            SELECT doc_id, max(c) AS top_uni FROM (
-                SELECT doc_id, w, count(*) AS c
-                FROM (SELECT doc_id, unnest(arr) AS w FROM base) GROUP BY 1, 2
-            ) GROUP BY doc_id
-        ), tri AS (
-            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tri, count(*) AS n_tri_distinct
-            FROM (
-                SELECT doc_id, g, count(*) AS c FROM (
-                    SELECT doc_id, unnest(list_transform(range(1, greatest(len(arr) - 1, 1)),
-                           i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS g
-                    FROM base WHERE len(arr) >= 3
-                ) GROUP BY 1, 2
-            ) GROUP BY doc_id
-        ), j AS (
-            SELECT b.doc_id, b.n_tokens,
-                   coalesce(top_uni, 0) * 1.0 / greatest(b.n_tokens, 1) AS top_frac,
-                   CASE WHEN coalesce(n_tri, 0) > 0
-                        THEN 1.0 - n_tri_distinct * 1.0 / n_tri ELSE 0.0 END AS dup_frac
-            FROM base b LEFT JOIN uni USING (doc_id) LEFT JOIN tri USING (doc_id)
-        )
+        WITH {_SQL_GOPHER_CTES}
         SELECT doc_id, n_tokens,
                round(top_frac, 4) AS top_unigram_frac,
                round(dup_frac, 4) AS dup_trigram_frac,
                CAST(n_tokens >= 8 AND top_frac <= 0.2 AND dup_frac <= 0.3 AS INT) AS gopher_pass
-        FROM j
+        FROM gj
     """,
     "decontaminate_ngram": f"""
         WITH toks AS (
@@ -1210,6 +1261,48 @@ ORACLES: dict[str, str] = {
                round(max(q), 4) AS best_quality
         FROM ranked GROUP BY cluster_id
     """,
+    "corpus_curate": f"""
+        WITH RECURSIVE {_SQL_JACCARD_PAIRS},
+        und AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION
+            SELECT doc_b AS a, doc_a AS b FROM pairs
+        ), nodes AS (
+            SELECT DISTINCT a AS doc_id FROM und
+        ), reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+        ), lab AS (
+            SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+        ), cscored AS (
+            SELECT doc_id,
+                   least(len({_SQL_TOKS}) / 64.0, 1.0)
+                   * (0.5 + 0.5 * (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                                   * 1.0 / greatest(length(text), 1)))
+                   * (1.0 - 0.5 * (len(list_filter({_SQL_TOKS},
+                                       w -> w IN ('the','a','and','of','to','in','is')))
+                                   * 1.0 / greatest(len({_SQL_TOKS}), 1))) AS q
+            FROM documents
+        ), cranked AS (
+            SELECT l.cluster_id, s.doc_id,
+                   row_number() OVER (PARTITION BY l.cluster_id
+                                      ORDER BY s.q DESC, s.doc_id) AS rn
+            FROM lab l JOIN cscored s USING (doc_id)
+        ), dropped AS (
+            SELECT doc_id FROM cranked WHERE rn > 1
+        ), {_SQL_GOPHER_CTES},
+        curated AS (
+            SELECT doc_id, n_tokens FROM gj
+            WHERE n_tokens >= 8 AND top_frac <= 0.2 AND dup_frac <= 0.3
+              AND doc_id NOT IN (SELECT doc_id FROM dropped)
+        )
+        SELECT doc_id, n_tokens,
+               md5('seed42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+               row_number() OVER (ORDER BY md5('seed42:' || CAST(doc_id AS VARCHAR)), doc_id)
+                   AS shuffle_rank
+        FROM curated
+    """,
     "dedup_clusters": f"""
         WITH RECURSIVE {_SQL_JACCARD_PAIRS},
         und AS (
@@ -1255,4 +1348,6 @@ QUERIES = {
     "docs_global_shuffle": docs_global_shuffle,
     "dedup_clusters": dedup_clusters,
     "dedup_cluster_keep_best": dedup_cluster_keep_best,
+    "text_length_stats_approx": text_length_stats_approx,  # rows-only (sketch)
+    "corpus_curate": corpus_curate,
 }

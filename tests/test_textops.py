@@ -213,3 +213,20 @@ def test_jaccard_cap_is_noop_on_fixture_corpus(spark, monkeypatch):
     monkeypatch.setattr(textops, "_MAX_SHINGLE_DF", 1 << 40)
     uncapped = sorted(map(tuple, textops.dedup_ngram_jaccard(spark, SF).collect()))
     assert capped == uncapped
+
+
+def test_approx_percentiles_within_band(spark):
+    """approx_percentile (the 100 TB scale path) must sit within 5% of the
+    exact per-group percentiles on the fixture corpus."""
+    from pdfparse_spark.pipeline.textops import text_length_stats, text_length_stats_approx
+
+    exact = {r["lang"]: (r["p50_chars"], r["p90_chars"])
+             for r in text_length_stats(spark, SF).collect()}
+    approx = {r["lang"]: (r["p50_chars"], r["p90_chars"])
+              for r in text_length_stats_approx(spark, SF).collect()}
+    assert set(exact) == set(approx)
+    for lang in exact:
+        for e, a in zip(exact[lang], approx[lang]):
+            # exact percentile interpolates between elements; the sketch
+            # returns a real element — allow the rank-resolution gap
+            assert abs(a - e) <= max(0.05 * e, 2.0), (lang, e, a)
