@@ -145,6 +145,60 @@ def mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(mm_pipeline_batch, schema=MM_PIPELINE_SCHEMA)
 
 
+MM_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("sample_rate", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("n_chunks", T.LongType(), False),
+        T.StructField("last_chunk_samples", T.LongType(), False),
+    ]
+)
+
+_AUDIO_RATES = (8000, 16000, 22050, 44100)
+
+
+def _fake_audio_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for an audio header parse (16-bit mono PCM
+    shape): rate from a byte-derived table, samples = bytes // 2.  A real
+    deployment swaps in soundfile/av — integer math keeps the DuckDB
+    oracle exact."""
+    n = len(payload)
+    rate = _AUDIO_RATES[n % 4]
+    return n, rate, n // 2
+
+
+def mm_audio_chunks_batch(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """decode → fixed 1-second chunking in ONE mapInPandas pass — the
+    audio face of the frame-sampling plumbing (chunk boundaries feed a
+    feature extractor on a real cluster)."""
+    for pdf in batches:
+        cols: dict[str, list] = {k: [] for k in
+                                 ("n_bytes", "sample_rate", "n_samples",
+                                  "n_chunks", "last_chunk_samples")}
+        for payload in pdf["payload"]:
+            n, rate, samples = _fake_audio_decode(bytes(payload) if payload is not None else b"")
+            chunks = (samples + rate - 1) // rate
+            cols["n_bytes"].append(n)
+            cols["sample_rate"].append(rate)
+            cols["n_samples"].append(samples)
+            cols["n_chunks"].append(chunks)
+            cols["last_chunk_samples"].append(
+                samples - (chunks - 1) * rate if chunks > 0 else 0
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], **cols})
+
+
+def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-payload plumbing: opaque binary → decoded meta → 1-second
+    chunk plan, one Arrow crossing (same batch discipline as mm_pipeline)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return docs.mapInPandas(mm_audio_chunks_batch, schema=MM_AUDIO_SCHEMA)
+
+
 ORACLES = {
     # the stub's arithmetic is deliberately SQL-expressible so even the
     # mapInPandas plumbing gets a value-level oracle check
@@ -174,6 +228,26 @@ ORACLES = {
                array_to_string(range(0, n_frames, 4), ',') AS frames_csv
         FROM meta
     """,
+    "mm_audio_chunks": """
+        WITH meta AS (
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   ([8000, 16000, 22050, 44100])[octet_length(encode(text)) % 4 + 1]
+                       AS sample_rate,
+                   octet_length(encode(text)) // 2 AS n_samples
+            FROM documents
+        )
+        SELECT doc_id, n_bytes, sample_rate, n_samples,
+               (n_samples + sample_rate - 1) // sample_rate AS n_chunks,
+               CASE WHEN n_samples > 0
+                    THEN n_samples - ((n_samples + sample_rate - 1) // sample_rate - 1) * sample_rate
+                    ELSE 0 END AS last_chunk_samples
+        FROM meta
+    """,
 }
 
-QUERIES = {"mm_decode_meta": mm_decode_meta, "mm_pipeline": mm_pipeline}
+QUERIES = {
+    "mm_decode_meta": mm_decode_meta,
+    "mm_pipeline": mm_pipeline,
+    "mm_audio_chunks": mm_audio_chunks,
+}

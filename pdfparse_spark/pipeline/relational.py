@@ -404,6 +404,46 @@ def r11_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: per user the
+    earliest view, the earliest click strictly after it, the earliest
+    purchase strictly after that; one summary row of stage counts.
+
+    Scale: three conditional-min aggregates keyed by user_id — the two
+    "after previous stage" legs are doc-keyed joins back to the same
+    hash-partitioned aggregate, never a window over the full event log.
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("v_ts")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    # tagged union, one final aggregate — no joins between the stage counts
+    u = (
+        v.select(F.lit(1).alias("stage"))
+        .unionByName(c.select(F.lit(2).alias("stage")))
+        .unionByName(p.select(F.lit(3).alias("stage")))
+    )
+    return u.agg(
+        F.sum((F.col("stage") == 1).cast("long")).alias("n_view"),
+        F.sum((F.col("stage") == 2).cast("long")).alias("n_click_after_view"),
+        F.sum((F.col("stage") == 3).cast("long")).alias("n_purchase_after_click"),
+    )
+
+
 def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level top-20 word bigrams (explode + count + top-k) over
     documents — the corpus-statistics face of the shingle machinery."""
@@ -604,6 +644,25 @@ ORACLES: dict[str, str] = {
         SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
         ORDER BY n DESC, bigram LIMIT 20
     """,
+    "events_funnel": """
+        WITH v AS (
+            SELECT user_id, min(ts) AS v_ts FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, min(e.ts) AS c_ts
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.v_ts
+            GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, min(e.ts) AS p_ts
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM v) AS n_view,
+               (SELECT count(*) FROM c) AS n_click_after_view,
+               (SELECT count(*) FROM p) AS n_purchase_after_click
+    """,
     "events_sessionize": """
         WITH g AS (
             SELECT user_id, ts, event_id,
@@ -647,4 +706,5 @@ QUERIES = {
     "events_pivot": events_pivot,
     "r11_json_extract": r11_json_extract,
     "text_ngrams": text_ngrams,
+    "events_funnel": events_funnel,
 }
