@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "decontaminate_ngram",
     "docs_global_shuffle",
     "dedup_clusters",
+    "corpus_curate",
+    "events_session_window",
+    "events_funnel",
 ]
 
 
