@@ -630,15 +630,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("doc_b").alias("doc_id"))
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neigh, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
-                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).cast("long").alias("chg"),
-            )
-            .persist()
+        new_labels = labels.join(neigh, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).cast("long").alias("chg"),
         )
+        # localCheckpoint (eager) both materializes the round AND truncates
+        # lineage — without it the logical plan grows by one join per
+        # iteration (a 21k-line plan by convergence; planning time and
+        # driver memory scale with iterations).  On a production cluster
+        # prefer checkpoint() with a checkpoint dir for fault tolerance.
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.agg(F.sum("chg")).collect()[0][0] or 0
         labels.unpersist()
         labels = new_labels.drop("chg")
