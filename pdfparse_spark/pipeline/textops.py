@@ -55,6 +55,14 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # discrimination) — standard practice in web-scale near-dedup.  128 is far
 # above the max df on the test corpora (25 at sf0.1), so small-scale results
 # are bit-identical; at 100 TB it bounds the worst key to 128² pairs.
+#
+# Trade-off, stated honestly: a MUTUALLY-near-duplicate cluster larger than
+# the cap shares shingles whose df exceeds it, so the cap can hide such a
+# mega-cluster from the sketch.  The pipeline order defuses this: run
+# dedup_exact / dedup_keep_best FIRST (identical copies — the usual cause of
+# df that high — collapse to one representative before near-dup runs), and
+# at production scale raise the cap toward a corpus-relative threshold
+# (e.g. max(128, 0.1% of docs)) rather than lowering it.
 _MAX_SHINGLE_DF = 128
 
 

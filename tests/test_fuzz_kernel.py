@@ -315,3 +315,49 @@ def test_corrupted_owner_hash_rejected():
     bad = data[:k] + (b"00" if data[k : k + 2] != b"00" else b"ff") + data[k + 2 :]
     text, spans, status = extract_pdf_bytes(bad)
     assert status == "error:PDFEncryptionError"
+
+
+def test_fuzz_split_merge_parity_on_corrupted_pdfs():
+    """Randomized corruption sweep (truncations, byte flips, deletions):
+    wherever the probe can count pages, per-page split extraction must be
+    byte-identical to whole-doc extraction — including error statuses.
+    Probe failures route to the whole-doc path (as run_extraction_split
+    does), so they are parity-exempt by construction."""
+    import base64
+    import random
+
+    from pdfparse_spark.fixtures.pdf_gen import build_pdf_fixtures, make_big_pdf
+    from pdfparse_spark.kernel.extract import (
+        extract_pdf_segment, extract_turn, merge_pdf_segments, probe_pdf_pages)
+
+    rng = random.Random(1234)
+    fixtures = [fx.data for fx in build_pdf_fixtures()[:8]]
+    fixtures += [make_big_pdf(6, 8, seed=s).data for s in range(2)]
+    checked = 0
+    for data in fixtures:
+        variants = [data]
+        for _ in range(12):
+            v = bytearray(data)
+            op = rng.randrange(3)
+            if op == 0 and len(v) > 10:
+                v = v[: rng.randrange(1, len(v))]
+            elif op == 1:
+                for _ in range(rng.randint(1, 8)):
+                    v[rng.randrange(len(v))] = rng.randrange(256)
+            else:
+                a = rng.randrange(len(v))
+                del v[a:min(len(v), a + rng.randint(1, 200))]
+            variants.append(bytes(v))
+        for v in variants:
+            t = "pdfb64:" + base64.b64encode(v).decode()
+            _, text, spans, status = extract_turn(t)
+            n = probe_pdf_pages(t)
+            if n <= 0:
+                continue  # planner uses the whole-doc path for these
+            for pps in (1, 3):
+                segs = [extract_pdf_segment(t, a, a + pps) for a in range(1, n + 1, pps)]
+                assert merge_pdf_segments(segs) == (
+                    text, [tuple(s) for s in spans], status
+                ), (len(v), pps, status)
+                checked += 1
+    assert checked > 50
