@@ -163,6 +163,7 @@ def run_extraction_split(
     page_threshold: int = 32,
     pages_per_seg: int = 8,
     probe_min_bytes: int = 0,
+    max_segments_per_doc: int = 64,
 ) -> DataFrame:
     """Extraction with per-page parallelism for heavy documents.  Output
     rows are identical to :func:`run_extraction` (schema and values).
@@ -172,6 +173,12 @@ def run_extraction_split(
     size, so a small payload cannot be a straggler regardless of its page
     count — at scale this keeps the probe off the long tail of small docs
     entirely.
+
+    ``max_segments_per_doc`` widens segments for extreme page counts so a
+    doc never fans out into more than this many tasks: each segment's
+    page-tree walk is O(total pages), so total walk work is
+    O(pages x segments) — capping segments bounds that overhead factor
+    while 64-way fan-out already removes the straggler.
     """
     cols = ["conv_id", "turn_idx", "role", "tool", "ts", "text"]
     df = df.select(*cols)
@@ -187,15 +194,21 @@ def run_extraction_split(
     heavy_keys = probe.filter(F.col("n_pages") > page_threshold)
 
     heavy = df.join(F.broadcast(heavy_keys), ["conv_id", "turn_idx"])
+    seg_pages = F.greatest(
+        F.lit(pages_per_seg),
+        F.ceil(F.col("n_pages") / F.lit(max_segments_per_doc)).cast("int"),
+    )
     segs_in = (
-        heavy.withColumn(
-            "p_start",
-            F.explode(F.sequence(F.lit(1), F.col("n_pages"), F.lit(pages_per_seg))),
-        )
-        .withColumn("p_end", F.col("p_start") + F.lit(pages_per_seg))
+        heavy.withColumn("seg_pages", seg_pages)
         .withColumn(
-            "seg_idx", ((F.col("p_start") - 1) / F.lit(pages_per_seg)).cast("int")
+            "p_start",
+            F.explode(F.sequence(F.lit(1), F.col("n_pages"), F.col("seg_pages"))),
         )
+        .withColumn("p_end", F.col("p_start") + F.col("seg_pages"))
+        .withColumn(
+            "seg_idx", ((F.col("p_start") - 1) / F.col("seg_pages")).cast("int")
+        )
+        .drop("seg_pages")
     )
     if num_partitions:
         # spread SEGMENTS (not docs): one huge doc fans out across tasks
