@@ -113,13 +113,33 @@ def probe_pdf_pages(text: str) -> int:
         return -1
 
 
-def extract_pdf_segment(text: str, page_start: int, page_end: int) -> dict:
+def probe_pdf_pages_validated(text: str) -> tuple[int, bool]:
+    """(n_pages, counts_ok) for the split planner; (-1, False) when
+    unparseable.  counts_ok permits the Count-skipping fast window walk in
+    segments (O(window) instead of O(total pages) tree traversal)."""
+    from .interp import count_pdf_pages_validated
+
+    data = decode_pdf_payload(text)
+    if data is None:
+        return -1, False
+    try:
+        return count_pdf_pages_validated(data)
+    except Exception:
+        return -1, False
+
+
+def extract_pdf_segment(
+    text: str, page_start: int, page_end: int, fast: bool = False
+) -> dict:
     """Extract one page window [page_start, page_end) of a PDF turn.
 
     Returns segment text/spans/status plus the merge metadata: y of the
     segment's first rendered string, the device's final last_y, and whether
     anything rendered.  Page numbers in spans are window-local (1-based);
     the merge adds the window offset back.
+
+    ``fast=True`` is only valid when probe_pdf_pages_validated returned
+    counts_ok — it enables the /Count subtree-skipping window walk.
     """
     from .interp import process_pdf
 
@@ -131,7 +151,8 @@ def extract_pdf_segment(text: str, page_start: int, page_end: int) -> dict:
             "first_y": None, "last_y": None, "rendered_any": False,
         }
     try:
-        process_pdf(device, data, page_start=page_start, page_end=page_end)
+        process_pdf(device, data, page_start=page_start, page_end=page_end,
+                    fast_window=fast)
         status = "ok"
     except PDFNotImplementedError:
         status = "unsupported_filter"

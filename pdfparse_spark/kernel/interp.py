@@ -629,6 +629,7 @@ def process_pdf(
     caching: bool = True,
     page_start: int = 1,
     page_end: int | None = None,
+    fast_window: bool = False,
 ) -> None:
     """Top entry point (pdfparse.lisp:2796-2816): parse → xref → pages →
     interpret each page into the device.
@@ -636,7 +637,12 @@ def process_pdf(
     ``page_start``/``page_end`` select a 1-based half-open page window for
     per-page-parallel extraction of huge documents: pages outside the window
     are walked (the tree iterator is cheap) but never interpreted, so the
-    expensive content decode is confined to the window."""
+    expensive content decode is confined to the window.
+
+    ``fast_window=True`` (only valid when the document's /Count fields were
+    validated — ``count_pdf_pages_validated``) skips whole pre-window
+    subtrees via /Count instead of walking every page node: the walk cost
+    drops from O(total pages) to O(window + tree breadth) per segment."""
     parser = PDFParser(data)
     doc = PDFDocument(caching=caching)
     parser.set_document(doc)
@@ -644,6 +650,10 @@ def process_pdf(
     doc.initialize(password)
     rsrcmgr = PDFResourceManager(caching)
     interpreter = PDFPageInterpreter(rsrcmgr, device)
+    if fast_window and page_end is not None:
+        for _pageno, page in doc.get_pages_window(page_start, page_end):
+            interpreter.process_page(page)
+        return
     for pageno, page in enumerate(doc.get_pages(), 1):
         if maxpages and pageno > maxpages:
             break
@@ -663,3 +673,15 @@ def count_pdf_pages(data: bytes, password: bytes = b"") -> int:
     doc.set_parser(parser)
     doc.initialize(password)
     return sum(1 for _ in doc.get_pages())
+
+
+def count_pdf_pages_validated(data: bytes, password: bytes = b"") -> tuple[int, bool]:
+    """(n_pages, counts_ok) — the probe for the split planner: counts_ok
+    means every /Pages node's /Count matched its actual subtree and no
+    cycles exist, so segments may use the Count-skipping fast window walk."""
+    parser = PDFParser(data)
+    doc = PDFDocument()
+    parser.set_document(doc)
+    doc.set_parser(parser)
+    doc.initialize(password)
+    return doc.count_pages_validated()

@@ -33,6 +33,7 @@ LITERAL_CATALOG = LIT("Catalog")
 LITERAL_TYPE = LIT("Type")
 LITERAL_KIDS = LIT("Kids")
 LITERAL_N = LIT("N")
+LITERAL_COUNT = LIT("Count")
 
 INHERITABLE_ATTRS = (LIT("Resources"), LIT("MediaBox"), LIT("CropBox"), LIT("Rotate"))
 
@@ -416,3 +417,102 @@ class PDFDocument:
                     stack.append((kid, tree))
             elif typ is LITERAL_PAGE:
                 yield PDFPage(self, pageid, tree)
+
+    # --- windowed page access (per-page-parallel extraction) ------------------
+    def count_pages_validated(self) -> tuple[int, bool]:
+        """(n_pages, counts_ok): full page-tree walk that ALSO checks every
+        /Pages node's declared /Count against the actual number of leaf
+        pages beneath it (post-order, explicit stack).  ``counts_ok`` gates
+        :meth:`get_pages_window`'s Count-based subtree skipping — a lying
+        or absent /Count, or a tree cycle, makes skipping unsafe, and the
+        caller must fall back to the full walk."""
+        if self.catalog is None:
+            return 0, True
+        root = self.catalog.get(LITERAL_PAGES)
+        if root is None:
+            return 0, True
+        ok = True
+        seen: set[int] = set()
+        # ancestor frames: [declared_count, leaves_counted]
+        ancestors: list[list] = []
+        total = 0
+        stack: list[tuple[str, object]] = [("visit", root)]
+        while stack:
+            kind, obj = stack.pop()
+            if kind == "exit":
+                fr = obj
+                ancestors.pop()
+                if fr[0] is None or fr[0] != fr[1]:
+                    ok = False
+                if ancestors:
+                    ancestors[-1][1] += fr[1]
+                continue
+            if isinstance(obj, (PDFObjRef, int)):
+                pageid = obj.objid if isinstance(obj, PDFObjRef) else obj
+                if pageid in seen:
+                    ok = False  # cycle: counts cannot be trusted
+                    continue
+                seen.add(pageid)
+                tree = dict_value(self.getobj(pageid))
+            else:
+                tree = dict_value(obj)
+            typ = tree.get(LITERAL_TYPE)
+            if typ is LITERAL_PAGES and LITERAL_KIDS in tree:
+                declared = resolve1(tree.get(LITERAL_COUNT))
+                fr = [declared if isinstance(declared, int) else None, 0]
+                ancestors.append(fr)
+                stack.append(("exit", fr))
+                for kid in reversed(list(list_value(tree[LITERAL_KIDS]))):
+                    stack.append(("visit", kid))
+            elif typ is LITERAL_PAGE:
+                total += 1
+                if ancestors:
+                    ancestors[-1][1] += 1
+        return total, ok
+
+    def get_pages_window(self, page_start: int, page_end: int):
+        """Pages [page_start, page_end) (1-based, half-open) WITHOUT walking
+        the whole tree: a /Pages subtree that ends before the window is
+        skipped via its /Count (O(window + tree breadth) instead of
+        O(total pages) per call); traversal stops once the window is done.
+
+        ONLY valid when :meth:`count_pages_validated` returned
+        ``counts_ok`` — declared counts ARE the skip arithmetic here.
+        Yields the same (page order, inherited attributes) as
+        :meth:`get_pages` restricted to the window."""
+        if self.catalog is None:
+            return
+        root = self.catalog.get(LITERAL_PAGES)
+        if root is None:
+            return
+        seen: set[int] = set()
+        consumed = 0  # leaf pages passed (skipped or yielded)
+        stack: list[tuple[object, dict]] = [(root, self.catalog)]
+        while stack:
+            if consumed >= page_end - 1:
+                return  # everything further is past the window
+            obj, parent = stack.pop()
+            if isinstance(obj, (PDFObjRef, int)):
+                pageid = obj.objid if isinstance(obj, PDFObjRef) else obj
+                if pageid in seen:
+                    continue
+                seen.add(pageid)
+                tree = dict(dict_value(self.getobj(pageid)))
+            else:
+                pageid = None
+                tree = dict(dict_value(obj))
+            for k in INHERITABLE_ATTRS:
+                if k in parent and k not in tree:
+                    tree[k] = parent[k]
+            typ = tree.get(LITERAL_TYPE)
+            if typ is LITERAL_PAGES and LITERAL_KIDS in tree:
+                declared = resolve1(tree.get(LITERAL_COUNT))
+                if isinstance(declared, int) and consumed + declared < page_start:
+                    consumed += declared  # whole subtree before the window
+                    continue
+                for kid in reversed(list(list_value(tree[LITERAL_KIDS]))):
+                    stack.append((kid, tree))
+            elif typ is LITERAL_PAGE:
+                consumed += 1
+                if consumed >= page_start:
+                    yield consumed, PDFPage(self, pageid, tree)

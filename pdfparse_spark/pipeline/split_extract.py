@@ -44,6 +44,9 @@ _PROBE_SCHEMA = T.StructType(
         T.StructField("conv_id", T.StringType(), False),
         T.StructField("turn_idx", T.IntegerType(), False),
         T.StructField("n_pages", T.IntegerType(), False),
+        # /Count fields validated -> segments may use the subtree-skipping
+        # fast window walk (O(window) instead of O(total pages) per segment)
+        T.StructField("fast", T.BooleanType(), False),
     ]
 )
 
@@ -78,14 +81,16 @@ _SEGMENT_SCHEMA = T.StructType(
 
 
 def _probe_batch(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from ..kernel.extract import probe_pdf_pages
+    from ..kernel.extract import probe_pdf_pages_validated
 
     for pdf in batches:
+        probed = [probe_pdf_pages_validated(t) for t in pdf["text"]]
         yield pd.DataFrame(
             {
                 "conv_id": pdf["conv_id"],
                 "turn_idx": pdf["turn_idx"],
-                "n_pages": [probe_pdf_pages(t) for t in pdf["text"]],
+                "n_pages": [n for n, _ in probed],
+                "fast": [ok for _, ok in probed],
             }
         )
 
@@ -97,8 +102,10 @@ def _segment_batch(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows: dict[str, list] = {k: [] for k in
                                  ("seg_text", "spans", "status",
                                   "first_y", "last_y", "rendered_any")}
-        for text, p_start, p_end in zip(pdf["text"], pdf["p_start"], pdf["p_end"]):
-            seg = extract_pdf_segment(text, int(p_start), int(p_end))
+        for text, p_start, p_end, fast in zip(
+            pdf["text"], pdf["p_start"], pdf["p_end"], pdf["fast"]
+        ):
+            seg = extract_pdf_segment(text, int(p_start), int(p_end), fast=bool(fast))
             rows["seg_text"].append(seg["seg_text"])
             rows["spans"].append(
                 [{"page": p, "start": s, "end": e} for (p, s, e) in seg["spans"]]

@@ -373,3 +373,42 @@ def test_split_merge_mid_doc_error_parity():
     for pps in (1, 2, 3):
         segs = [extract_pdf_segment(t, a, a + pps) for a in range(1, n + 1, pps)]
         assert merge_pdf_segments(segs) == (text, [tuple(s) for s in spans], status), pps
+
+
+def test_fast_window_walk_parity_and_count_validation():
+    """The /Count subtree-skipping window walk must yield byte-identical
+    segments to the full walk on every validated fixture; a lying /Count
+    must invalidate the fast path (probe returns counts_ok=False)."""
+    import base64
+
+    from pdfparse_spark.fixtures.pdf_gen import (
+        _assemble, _stream, build_pdf_fixtures, make_big_pdf)
+    from pdfparse_spark.kernel.extract import (
+        extract_pdf_segment, merge_pdf_segments, probe_pdf_pages_validated)
+
+    for fx in build_pdf_fixtures() + [make_big_pdf(12, 6, seed=3)]:
+        t = "pdfb64:" + base64.b64encode(fx.data).decode()
+        n, ok = probe_pdf_pages_validated(t)
+        if n <= 0 or not ok:
+            continue
+        for pps in (1, 3):
+            slow = merge_pdf_segments(
+                [extract_pdf_segment(t, a, a + pps, fast=False) for a in range(1, n + 1, pps)])
+            fast = merge_pdf_segments(
+                [extract_pdf_segment(t, a, a + pps, fast=True) for a in range(1, n + 1, pps)])
+            assert fast == slow, (fx.name, pps)
+
+    lying = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 7 >>",  # actual: 2
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+           b"/Resources << /Font << /F1 7 0 R >> >> /Contents 4 0 R >>",
+        4: _stream(b"", b"BT /F1 12 Tf 72 720 Td (one) Tj ET"),
+        5: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+           b"/Resources << /Font << /F1 7 0 R >> >> /Contents 6 0 R >>",
+        6: _stream(b"", b"BT /F1 12 Tf 72 500 Td (two) Tj ET"),
+        7: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    t = "pdfb64:" + base64.b64encode(_assemble(lying)).decode()
+    n, ok = probe_pdf_pages_validated(t)
+    assert n == 2 and ok is False
