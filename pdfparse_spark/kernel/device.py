@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from .fonts import PDFUnicodeNotDefined
 
-__all__ = ["SimpleTextDevice"]
+__all__ = ["SimpleTextDevice", "AdvanceTextDevice"]
 
 
 class SimpleTextDevice:
@@ -142,3 +142,91 @@ class SimpleTextDevice:
     @property
     def last_y(self) -> float:
         return self._last_y
+
+
+class AdvanceTextDevice(SimpleTextDevice):
+    """Layout device that CONSUMES advance widths (core-14 AFM data,
+    /Widths arrays, CID /W) to synthesize word spacing the golden policy
+    deliberately omits.
+
+    NOT the golden device: the reference's simple device ignores x
+    entirely (simple-device.lisp:19-41), so this is the opt-in add-on the
+    AFM tables enable.  Two signals produce a synthesized space:
+
+    - a show op that STARTS past the previous run's computed end-x by more
+      than ``space_frac`` of the font's space advance (Td/Tm gaps), and
+    - a TJ kern displacement wider than the same threshold (the classic
+      encoding of word gaps as kern numbers).
+
+    Advances are computed in text space — char_width x fontsize +
+    charspace (+ wordspace for single-byte code 32), all scaled by
+    Tz/100 — then mapped to device x via the text matrix's a component
+    (rotation/skew make x-gap detection meaningless; those lines fall
+    back to no-space, same as the golden device).
+    """
+
+    def __init__(self, space_frac: float = 0.5):
+        super().__init__()
+        self._space_frac = space_frac
+        self._end_x: float | None = None  # device-x where the last run ended
+
+    def _space_threshold(self, textstate, m0: float) -> float:
+        font = textstate.font
+        space_w = None
+        if font is not None:
+            w = font.widths.get(32)
+            if w:
+                space_w = w * font.hscale
+        if not space_w:
+            space_w = 0.25  # em fallback when the font lacks a space width
+        return self._space_frac * space_w * textstate.fontsize * (
+            textstate.scaling * 0.01
+        ) * abs(m0)
+
+    def render_string(self, textstate, seq) -> None:
+        m = textstate.matrix
+        y = m[5]
+        if not self.rendered_any:
+            self.first_y = y
+            self.rendered_any = True
+        font = textstate.font
+        fs = textstate.fontsize
+        sc = textstate.scaling * 0.01
+        m0 = m[0]
+        chars: list[str] = []
+        if abs(self._last_y - y) > 3:
+            chars.append("\n")
+            self._end_x = None
+        elif (
+            self._end_x is not None
+            and m0 > 0
+            and m[4] - self._end_x > self._space_threshold(textstate, m0)
+        ):
+            chars.append(" ")
+        self._last_y = y
+        x = m[4]
+        threshold = self._space_threshold(textstate, m0) if m0 > 0 else None
+        for i in range(len(seq)):
+            item = seq[i]
+            if isinstance(item, bytes) and font is not None:
+                if i % 2 != 0:
+                    continue  # strings at even positions only (golden policy)
+                for cid in font.decode(item):
+                    try:
+                        ch = font.to_unichr(cid)
+                    except (PDFUnicodeNotDefined, KeyError):
+                        ch = "<CID %X>" % cid
+                    if ch:
+                        chars.append(ch)
+                    adv = font.char_width(cid) * fs + textstate.charspace
+                    if cid == 32 and not font.is_multibyte():
+                        adv += textstate.wordspace
+                    x += adv * sc * m0
+            elif isinstance(item, (int, float)):
+                dx = -item * 0.001 * fs * sc * m0
+                if threshold is not None and dx > threshold:
+                    chars.append(" ")
+                x += dx
+        self._end_x = x if m0 > 0 else None
+        if chars:
+            self._write("".join(chars))

@@ -45,9 +45,15 @@ def classify_text(text: str) -> str:
     return "text"
 
 
-def extract_pdf_bytes(data: bytes) -> tuple[str, list[tuple[int, int, int]], str]:
-    """Run the full kernel chain (P1-P7) over one PDF; lenient — never raises."""
-    device = SimpleTextDevice()
+def extract_pdf_bytes(
+    data: bytes, device_factory=SimpleTextDevice
+) -> tuple[str, list[tuple[int, int, int]], str]:
+    """Run the full kernel chain (P1-P7) over one PDF; lenient — never raises.
+
+    ``device_factory`` selects the layout policy: SimpleTextDevice (golden
+    parity, default) or AdvanceTextDevice (AFM-width word-spacing
+    synthesis — an opt-in capability beyond the reference)."""
+    device = device_factory()
     try:
         process_pdf(device, data)
         status = "ok"

@@ -412,3 +412,38 @@ def test_fast_window_walk_parity_and_count_validation():
     t = "pdfb64:" + base64.b64encode(_assemble(lying)).decode()
     n, ok = probe_pdf_pages_validated(t)
     assert n == 2 and ok is False
+
+
+def test_advance_device_word_spacing():
+    """AdvanceTextDevice consumes real advance widths (AFM core-14) to
+    synthesize the word spacing the golden policy omits: positioning gaps
+    and wide TJ kerns become spaces; true kerning and exact continuations
+    do not.  The golden device's output is untouched."""
+    from pdfparse_spark.fixtures.pdf_gen import _assemble, _doc_skeleton
+    from pdfparse_spark.kernel.device import AdvanceTextDevice
+    from pdfparse_spark.kernel.extract import extract_pdf_bytes
+
+    def run(content, device=None):
+        data = _assemble(_doc_skeleton(content))
+        if device is None:
+            return extract_pdf_bytes(data)[0]
+        return extract_pdf_bytes(data, device)[0]
+
+    # Td gap past "Hello"'s AFM width (2278/1000 * 12pt = 27.34) → space
+    gap = b"BT /F1 12 Tf 72 720 Td (Hello) Tj 33.4 0 Td (World) Tj ET"
+    assert run(gap) == "\nHelloWorld"  # golden policy: no x awareness
+    assert run(gap, AdvanceTextDevice) == "\nHello World"
+
+    # TJ kerns: -500 em/1000 is a word gap; -80 is kerning
+    kern = b"BT /F1 12 Tf 72 720 Td [(A) -500 (B) -80 (C)] TJ ET"
+    assert run(kern) == "\nABC"
+    assert run(kern, AdvanceTextDevice) == "\nA BC"
+
+    # a run continuing exactly where the previous ended → no space
+    cont = b"BT /F1 12 Tf 72 720 Td (Hel) Tj 19.3 0 Td (lo) Tj ET"
+    assert run(cont, AdvanceTextDevice) == "\nHello"
+
+    # rotated text matrix (a <= 0): x-gap detection disabled, no crash
+    rot = (b"BT /F1 12 Tf 0 1 -1 0 72 720 Tm (Up) Tj "
+           b"0 1 -1 0 100 720 Tm (More) Tj ET")
+    assert run(rot, AdvanceTextDevice) == "\nUpMore"
