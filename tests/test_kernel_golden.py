@@ -447,3 +447,19 @@ def test_advance_device_word_spacing():
     rot = (b"BT /F1 12 Tf 0 1 -1 0 72 720 Tm (Up) Tj "
            b"0 1 -1 0 100 720 Tm (More) Tj ET")
     assert run(rot, AdvanceTextDevice) == "\nUpMore"
+
+
+def test_advance_device_only_adds_spaces():
+    """Corpus-wide invariant: the advance device's output differs from the
+    golden device's ONLY by inserted spaces (same glyphs, same newlines,
+    same status) on every fixture."""
+    from pdfparse_spark.fixtures.pdf_gen import build_pdf_fixtures, make_big_pdf
+    from pdfparse_spark.kernel.device import AdvanceTextDevice
+    from pdfparse_spark.kernel.extract import extract_pdf_bytes
+
+    for fx in build_pdf_fixtures() + [make_big_pdf(6, 8, seed=2)]:
+        g_text, _, g_status = extract_pdf_bytes(fx.data)
+        a_text, _, a_status = extract_pdf_bytes(fx.data, AdvanceTextDevice)
+        assert a_status == g_status, fx.name
+        assert a_text.replace(" ", "") == g_text.replace(" ", ""), fx.name
+        assert a_text.count("\n") == g_text.count("\n"), fx.name
