@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from .fonts import PDFUnicodeNotDefined
 
-__all__ = ["SimpleTextDevice", "AdvanceTextDevice"]
+__all__ = ["SimpleTextDevice", "AdvanceTextDevice", "ColumnTextDevice"]
 
 
 class SimpleTextDevice:
@@ -230,3 +230,121 @@ class AdvanceTextDevice(SimpleTextDevice):
         self._end_x = x if m0 > 0 else None
         if chars:
             self._write("".join(chars))
+
+
+class ColumnTextDevice:
+    """Column-aware reading-order device (opt-in, beyond the reference):
+    buffers each show op as a positioned run, clusters run x-origins into
+    columns by a 1-D gap threshold at page end, and emits column-major
+    reading order (left column top-to-bottom, then the next column) —
+    what a human reads, where the golden policy emits raw content-stream
+    order (simple-device.lisp has no notion of x at all).
+
+    Scoped on purpose: column split on x-start gaps > ``col_gap`` points
+    (half an inch by default — wider than any word gap, narrower than a
+    real gutter); within a column, runs sort by (-y, x) and the |Δy|>3
+    newline rule is applied inside the column.  Rotated text matrices are
+    binned by their raw e/f translation — exotic layouts degrade to
+    per-column stream order, never crash.
+    """
+
+    def __init__(self, col_gap: float = 36.0):
+        self._col_gap = col_gap
+        self._runs: list[tuple[float, float, str]] = []  # (x, y, text) this page
+        self._parts: list[str] = []
+        self._len = 0
+        self._page_no = 0
+        self._page_start = 0
+        self.spans: list[tuple[int, int, int]] = []
+
+    # --- page lifecycle ---------------------------------------------------
+    def begin_page(self, page, ctm) -> None:
+        self._page_no += 1
+        self._page_start = self._len
+        self._runs = []
+
+    def end_page(self, page) -> None:
+        text = self._layout(self._runs)
+        self._parts.append(text)
+        self._len += len(text)
+        self.spans.append((self._page_no, self._page_start, self._len))
+
+    def _layout(self, runs: list[tuple[float, float, str]]) -> str:
+        if not runs:
+            return ""
+        xs = sorted({x for x, _y, _t in runs})
+        # split the sorted x-origins where consecutive gaps exceed col_gap
+        boundaries: list[float] = []
+        for a, b in zip(xs, xs[1:]):
+            if b - a > self._col_gap:
+                boundaries.append((a + b) / 2.0)
+
+        def col_of(x: float) -> int:
+            c = 0
+            for bd in boundaries:
+                if x > bd:
+                    c += 1
+            return c
+
+        by_col: dict[int, list[tuple[float, float, str]]] = {}
+        for i, (x, y, t) in enumerate(runs):
+            by_col.setdefault(col_of(x), []).append((x, y, t))
+        out: list[str] = []
+        for c in sorted(by_col):
+            col_runs = sorted(by_col[c], key=lambda r: (-r[1], r[0]))
+            last_y = -1e20
+            for x, y, t in col_runs:
+                if abs(last_y - y) > 3:
+                    out.append("\n")
+                last_y = y
+                out.append(t)
+        return "".join(out)
+
+    # --- no-op callbacks --------------------------------------------------
+    def begin_tag(self, tag, props=None) -> None:
+        pass
+
+    def end_tag(self) -> None:
+        pass
+
+    def do_tag(self, tag, props=None) -> None:
+        pass
+
+    def begin_figure(self, bbox, matrix) -> None:
+        pass
+
+    def end_figure(self) -> None:
+        pass
+
+    def paint_path(self, graphicstate, stroke, fill, evenodd, path) -> None:
+        pass
+
+    def render_image(self, stream) -> None:
+        pass
+
+    def set_ctm(self, ctm) -> None:
+        pass
+
+    # --- run capture ------------------------------------------------------
+    def render_string(self, textstate, seq) -> None:
+        font = textstate.font
+        if font is None:
+            return
+        chars: list[str] = []
+        for i in range(0, len(seq), 2):
+            item = seq[i]
+            if not isinstance(item, bytes):
+                continue
+            for cid in font.decode(item):
+                try:
+                    ch = font.to_unichr(cid)
+                except (PDFUnicodeNotDefined, KeyError):
+                    ch = "<CID %X>" % cid
+                if ch:
+                    chars.append(ch)
+        if chars:
+            m = textstate.matrix
+            self._runs.append((m[4], m[5], "".join(chars)))
+
+    def get_text(self) -> str:
+        return "".join(self._parts)

@@ -463,3 +463,32 @@ def test_advance_device_only_adds_spaces():
         assert a_status == g_status, fx.name
         assert a_text.replace(" ", "") == g_text.replace(" ", ""), fx.name
         assert a_text.count("\n") == g_text.count("\n"), fx.name
+
+
+def test_column_device_reading_order():
+    """ColumnTextDevice re-orders interleaved two-column content into
+    column-major reading order (left column top-down, then right); the
+    golden device keeps raw content-stream order. Spans still partition
+    the text per page."""
+    from pdfparse_spark.fixtures.pdf_gen import _assemble, _doc_skeleton
+    from pdfparse_spark.kernel.device import ColumnTextDevice
+    from pdfparse_spark.kernel.extract import extract_pdf_bytes
+
+    content = (b"BT /F1 12 Tf "
+               b"72 700 Td (Left one) Tj "
+               b"248 0 Td (Right one) Tj "
+               b"-248 -20 Td (Left two) Tj "
+               b"248 0 Td (Right two) Tj "
+               b"ET")
+    data = _assemble(_doc_skeleton(content))
+    g_text, g_spans, g_status = extract_pdf_bytes(data)
+    assert g_text == "\nLeft oneRight one\nLeft twoRight two"  # stream order
+    c_text, c_spans, c_status = extract_pdf_bytes(data, ColumnTextDevice)
+    assert c_status == g_status == "ok"
+    assert c_text == "\nLeft one\nLeft two\nRight one\nRight two"
+    assert c_spans == [(1, 0, len(c_text))]
+
+    # single-column content: same line structure as the golden policy
+    single = b"BT /F1 12 Tf 14 TL 72 720 Td (Line one) Tj T* (Line two) Tj ET"
+    sdata = _assemble(_doc_skeleton(single))
+    assert extract_pdf_bytes(sdata, ColumnTextDevice)[0] == extract_pdf_bytes(sdata)[0]
