@@ -194,6 +194,69 @@ def _extract_split_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _extract_device_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the three layout devices over the fixture corpus in one
+    mapInPandas pass — golden (content-stream order), advance-width
+    (word-spacing synthesis), column (reading order).  The invariant
+    column counts fixtures where the advance text differs from golden by
+    inserted spaces ONLY (must equal n_docs)."""
+    import base64
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    _ensure_workers_can_import(spark)
+    from pdfparse_spark.fixtures.pdf_gen import build_pdf_fixtures
+
+    rows = [
+        (fx.name, "pdfb64:" + base64.b64encode(fx.data).decode())
+        for fx in build_pdf_fixtures()
+    ]
+    df = spark.createDataFrame(rows, "name string, payload string").repartition(4)
+
+    schema = T.StructType(
+        [
+            T.StructField("name", T.StringType(), False),
+            T.StructField("golden_chars", T.IntegerType(), False),
+            T.StructField("advance_chars", T.IntegerType(), False),
+            T.StructField("column_chars", T.IntegerType(), False),
+            T.StructField("spaces_only_diff", T.IntegerType(), False),
+        ]
+    )
+
+    def run(batches):
+        from pdfparse_spark.kernel.device import AdvanceTextDevice, ColumnTextDevice
+        from pdfparse_spark.kernel.extract import decode_pdf_payload, extract_pdf_bytes
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("name", "golden_chars", "advance_chars", "column_chars",
+                    "spaces_only_diff")}
+            for name, payload in zip(pdf["name"], pdf["payload"]):
+                data = decode_pdf_payload(payload)
+                g, _, _ = extract_pdf_bytes(data)
+                a, _, _ = extract_pdf_bytes(data, AdvanceTextDevice)
+                c, _, _ = extract_pdf_bytes(data, ColumnTextDevice)
+                out["name"].append(name)
+                out["golden_chars"].append(len(g))
+                out["advance_chars"].append(len(a))
+                out["column_chars"].append(len(c))
+                out["spaces_only_diff"].append(
+                    int(a.replace(" ", "") == g.replace(" ", ""))
+                )
+            yield pd.DataFrame(out)
+
+    per_doc = df.mapInPandas(run, schema=schema)
+    return per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("spaces_only_diff").alias("n_spaces_only"),
+        F.sum("golden_chars").alias("golden_chars"),
+        F.sum("advance_chars").alias("advance_chars"),
+        F.sum("column_chars").alias("column_chars"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdfparse_spark.pipeline import multimodal, pandas_udfs, relational, textops
 
@@ -207,6 +270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["extract_match_golden"] = _extract_match_golden
     q["extract_turn_offsets"] = _extract_turn_offsets
     q["extract_split_parity"] = _extract_split_parity
+    q["extract_device_variants"] = _extract_device_variants
     return q
 
 
