@@ -76,7 +76,28 @@ def decode_pdf_payload(text: str) -> bytes | None:
     return text.encode("latin-1", "replace")
 
 
-def extract_turn(text: str) -> tuple[str, str, list[tuple[int, int, int]], str]:
+def get_device_factory(name: str):
+    """Layout-policy registry: 'simple' (golden parity, default),
+    'advance' (AFM word-spacing synthesis), 'column' (column-major
+    reading order)."""
+    from .device import AdvanceTextDevice, ColumnTextDevice
+
+    factories = {
+        "simple": SimpleTextDevice,
+        "advance": AdvanceTextDevice,
+        "column": ColumnTextDevice,
+    }
+    try:
+        return factories[name]
+    except KeyError:
+        raise ValueError(
+            "unknown device %r (choose from %s)" % (name, sorted(factories))
+        ) from None
+
+
+def extract_turn(
+    text: str, device_factory=SimpleTextDevice
+) -> tuple[str, str, list[tuple[int, int, int]], str]:
     """(content_type, extracted_text, spans, parse_status) for one turn."""
     if text is None:
         return ("text", "", [], "ok")
@@ -85,7 +106,7 @@ def extract_turn(text: str) -> tuple[str, str, list[tuple[int, int, int]], str]:
         data = decode_pdf_payload(text)
         if data is None:
             return ("pdf", "", [], "error:Base64DecodeError")
-        extracted, spans, status = extract_pdf_bytes(data)
+        extracted, spans, status = extract_pdf_bytes(data, device_factory)
         return ("pdf", extracted, spans, status)
     if ctype == "html":
         extracted = extract_html(text)

@@ -70,6 +70,41 @@ TELEMETRY_SCHEMA = T.StructType(
 )
 
 
+def make_extract_batch(device: str = "simple"):
+    """mapInPandas body factory for a chosen layout device ('simple' |
+    'advance' | 'column').  The default stays the golden-parity device."""
+
+    def extract_batch_dev(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel.extract import extract_turn, get_device_factory
+
+        factory = get_device_factory(device)
+        for pdf in batches:
+            ctypes, texts, spans_col, statuses, nchars = [], [], [], [], []
+            for text in pdf["text"]:
+                ctype, extracted, spans, status = extract_turn(text, factory)
+                ctypes.append(ctype)
+                texts.append(extracted)
+                spans_col.append([{"page": p, "start": s, "end": e} for (p, s, e) in spans])
+                statuses.append(status)
+                nchars.append(len(extracted))
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"],
+                    "turn_idx": pdf["turn_idx"],
+                    "role": pdf["role"],
+                    "tool": pdf["tool"],
+                    "ts": pdf["ts"],
+                    "content_type": ctypes,
+                    "extracted_text": texts,
+                    "spans": spans_col,
+                    "parse_status": statuses,
+                    "n_chars": nchars,
+                }
+            )
+
+    return extract_batch_dev
+
+
 def extract_batch(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas body.  Imports the kernel lazily so the module object is
     constructed once per (reused) Python worker — glyph/AFM tables stay warm.
@@ -162,6 +197,7 @@ def run_extraction(
     num_partitions: int | None = None,
     salt: int = 64,
     telemetry: bool = False,
+    device: str = "simple",
 ) -> DataFrame:
     """Full extraction stage over a transcripts DataFrame (input_hint schema).
 
@@ -175,6 +211,10 @@ def run_extraction(
     if num_partitions:
         df = salt_repartition(df, num_partitions, salt)
     if telemetry:
+        if device != "simple":
+            raise ValueError("telemetry supports only the golden device")
         out = df.mapInPandas(extract_batch_telemetry, schema=TELEMETRY_SCHEMA)
         return out.withColumn("part_id", F.spark_partition_id())
+    if device != "simple":
+        return df.mapInPandas(make_extract_batch(device), schema=OUTPUT_SCHEMA)
     return df.mapInPandas(extract_batch, schema=OUTPUT_SCHEMA)

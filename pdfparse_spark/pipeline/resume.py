@@ -89,6 +89,7 @@ def run_resumable(
     fail_after_waves: int | None = None,
     telemetry: bool = False,
     split_pages: bool = False,
+    device: str = "simple",
 ) -> dict:
     """Run the extraction resumably.  ``fail_after_waves`` injects a crash
     after k committed waves (test hook for the kill/rerun invariant).
@@ -109,6 +110,11 @@ def run_resumable(
     """
     if split_pages and telemetry:
         raise ValueError("split_pages and telemetry are mutually exclusive")
+    if device != "simple" and (split_pages or telemetry):
+        raise ValueError(
+            "alternative layout devices run only on the plain path "
+            "(the split merge and telemetry are defined for the golden policy)"
+        )
     bdf = bucket_of(df, n_buckets)
     ledger = read_ledger(spark, ledger_dir)
     done: set[int] = set()
@@ -139,7 +145,7 @@ def run_resumable(
         else:
             extracted = run_extraction(
                 subset.drop("bucket"), num_partitions=num_partitions, salt=salt,
-                telemetry=telemetry,
+                telemetry=telemetry, device=device,
             )
         out = extracted.withColumn(
             "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))

@@ -43,6 +43,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--partitions", type=int, default=None, help="salted partitions (default 4x cores)")
     p.add_argument("--salt", type=int, default=64)
     p.add_argument(
+        "--device",
+        choices=["simple", "advance", "column"],
+        default="simple",
+        help="layout policy: simple (golden parity), advance (AFM "
+        "word-spacing synthesis), column (column-major reading order)",
+    )
+    p.add_argument(
         "--split-pages",
         action="store_true",
         help="per-page-parallel extraction of heavy PDFs (no single-task "
@@ -81,6 +88,7 @@ def main(argv: list[str] | None = None) -> int:
         salt=args.salt,
         telemetry=args.telemetry,
         split_pages=args.split_pages,
+        device=args.device,
     )
     wall = time.monotonic() - t0
     out = read_output(spark, args.out + "/extracted", args.out + "/ledger")

@@ -369,3 +369,31 @@ def test_split_extraction_spreads_heavy_doc(spark):
     out = segs.mapInPandas(_segment_batch, schema=_SEGMENT_SCHEMA)
     parts = out.select(F.spark_partition_id().alias("pid")).distinct().count()
     assert parts >= 4  # 8 segments over 8 partitions; hash collisions allowed
+
+
+def test_run_extraction_device_variants(spark):
+    """run_extraction(device=...) threads the layout policy through the
+    Spark stage: the advance run differs from golden only by inserted
+    spaces; the column run keeps statuses and glyph multiset per turn."""
+    from pdfparse_spark.pipeline.extract import run_extraction
+    from pdfparse_spark.pipeline.transcripts import synthesize
+
+    df, _ = synthesize(spark, n_convs=6, turns_per_conv=5, seed=11)
+    base = {(r["conv_id"], r["turn_idx"]): r
+            for r in run_extraction(df, 8).collect()}
+    adv = {(r["conv_id"], r["turn_idx"]): r
+           for r in run_extraction(df, 8, device="advance").collect()}
+    col = {(r["conv_id"], r["turn_idx"]): r
+           for r in run_extraction(df, 8, device="column").collect()}
+    assert set(base) == set(adv) == set(col)
+    for k, b in base.items():
+        assert adv[k]["parse_status"] == b["parse_status"]
+        assert col[k]["parse_status"] == b["parse_status"]
+        if b["content_type"] == "pdf":
+            assert (adv[k]["extracted_text"].replace(" ", "")
+                    == b["extracted_text"].replace(" ", "")), k
+            assert (sorted(col[k]["extracted_text"].replace("\n", ""))
+                    == sorted(b["extracted_text"].replace("\n", ""))), k
+        else:  # non-pdf routes are device-independent
+            assert adv[k]["extracted_text"] == b["extracted_text"]
+            assert col[k]["extracted_text"] == b["extracted_text"]
