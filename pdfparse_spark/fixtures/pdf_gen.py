@@ -176,6 +176,24 @@ def fx_winansi_differences() -> PDFFixture:
     return PDFFixture("pdf_winansi_differences", data, text, [(1, 0, len(text))])
 
 
+def fx_two_columns() -> PDFFixture:
+    """Interleaved two-column page: the reference policy emits raw
+    content-stream order (golden below); the opt-in ColumnTextDevice
+    reorders it column-major (pinned in test_kernel_golden)."""
+    content = (
+        b"BT /F1 12 Tf "
+        b"72 700 Td (Left one) Tj "
+        b"248 0 Td (Right one) Tj "
+        b"-248 -20 Td (Left two) Tj "
+        b"248 0 Td (Right two) Tj "
+        b"ET"
+    )
+    data = _assemble(_doc_skeleton(content))
+    # stream order; right runs stay on the same line (|dy| = 0 <= 3)
+    text = "\nLeft oneRight one\nLeft twoRight two"
+    return PDFFixture("pdf_two_columns", data, text, [(1, 0, len(text))])
+
+
 def fx_agl_differences() -> PDFFixture:
     """/Differences naming non-Latin AGL glyphs (Greek, math, Hebrew
     presentation form) — exercises the full 4,281-entry Adobe Glyph List
@@ -571,6 +589,7 @@ _FIXTURE_BUILDERS = [
     fx_tj_array,
     fx_hexstring_escapes,
     fx_winansi_differences,
+    fx_two_columns,
     fx_agl_differences,
     fx_tounicode_bfchar,
     fx_cid_identity_h,
