@@ -397,3 +397,40 @@ def test_run_extraction_device_variants(spark):
         else:  # non-pdf routes are device-independent
             assert adv[k]["extracted_text"] == b["extracted_text"]
             assert col[k]["extracted_text"] == b["extracted_text"]
+
+
+def test_resume_with_split_pages_kill_rerun(spark, tmp_path):
+    """Resumable runs with per-page splitting: kill after one wave, rerun,
+    final output identical to a plain (non-split) resumable run — heavy
+    doc included."""
+    import base64
+    import datetime as dt
+
+    from pdfparse_spark.fixtures.pdf_gen import make_big_pdf
+    from pdfparse_spark.pipeline.resume import read_output, run_resumable
+    from pdfparse_spark.pipeline.transcripts import make_transcript_rows, transcripts_df
+
+    rows, _ = make_transcript_rows(n_convs=6, turns_per_conv=4, seed=5)
+    heavy = "pdfb64:" + base64.b64encode(make_big_pdf(40, 10, seed=9).data).decode()
+    rows.append(("heavyconv", 0, "user", heavy, "", dt.datetime(2026, 1, 1)))
+    df = transcripts_df(spark, rows, partitions=4)
+
+    plain_out, plain_led = str(tmp_path / "po"), str(tmp_path / "pl")
+    run_resumable(spark, df, plain_out, plain_led, n_buckets=4,
+                  buckets_per_wave=2, num_partitions=4)
+    split_out, split_led = str(tmp_path / "so"), str(tmp_path / "sl")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_resumable(spark, df, split_out, split_led, n_buckets=4,
+                      buckets_per_wave=2, num_partitions=4,
+                      split_pages=True, fail_after_waves=1)
+    run_resumable(spark, df, split_out, split_led, n_buckets=4,
+                  buckets_per_wave=2, num_partitions=4, split_pages=True)
+
+    cols = ["conv_id", "turn_idx", "content_type", "parse_status",
+            "n_chars", "extracted_text"]
+    plain = {(r["conv_id"], r["turn_idx"]): tuple(r)
+             for r in read_output(spark, plain_out, plain_led).select(*cols).collect()}
+    split = {(r["conv_id"], r["turn_idx"]): tuple(r)
+             for r in read_output(spark, split_out, split_led).select(*cols).collect()}
+    assert plain == split
+    assert ("heavyconv", 0) in plain
