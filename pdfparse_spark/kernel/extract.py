@@ -223,10 +223,14 @@ def merge_pdf_segments(segments: list[dict]) -> tuple[str, list[tuple[int, int, 
             and seg["first_y"] is not None
             and abs(prev_last_y - seg["first_y"]) <= 3
         ):
-            # whole-doc extraction would NOT have broken the line here
-            assert text.startswith("\n")
-            text = text[1:]
-            strip = 1
+            # whole-doc extraction would NOT have broken the line here.  A
+            # fresh device always prefixes its first render with "\n", so a
+            # rendered segment must start with one — but guard rather than
+            # assert: if the invariant ever breaks, keep the text unchanged
+            # instead of corrupting it (and never strip a non-newline).
+            if text.startswith("\n"):
+                text = text[1:]
+                strip = 1
         parts.append(text)
         for (p, s, e) in seg["spans"]:
             s2 = s - strip if s > 0 else s

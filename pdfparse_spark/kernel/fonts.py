@@ -489,18 +489,19 @@ def get_font_metrics(basefont) -> tuple[dict, dict] | None:
     if len(name) > 7 and name[6] == "+":
         name = name[7:]
     cached = _METRICS_CACHE.get(name)
-    if cached is not None:
-        return cached
-    entry = FONT_METRICS.get(name)
-    if entry is None:
-        return None
-    raw_desc, widths = entry
-    descriptor = {
-        LIT(k): (LIT(v) if isinstance(v, str) else v) for k, v in raw_desc.items()
-    }
-    result = (descriptor, dict(widths))
-    _METRICS_CACHE[name] = result
-    return result
+    if cached is None:
+        entry = FONT_METRICS.get(name)
+        if entry is None:
+            return None
+        raw_desc, widths = entry
+        descriptor = {
+            LIT(k): (LIT(v) if isinstance(v, str) else v) for k, v in raw_desc.items()
+        }
+        cached = (descriptor, dict(widths))
+        _METRICS_CACHE[name] = cached
+    # fresh copies per call: a caller overlaying /Widths (or mutating the
+    # descriptor) must not poison the cache for every later font instance
+    return (dict(cached[0]), dict(cached[1]))
 
 
 # --- Type1 font-file header encoding (pdfparse.lisp:2875-2901) ---------------

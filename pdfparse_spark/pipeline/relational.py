@@ -214,13 +214,16 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionizations; the oracle pins each op's own rule.
     """
     ev = _t(spark, sf_dir, "events")
+    # session_window takes the NTZ column DIRECTLY: a round-trip through
+    # timestamp would reintroduce session-TZ/DST dependence (an event inside
+    # a spring-forward gap shifts under a DST-observing session TZ)
     return (
-        ev.groupBy("user_id", F.session_window(F.col("ts").cast("timestamp"), "30 minutes"))
+        ev.groupBy("user_id", F.session_window(F.col("ts"), "30 minutes"))
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
         .select(
             "user_id",
-            F.col("session_window.start").cast("timestamp_ntz").alias("sess_start"),
-            F.col("session_window.end").cast("timestamp_ntz").alias("sess_end"),
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
             "n_events",
             "total_value",
         )

@@ -71,9 +71,16 @@ def read_output(spark: SparkSession, out_dir: str, ledger_dir: str | None = None
         ledger = read_ledger(spark, ledger_dir)
         if ledger is None:
             return out.limit(0)
-        done = ledger.select("bucket", F.col("wave").cast("string").alias("wave")).distinct()
-        out = out.withColumn("wave", F.col("wave").cast("string"))
-        out = out.join(F.broadcast(done), ["bucket", "wave"], "left_semi")
+        if "wave" in ledger.columns:
+            done = ledger.select("bucket", F.col("wave").cast("string").alias("wave")).distinct()
+            out = out.withColumn("wave", F.col("wave").cast("string"))
+            out = out.join(F.broadcast(done), ["bucket", "wave"], "left_semi")
+        else:
+            # ledger written before the wave column existed: fall back to the
+            # bucket-only semi-join so a crash-resume across the upgrade still
+            # works (the orphan-wave protection applies from the next ledger on)
+            done = ledger.select("bucket").distinct()
+            out = out.join(F.broadcast(done), ["bucket"], "left_semi")
     return out
 
 

@@ -169,7 +169,7 @@ def run_extraction_split(
     salt: int = 64,
     page_threshold: int = 32,
     pages_per_seg: int = 8,
-    probe_min_bytes: int = 0,
+    probe_min_bytes: int | None = None,
     max_segments_per_doc: int = 64,
 ) -> DataFrame:
     """Extraction with per-page parallelism for heavy documents.  Output
@@ -179,7 +179,11 @@ def run_extraction_split(
     threshold (a JVM-side length check): kernel time scales with content
     size, so a small payload cannot be a straggler regardless of its page
     count — at scale this keeps the probe off the long tail of small docs
-    entirely.
+    entirely.  Default (None) derives ``page_threshold * 24`` — 24 bytes is
+    a conservative floor per page object (dict + xref entry, even ObjStm-
+    packed), so no payload below it can exceed ``page_threshold`` pages;
+    and even if one somehow did, it would only miss the fast path, never
+    lose correctness.  Pass 0 to probe everything.
 
     ``max_segments_per_doc`` widens segments for extreme page counts so a
     doc never fans out into more than this many tasks: each segment's
@@ -189,6 +193,8 @@ def run_extraction_split(
     """
     cols = ["conv_id", "turn_idx", "role", "tool", "ts", "text"]
     df = df.select(*cols)
+    if probe_min_bytes is None:
+        probe_min_bytes = page_threshold * 24
     is_pdf = F.col("text").startswith("pdfb64:") | F.col("text").startswith("%PDF-")
     probe_pred = is_pdf
     if probe_min_bytes > 0:
@@ -198,7 +204,15 @@ def run_extraction_split(
         .select("conv_id", "turn_idx", "text")
         .mapInPandas(_probe_batch, schema=_PROBE_SCHEMA)
     )
-    heavy_keys = probe.filter(F.col("n_pages") > page_threshold)
+    # materialize the heavy key set ONCE on the driver: it is broadcast-sized
+    # by construction (heavy docs are rare), and reusing the lazy subplan in
+    # both the heavy join and the light anti-join would re-run the page-count
+    # probe over every pdf turn twice
+    heavy_rows = probe.filter(F.col("n_pages") > page_threshold).collect()
+    if not heavy_rows:
+        return run_extraction(df, num_partitions=num_partitions, salt=salt)
+    spark = df.sparkSession
+    heavy_keys = spark.createDataFrame(heavy_rows, _PROBE_SCHEMA)
 
     heavy = df.join(F.broadcast(heavy_keys), ["conv_id", "turn_idx"])
     seg_pages = F.greatest(
