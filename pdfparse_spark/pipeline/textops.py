@@ -782,28 +782,160 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- multi-band random-hyperplane sign-LSH ---------------------------------
+#
+# Band structure mirrors dedup_minhash_lsh: _SIGNLSH_BANDS independent
+# bands, each hashing the vector to a _SIGNLSH_BITS-bit key (one sign bit
+# per random hyperplane); candidates are the UNION over bands of same-key
+# equality joins.  Random ±1 (Rademacher) hyperplanes — not axis dims — so
+# correlated leading dimensions cannot collapse the key space, and the
+# coefficients inline as exact integer literals into BOTH the Spark
+# expression and the DuckDB oracle (identical left-associated double
+# arithmetic ⇒ bit-identical sign decisions ⇒ oracle value-hash parity).
+#
+# Scale: per-band bucket count is 2^bits; at the gate corpora (500–2000
+# vectors) 8 bits keeps occupancy at a few vectors per bucket.  At 10^11
+# vectors use recommended_signlsh_bits() (≈ log2(n / occupancy) → 24–31
+# bits) — the band-key join shape is unchanged, only the literal bit count
+# grows, and per-bucket work stays O(occupancy²), never O((n/256)²).
+
+_SIGNLSH_BANDS = 8
+_SIGNLSH_BITS = 8
+_EMB_DIM = 64  # the embeddings-table dim (TESTDATA.md); hyperplanes are sized to it
+
+
+def recommended_signlsh_bits(n_vectors: int, target_occupancy: int = 64) -> int:
+    """Bits per band so the expected per-band bucket occupancy is
+    ``target_occupancy``: verification work per bucket is O(occupancy²)
+    regardless of corpus size.  10^11 vectors / occupancy 64 → 31 bits."""
+    import math
+
+    if n_vectors <= target_occupancy:
+        return _SIGNLSH_BITS
+    return max(_SIGNLSH_BITS, math.ceil(math.log2(n_vectors / target_occupancy)))
+
+
+def _signlsh_hyperplanes(
+    n_bands: int = _SIGNLSH_BANDS, n_bits: int = _SIGNLSH_BITS, dim: int = _EMB_DIM, seed: int = 0x5EED
+) -> list[list[list[int]]]:
+    """[band][bit] -> +/-1 coefficient vector, from a deterministic LCG (no
+    platform-dependent RNG; the same stream feeds Spark and the oracle)."""
+    x = seed & 0x7FFFFFFF
+    planes = []
+    for _ in range(n_bands):
+        band = []
+        for _ in range(n_bits):
+            coeffs = []
+            for _ in range(dim):
+                x = (1103515245 * x + 12345) & 0x7FFFFFFF
+                coeffs.append(1 if (x >> 16) & 1 else -1)
+            band.append(coeffs)
+        planes.append(band)
+    return planes
+
+
+# The hyperplane matrix renders as a LITERAL array-of-arrays in both
+# dialects; Catalyst constant-folds it to a single Literal node, so the
+# plan stays small (the naive +/- expansion was a 4096-node tree per band
+# that blew the 64KB Janino codegen limit and fell back to interpreted
+# eval).  The sign bit is the fold aggregate(zip_with(v, c, *)) >= 0 in
+# Spark and list_sum(list_transform(range, v[i]*c[i])) >= 0 in DuckDB —
+# the same left-to-right double summation (the proven-parity _DOT /
+# _SQL_DOT pattern), so the sign decision cannot diverge between engines.
+
+
+def _hp_spark_literal(n_bands: int, n_bits: int, dim: int) -> str:
+    planes = _signlsh_hyperplanes(n_bands, n_bits, dim)
+    return "array(%s)" % ", ".join(
+        "array(%s)" % ", ".join("%d.0D" % c for c in bit)
+        for band in planes
+        for bit in band
+    )
+
+
+def _hp_duck_literal(n_bands: int, n_bits: int, dim: int) -> str:
+    planes = _signlsh_hyperplanes(n_bands, n_bits, dim)
+    return "[%s]" % ", ".join(
+        "[%s]" % ", ".join("%d.0" % c for c in bit)
+        for band in planes
+        for bit in band
+    )
+
+
+def _spark_signbits_expr(n_bands: int, n_bits: int, dim: int) -> str:
+    """Int array of n_bands*n_bits sign bits for vector column v."""
+    return (
+        "transform(%s, c -> IF(aggregate(zip_with(v, c, (x, y) -> x * y), 0D, "
+        "(acc, x) -> acc + x) >= 0, 1, 0))" % _hp_spark_literal(n_bands, n_bits, dim)
+    )
+
+
+def _spark_bandkeys_expr(n_bands: int, n_bits: int) -> str:
+    """Band-key array from the _sb sign-bit column: key = (band << bits) | bits-in-band."""
+    return (
+        "transform(sequence(0, %d), b -> b * %d + aggregate(sequence(0, %d), 0, "
+        "(acc, i) -> acc + shiftleft(element_at(_sb, b * %d + i + 1), i)))"
+        % (n_bands - 1, 1 << n_bits, n_bits - 1, n_bits)
+    )
+
+
+def _duck_signbits_expr(n_bands: int, n_bits: int, dim: int) -> str:
+    return (
+        "list_transform(%s, c -> CASE WHEN list_sum(list_transform(range(1, %d), "
+        "i -> v[i] * c[i])) >= 0 THEN 1 ELSE 0 END)"
+        % (_hp_duck_literal(n_bands, n_bits, dim), dim + 1)
+    )
+
+
+def _duck_bandkeys_expr(n_bands: int, n_bits: int) -> str:
+    return (
+        "list_transform(range(0, %d), b -> b * %d + list_sum(list_transform(range(0, %d), "
+        "i -> sb[b * %d + i + 1] * (1 << i))))"
+        % (n_bands, 1 << n_bits, n_bits, n_bits)
+    )
+
+
+def signlsh_band_keys(e: DataFrame, n_bands: int = _SIGNLSH_BANDS,
+                      n_bits: int = _SIGNLSH_BITS, dim: int = _EMB_DIM) -> DataFrame:
+    """Explode a normalized embedding frame (vec_id, v, nrm, ...) into one
+    row per (vector, band) with the band's sign-LSH key — the shared
+    candidate-generation front end for sim_ann_lsh / dedup_embedding_cosine
+    and the planted-near-dup recall pin in tests."""
+    return (
+        e.withColumn("_sb", F.expr(_spark_signbits_expr(n_bands, n_bits, dim)))
+        .withColumn("band_key", F.explode(F.expr(_spark_bandkeys_expr(n_bands, n_bits))))
+        .drop("_sb")
+    )
+
+
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: sign bits of the first 8 dims form a 256-way bucket;
-    candidates are same-bucket vectors (equality join on bucket) and top-3
-    by cosine within bucket.  This is the scale path: shuffle keys are
-    bucket ids, never an O(n²) cross join."""
-    e = _emb_norm(spark, sf_dir).withColumn(
-        "bucket",
-        F.expr(
-            " + ".join("IF(element_at(v, %d) >= 0, %d, 0)" % (i + 1, 1 << i) for i in range(8))
-        ),
-    )
+    """Multi-band sign-LSH ANN: candidates are vectors sharing ANY of the
+    8 random-hyperplane band keys with the query (union of equality joins,
+    exactly dedup_minhash_lsh's band structure), ranked top-3 by exact
+    cosine.  This is the scale path: shuffle keys are band keys, never an
+    O(n²) cross join, and per-bucket occupancy is tuned by the bit count
+    (recommended_signlsh_bits at production scale)."""
+    e = signlsh_band_keys(_emb_norm(spark, sf_dir))
     q = e.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm"), "bucket"
+        F.col("vec_id").alias("query_id"), "band_key"
     )
-    n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), F.col("nrm").alias("nnrm"), "bucket")
-    j = q.join(n, "bucket").filter(F.col("neighbor_id") != F.col("query_id"))
+    n = e.select(F.col("vec_id").alias("neighbor_id"), "band_key")
+    cand = (
+        q.join(n, "band_key")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    base = _emb_norm(spark, sf_dir)
+    qv = base.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm"))
+    nv = base.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), F.col("nrm").alias("nnrm"))
+    j = cand.join(qv, "query_id").join(nv, "neighbor_id")
     j = j.withColumn("cos_sim", F.round(F.expr(_DOT) / (F.col("qnrm") * F.col("nnrm")), 4))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         j.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
-        .select("query_id", "bucket", "neighbor_id", "rank", "cos_sim")
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
 
 
@@ -914,24 +1046,38 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs: cos ≥ τ with candidates from the
-    same sign-LSH bucket (equality join — the scale path; a true near-dup
-    pair almost surely shares all 8 sign bits).  τ=0.35 because the driver's
-    synthetic embeddings contain no true near-duplicates (max within-bucket
-    cos ≈ 0.45) — production dedup runs τ≈0.95+ with identical mechanics.
-    Output (vec_a, vec_b, cos_sim)."""
-    e = _emb_norm(spark, sf_dir).withColumn(
-        "bucket",
-        F.expr(
-            " + ".join("IF(element_at(v, %d) >= 0, %d, 0)" % (i + 1, 1 << i) for i in range(8))
-        ),
+def embedding_candidate_pairs(e: DataFrame, n_bands: int = _SIGNLSH_BANDS,
+                              n_bits: int = _SIGNLSH_BITS, dim: int = _EMB_DIM) -> DataFrame:
+    """Distinct (vec_a < vec_b) candidate pairs sharing at least one
+    sign-LSH band key — the multi-band self-join front end shared by
+    dedup_embedding_cosine and the planted-near-dup recall pytest."""
+    banded = signlsh_band_keys(e, n_bands, n_bits, dim).select("vec_id", "band_key")
+    a = banded.select(F.col("vec_id").alias("vec_a"), "band_key")
+    b = banded.select(F.col("vec_id").alias("vec_b"), "band_key")
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
     )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm"), "bucket")
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("nv"), F.col("nrm").alias("nnrm"), "bucket")
-    j = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: cos >= tau with candidates from the
+    multi-band random-hyperplane sign-LSH (union of band-key equality
+    joins — the scale path: a true near-dup pair at production tau~0.95
+    shares an 8-bit band with p~0.43, so missing all 8 bands has p<2%, and
+    the bit count scales with corpus size via recommended_signlsh_bits).
+    tau=0.3 here because the driver's synthetic embeddings contain no true
+    near-duplicates (max pairwise cos ~ 0.45) — production dedup runs
+    tau~0.95+ with identical mechanics.  Output (vec_a, vec_b, cos_sim)."""
+    e = _emb_norm(spark, sf_dir)
+    cand = embedding_candidate_pairs(e)
+    av = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm"))
+    bv = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("nv"), F.col("nrm").alias("nnrm"))
+    j = cand.join(av, "vec_a").join(bv, "vec_b")
     j = j.withColumn("cos_sim", F.round(F.expr(_DOT) / (F.col("qnrm") * F.col("nnrm")), 4))
-    return j.filter(F.col("cos_sim") >= 0.35).select("vec_a", "vec_b", "cos_sim")
+    return j.filter(F.col("cos_sim") >= 0.3).select("vec_a", "vec_b", "cos_sim")
 
 
 def embed_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1013,6 +1159,57 @@ _SQL_GOPHER_CTES = f"""
                         THEN 1.0 - n_tri_distinct * 1.0 / n_tri ELSE 0.0 END AS dup_frac
             FROM gbase b LEFT JOIN guni USING (doc_id) LEFT JOIN gtri USING (doc_id)
         )
+"""
+
+# Sign-LSH oracle legs: the SAME hyperplane literals render into DuckDB
+# syntax; MATERIALIZED CTEs compute the band keys exactly once (DuckDB
+# would otherwise inline the CTE into every join reference and re-evaluate
+# the projections ~16x); candidates come from one self-join on the
+# unnested band_key — structurally the Spark plan's mirror.
+
+_SQL_SIGNLSH_CTES = f"""
+        e AS MATERIALIZED ({_SQL_EMB_NORM}),
+        eb AS (SELECT vec_id, {_duck_signbits_expr(_SIGNLSH_BANDS, _SIGNLSH_BITS, _EMB_DIM)} AS sb FROM e),
+        banded AS MATERIALIZED (
+            SELECT vec_id, unnest({_duck_bandkeys_expr(_SIGNLSH_BANDS, _SIGNLSH_BITS)}) AS band_key FROM eb
+        )
+"""
+
+_SQL_SIM_ANN_LSH = f"""
+        WITH {_SQL_SIGNLSH_CTES},
+        q AS (SELECT vec_id, band_key FROM banded WHERE vec_id % 50 = 0),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+            FROM q JOIN banded n ON q.band_key = n.band_key AND n.vec_id <> q.vec_id
+        ),
+        p AS (
+            SELECT c.query_id, c.neighbor_id,
+                   round({_SQL_DOT.replace('qv', 'a.v').replace('nv', 'b.v')}
+                         / (a.nrm * b.nrm), 4) AS cos_sim
+            FROM cand c
+            JOIN e a ON a.vec_id = c.query_id
+            JOIN e b ON b.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, rank, cos_sim FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM p
+        ) WHERE rank <= 3
+"""
+
+_SQL_DEDUP_EMB_COSINE = f"""
+        WITH {_SQL_SIGNLSH_CTES},
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, cos_sim FROM (
+            SELECT c.vec_a, c.vec_b,
+                   round({_SQL_DOT.replace('qv', 'a.v').replace('nv', 'b.v')}
+                         / (a.nrm * b.nrm), 4) AS cos_sim
+            FROM cand c
+            JOIN e a ON a.vec_id = c.vec_a
+            JOIN e b ON b.vec_id = c.vec_b
+        ) WHERE cos_sim >= 0.3
 """
 
 ORACLES: dict[str, str] = {
@@ -1130,26 +1327,7 @@ ORACLES: dict[str, str] = {
             FROM p
         ) WHERE rank <= 5
     """,
-    "sim_ann_lsh": f"""
-        WITH e AS (
-            SELECT vec_id, v, nrm,
-                   (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
-                 + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END)
-                 + (CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END) + (CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END)
-                 + (CASE WHEN v[7] >= 0 THEN 64 ELSE 0 END) + (CASE WHEN v[8] >= 0 THEN 128 ELSE 0 END) AS bucket
-            FROM ({_SQL_EMB_NORM})
-        ),
-        q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket FROM e WHERE vec_id % 50 = 0),
-        p AS (
-            SELECT q.query_id, q.bucket, e.vec_id AS neighbor_id,
-                   round({_SQL_DOT.replace('nv', 'e.v')} / (q.qnrm * e.nrm), 4) AS cos_sim
-            FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id <> q.query_id
-        )
-        SELECT query_id, bucket, neighbor_id, rank, cos_sim FROM (
-            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
-            FROM p
-        ) WHERE rank <= 3
-    """,
+    "sim_ann_lsh": _SQL_SIM_ANN_LSH,
     "sim_ann_ivf": f"""
         WITH e AS ({_SQL_EMB_NORM}),
         cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
@@ -1179,22 +1357,7 @@ ORACLES: dict[str, str] = {
             FROM p
         ) WHERE rank <= 3
     """,
-    "dedup_embedding_cosine": f"""
-        WITH e AS (
-            SELECT vec_id, v, nrm,
-                   (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
-                 + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END)
-                 + (CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END) + (CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END)
-                 + (CASE WHEN v[7] >= 0 THEN 64 ELSE 0 END) + (CASE WHEN v[8] >= 0 THEN 128 ELSE 0 END) AS bucket
-            FROM ({_SQL_EMB_NORM})
-        )
-        SELECT vec_a, vec_b, cos_sim FROM (
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
-                         / (a.nrm * b.nrm), 4) AS cos_sim
-            FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        ) WHERE cos_sim >= 0.35
-    """,
+    "dedup_embedding_cosine": _SQL_DEDUP_EMB_COSINE,
     "embed_label_stats": f"""
         SELECT label, count(*) AS n_vecs, round(avg(nrm), 4) AS avg_norm
         FROM ({_SQL_EMB_NORM}) GROUP BY label

@@ -230,3 +230,52 @@ def test_approx_percentiles_within_band(spark):
             # exact percentile interpolates between elements; the sketch
             # returns a real element — allow the rank-resolution gap
             assert abs(a - e) <= max(0.05 * e, 2.0), (lang, e, a)
+
+
+def test_signlsh_planted_neardup_recall(spark):
+    """The multi-band random-hyperplane sign-LSH must surface planted
+    near-duplicate pairs (cos ~ 0.97+) as band-key candidates while
+    examining far fewer pairs than the O(n^2) cross join would — the
+    100 TB scale contract for dedup_embedding_cosine / sim_ann_lsh."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pdfparse_spark.pipeline.textops import (
+        _EMB_DIM,
+        embedding_candidate_pairs,
+        recommended_signlsh_bits,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    planted = set()
+    for i in range(120):
+        base = [rng.gauss(0.0, 1.0) for _ in range(_EMB_DIM)]
+        rows.append((i, base))
+        if i < 40:
+            noisy = [x + rng.gauss(0.0, 0.12) for x in base]
+            rows.append((1000 + i, noisy))
+            planted.add((i, 1000 + i))
+    e = spark.createDataFrame(rows, "vec_id: long, v: array<double>")
+
+    cand_df = embedding_candidate_pairs(e)
+    plan = cand_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+    cands = {(r["vec_a"], r["vec_b"]) for r in cand_df.collect()}
+    found = planted & cands
+    recall = len(found) / len(planted)
+    assert recall >= 0.9, "planted near-dup recall %.2f" % recall
+
+    n = e.count()
+    total_pairs = n * (n - 1) // 2
+    assert len(cands) < 0.25 * total_pairs, (
+        "candidate set %d of %d pairs — bucketing is not pruning" % (len(cands), total_pairs)
+    )
+
+    # production sizing: bits grow with log2(n) so per-bucket work is O(occ^2)
+    assert recommended_signlsh_bits(10**11, 64) == math.ceil(math.log2(10**11 / 64))
+    assert recommended_signlsh_bits(100) == 8
