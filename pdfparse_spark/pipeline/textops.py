@@ -675,8 +675,12 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     passed = text_gopher_quality(spark, sf_dir).filter(
         F.col("gopher_pass") == 1
     ).select("doc_id", "n_tokens")
+    # ONE connected-components fixpoint feeds both the membership test and
+    # the survivor choice: the CC driver loop is the most expensive stage
+    # here, and dedup_cluster_keep_best would otherwise re-run it from
+    # scratch (the labels frame is localCheckpointed, so reuse is free)
     clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
-    keepers = dedup_cluster_keep_best(spark, sf_dir).select(
+    keepers = dedup_cluster_keep_best(spark, sf_dir, clusters=clusters).select(
         F.col("keep_doc_id").alias("doc_id")
     )
     # clustered docs that are NOT their cluster's survivor get dropped
@@ -699,7 +703,9 @@ def text_length_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_cluster_keep_best(
+    spark: SparkSession, sf_dir: str, clusters: DataFrame | None = None
+) -> DataFrame:
     """The end-to-end near-dup dedup DECISION: pair graph → connected
     components → keep the best-quality doc per cluster (doc_id tie-break),
     emit survivor + displaced count — what a training pipeline actually
@@ -709,8 +715,12 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor choice is one window over cluster_id — cluster sizes are
     bounded by real-world dup multiplicity, so the per-partition sort is
     tiny.  Quality is the text_quality composite, unrounded (ranking only).
+    A composed pipeline (corpus_curate) passes its own precomputed
+    ``clusters`` frame so the CC fixpoint runs exactly once per plan.
     """
-    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    if clusters is None:
+        clusters = dedup_clusters(spark, sf_dir)
+    clusters = clusters.select("doc_id", "cluster_id")
     d = _docs(spark, sf_dir).select("doc_id", "text", F.expr(_TOKS).alias("arr"))
     scored = d.select(
         "doc_id",
