@@ -144,20 +144,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage-codegen'd.  No DuckDB oracle (hash family differs);
     pinned against dedup_ngram_jaccard in tests/test_textops.py.
 
-    Both the signatures and the exact-Jaccard verification join run over
-    the df-capped shingle table (df ≤ _MAX_SHINGLE_DF), so the candidate
-    re-join cannot blow up on a hot boilerplate shingle either.
+    The df-cap (df ≤ _MAX_SHINGLE_DF) applies to the JOIN stages only —
+    the band-key candidate join and the exact-Jaccard verification join —
+    where a hot boilerplate shingle would blow up quadratically.  The
+    signature stage hashes the UNCAPPED shingle set (standard MinHash):
+    the cap's count-window is a full shuffle on the shingle key, pure
+    overhead in a stage that only aggregates per doc_id, and minhash
+    already tolerates hot shingles (they shift all signatures equally).
+    On the test corpora max df is 25 < 128, so capped and uncapped
+    signatures are identical and the exact-Jaccard pytest pin is unchanged.
     """
-    sh = _shingle_rows(spark, sf_dir, max_df=_MAX_SHINGLE_DF)
+    sig_sh = _shingle_rows(spark, sf_dir)
     # hash family: each shingle string is xxhash64'd ONCE, then the 32
     # permutations rehash that long — 1 string hash + 32 long hashes per
     # row instead of 32 string hashes (2.9x faster signature stage at
     # sf0.1; same independence in practice, and ANSI-safe, unlike
     # multiply-mix families which raise on long overflow)
-    base = sh.withColumn("h", F.xxhash64(F.col("sh")))
+    base = sig_sh.withColumn("h", F.xxhash64(F.col("sh")))
     sigs = base.groupBy("doc_id").agg(
         *[F.min(F.xxhash64(F.lit(i), F.col("h"))).alias("h%d" % i) for i in range(_MINHASH_PERMS)]
     )
+    sh = _shingle_rows(spark, sf_dir, max_df=_MAX_SHINGLE_DF)
     rows_per_band = _MINHASH_PERMS // _LSH_BANDS
     band_keys = F.array(
         *[
