@@ -45,8 +45,15 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
 
     import __spark_entry__ as entry_mod
     from pdfparse_spark.pipeline.session import get_spark
@@ -63,16 +70,22 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.monotonic()
+        rec = {"rows_match": None, "schema_match": None, "hash_match": None,
+               "spark_rows": None, "oracle_rows": None, "err": None}
+        results[name] = rec
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
             scols = sdf.columns
         except Exception as exc:
             print(f"FAIL {name}: spark raised {type(exc).__name__}: {exc}")
+            rec["err"] = f"spark: {type(exc).__name__}: {exc}"
             failures += 1
             continue
         dt = time.monotonic() - t0
+        rec["spark_rows"] = len(srows)
         if name not in oracles:
+            rec["err"] = "no_oracle"
             print(f"ok   {name}: rows-only, {len(srows)} rows ({dt:.1f}s)")
             continue
         try:
@@ -81,8 +94,12 @@ def main() -> int:
             drows = drel.fetchall()
         except Exception as exc:
             print(f"FAIL {name}: duckdb raised {type(exc).__name__}: {exc}")
+            rec["err"] = f"duckdb: {type(exc).__name__}: {exc}"
             failures += 1
             continue
+        rec["oracle_rows"] = len(drows)
+        rec["rows_match"] = len(srows) == len(drows)
+        rec["schema_match"] = sorted(scols) == sorted(dcols)
         problems = []
         if sorted(scols) != sorted(dcols):
             problems.append(f"schema: spark={sorted(scols)} duck={sorted(dcols)}")
@@ -91,6 +108,7 @@ def main() -> int:
         if not problems:
             sh = value_hash(scols, [tuple(r) for r in srows])
             dh = value_hash(dcols, drows)
+            rec["hash_match"] = sh == dh
             if sh != dh:
                 problems.append(f"valuehash: spark={sh} duck={dh}")
                 # print a few diffs for debugging
@@ -106,6 +124,12 @@ def main() -> int:
         else:
             print(f"ok   {name}: {len(srows)} rows match ({dt:.1f}s)")
     spark.stop()
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(results, fh, indent=2)
+        print(f"wrote {json_out} ({len(results)} queries)")
     return 1 if failures else 0
 
 
