@@ -432,7 +432,43 @@ class TrueTypeFont:
                             gid = _gid_at(ro_pos + rng + (lo - first) * 2)
                             if gid:
                                 char2gid.setdefault(code, (gid + delta) & 0xFFFF)
-            # other formats (6, 12, ...): skipped like the reference
+            elif fmt == 6:
+                # trimmed table mapping: a dense [firstCode,
+                # firstCode+entryCount) run of glyph ids.  Beyond the
+                # reference's 0/2/4 set (pdfparse.lisp:3214-3346) — format 6
+                # is the most common remaining legacy subtable.
+                if st + 10 > len(data):
+                    continue
+                first, count = struct.unpack(">HH", data[st + 6 : st + 10])
+                gid_base = st + 10
+                for k in range(count):
+                    pos = gid_base + k * 2
+                    if pos + 2 > len(data):
+                        break
+                    (gid,) = struct.unpack(">H", data[pos : pos + 2])
+                    if gid:
+                        char2gid.setdefault(first + k, gid)
+            elif fmt == 12:
+                # segmented coverage: 32-bit code ranges with sequential
+                # glyph ids — required for any font mapping chars above
+                # U+FFFF (emoji, SMP CJK).  Beyond the reference's set.
+                if st + 16 > len(data):
+                    continue
+                (ngroups,) = struct.unpack(">L", data[st + 12 : st + 16])
+                gbase = st + 16
+                # 12 bytes per group; cap like _MAX_CMAP_RANGE guards the
+                # bfrange path — a hostile ngroups/range cannot bomb memory
+                for g in range(min(ngroups, 65536)):
+                    off = gbase + g * 12
+                    if off + 12 > len(data):
+                        break
+                    s0, e0, gid0 = struct.unpack(">LLL", data[off : off + 12])
+                    if e0 < s0 or e0 - s0 >= _MAX_CMAP_RANGE or s0 > 0x10FFFF:
+                        continue
+                    for k in range(min(e0, 0x10FFFF) - s0 + 1):
+                        if gid0 + k:
+                            char2gid.setdefault(s0 + k, gid0 + k)
+            # other formats (8, 10, 13, 14): skipped like the reference
         if not char2gid:
             raise CMapNotFound("no supported cmap subtable")
         umap = FileUnicodeMap()

@@ -69,3 +69,41 @@ def test_format2_two_byte_codes():
     umap = font.create_unicode_map()
     assert umap.get_unichr(21) == chr(0x8140)
     assert umap.get_unichr(22) == chr(0x8141)
+
+
+def test_format6():
+    # trimmed mapping: codes 0x30-0x32 → gids 40,41,42
+    body = struct.pack(">HHHHH", 6, 0, 0, 0x30, 3) + struct.pack(">3H", 40, 41, 42)
+    font = TrueTypeFont("t", _ttf_with_cmap(_subtable_header() + body))
+    umap = font.create_unicode_map()
+    assert umap.get_unichr(40) == "0"
+    assert umap.get_unichr(42) == "2"
+
+
+def test_format12_supplementary_plane():
+    # two groups: ASCII A-C → gids 100.., and U+1F600 (emoji) → gid 500
+    groups = struct.pack(">LLL", 0x41, 0x43, 100) + struct.pack(
+        ">LLL", 0x1F600, 0x1F601, 500
+    )
+    body = struct.pack(">HHLLL", 12, 0, 16 + len(groups), 0, 2) + groups
+    font = TrueTypeFont("t", _ttf_with_cmap(_subtable_header() + body))
+    umap = font.create_unicode_map()
+    assert umap.get_unichr(100) == "A"
+    assert umap.get_unichr(102) == "C"
+    assert umap.get_unichr(500) == "\U0001F600"
+    assert umap.get_unichr(501) == "\U0001F601"
+
+
+def test_format12_hostile_ranges_are_skipped():
+    # e < s, an over-wide range, and an out-of-unicode start must all be
+    # skipped leniently without memory blowup; the sane group still maps
+    groups = (
+        struct.pack(">LLL", 0x50, 0x40, 1)          # end < start
+        + struct.pack(">LLL", 0, 0xFFFFFFF0, 1)      # decompression-bomb width
+        + struct.pack(">LLL", 0x200000, 0x200002, 9)  # above U+10FFFF
+        + struct.pack(">LLL", 0x61, 0x61, 77)        # 'a' → gid 77
+    )
+    body = struct.pack(">HHLLL", 12, 0, 16 + len(groups), 0, 4) + groups
+    font = TrueTypeFont("t", _ttf_with_cmap(_subtable_header() + body))
+    umap = font.create_unicode_map()
+    assert umap.get_unichr(77) == "a"
