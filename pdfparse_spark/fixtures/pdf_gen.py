@@ -582,6 +582,26 @@ def fx_unsupported_filter() -> PDFFixture:
     )
 
 
+def fx_names_cycle() -> PDFFixture:
+    """A /Names → /Dests tree whose /Kids form a cycle (6 → 7 → 6).  Text
+    extraction never walks the name tree, so the golden is a normal page;
+    the end-to-end pin is that opening THIS file and calling get_dest
+    terminates on both hit and miss (seen-set guard, pdfdocument.py
+    lookup_name) instead of looping."""
+    content = b"BT /F1 12 Tf 72 720 Td (Cycle resistant) Tj ET"
+    bodies = _doc_skeleton(
+        content,
+        extra_objs={
+            6: b"<< /Kids [7 0 R] >>",
+            7: b"<< /Kids [6 0 R] /Names [(hit) [3 0 R /Fit]] >>",
+        },
+    )
+    bodies[1] = b"<< /Type /Catalog /Pages 2 0 R /Names << /Dests 6 0 R >> >>"
+    data = _assemble(bodies)
+    text = "\nCycle resistant"
+    return PDFFixture("pdf_names_cycle", data, text, [(1, 0, len(text))])
+
+
 _FIXTURE_BUILDERS = [
     fx_min_uncompressed,
     fx_flate,
@@ -604,6 +624,7 @@ _FIXTURE_BUILDERS = [
     fx_graphics_noise,
     fx_rc4_encrypted,
     fx_unsupported_filter,
+    fx_names_cycle,
 ]
 
 

@@ -492,3 +492,29 @@ def test_column_device_reading_order():
     single = b"BT /F1 12 Tf 14 TL 72 720 Td (Line one) Tj T* (Line two) Tj ET"
     sdata = _assemble(_doc_skeleton(single))
     assert extract_pdf_bytes(sdata, ColumnTextDevice)[0] == extract_pdf_bytes(sdata)[0]
+
+
+def test_names_cycle_fixture_end_to_end():
+    """The pdf_names_cycle FIXTURE (a whole file, opened through the normal
+    parser/xref path — not a hand-wired document) extracts its page text
+    normally AND resolves/misses named destinations without looping on the
+    crafted /Kids cycle."""
+    import pytest
+
+    from pdfparse_spark.fixtures.pdf_gen import build_pdf_fixtures
+    from pdfparse_spark.kernel.extract import extract_pdf_bytes
+    from pdfparse_spark.kernel.pdfdocument import PDFDocument
+    from pdfparse_spark.kernel.pdfparser import PDFParser
+    from pdfparse_spark.kernel.pdftypes import LIT, list_value, resolve1
+
+    fx = next(f for f in build_pdf_fixtures() if f.name == "pdf_names_cycle")
+    text, spans, status = extract_pdf_bytes(fx.data)
+    assert (text, status) == (fx.golden_text, "ok")
+
+    doc = PDFDocument()
+    parser = PDFParser(fx.data)
+    parser.set_document(doc)
+    doc.set_parser(parser)
+    assert list_value(resolve1(doc.get_dest(b"hit")))[1] is LIT("Fit")
+    with pytest.raises(KeyError):
+        doc.get_dest(b"absent")
