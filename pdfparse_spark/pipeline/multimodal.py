@@ -47,9 +47,22 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
     return n, 64 + n % 512, 64 + (n * 7) % 512, 1 + n % 24
 
 
-def real_decode(payload: bytes):  # pragma: no cover - documented stub
-    """The genuine codec path — not available in this container."""
-    raise NotImplementedError("image/audio codecs not installed; use _fake_decode")
+def real_decode(payload: bytes) -> tuple[int, int, int, int]:
+    """The genuine codec path: same (n_bytes, width, height, n_frames)
+    contract as _fake_decode, so a deployment with PIL installed swaps it
+    into decode_meta_batch without touching the Spark plumbing.  Raises
+    NotImplementedError when no codec library is importable (this
+    container); the skip-marked pytest runs it wherever PIL exists."""
+    try:
+        from io import BytesIO
+
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - container has no PIL
+        raise NotImplementedError(
+            "image/audio codecs not installed; use _fake_decode"
+        ) from exc
+    with Image.open(BytesIO(payload)) as im:
+        return len(payload), im.width, im.height, int(getattr(im, "n_frames", 1))
 
 
 def decode_meta_batch(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -434,3 +434,25 @@ def test_resume_with_split_pages_kill_rerun(spark, tmp_path):
              for r in read_output(spark, split_out, split_led).select(*cols).collect()}
     assert plain == split
     assert ("heavyconv", 0) in plain
+
+
+def test_real_decode_with_pil_if_available():
+    """real_decode honours the same (n_bytes, width, height, n_frames)
+    contract as _fake_decode wherever PIL exists; skipped in containers
+    without a codec library (where it must raise NotImplementedError)."""
+    import pytest
+
+    from pdfparse_spark.pipeline.multimodal import real_decode
+
+    try:
+        from io import BytesIO
+
+        from PIL import Image
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            real_decode(b"\x89PNG\r\n\x1a\n")
+        pytest.skip("PIL not installed; NotImplementedError contract verified")
+    buf = BytesIO()
+    Image.new("RGB", (320, 200)).save(buf, format="PNG")
+    payload = buf.getvalue()
+    assert real_decode(payload) == (len(payload), 320, 200, 1)
