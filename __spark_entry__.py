@@ -278,6 +278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(multimodal.QUERIES)
     q.update(textops.QUERIES)
     tail = [
+        "text_ngrams",
         "r6_order_window",
         "r14_event_users",
         "r13_status_reassembly",

@@ -628,7 +628,26 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver per iteration.  Oracle: DuckDB recursive-CTE transitive
     closure — exponential in path count, viable only at oracle scale.
     """
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return _connected_components(dedup_ngram_jaccard(spark, sf_dir))
+
+
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_clusters' 100 TB front end: the SAME connected-components
+    fixpoint, but with the pair graph coming from MinHash-LSH band-key
+    candidates (verified by exact Jaccard on candidates only) instead of
+    the exact all-shingle self-join — the composition a production dedup
+    actually runs, since exact pair generation is the one stage that
+    cannot scale.  Rows-only check (xxhash64 family); pinned row-for-row
+    against dedup_clusters in pytest (on the test corpora LSH recall at
+    j ≥ 0.5 is total, so the graphs — and therefore the clusters — agree).
+    """
+    return _connected_components(dedup_minhash_lsh(spark, sf_dir))
+
+
+def _connected_components(pairs: DataFrame) -> DataFrame:
+    """Min-label-propagation CC over an undirected (doc_a, doc_b) pair
+    frame; see dedup_clusters for the scale/oracle story."""
+    pairs = pairs.select("doc_a", "doc_b")
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
@@ -1537,6 +1556,7 @@ QUERIES = {
     "decontaminate_ngram": decontaminate_ngram,
     "docs_global_shuffle": docs_global_shuffle,
     "dedup_clusters": dedup_clusters,
+    "dedup_minhash_clusters": dedup_minhash_clusters,  # rows-only (xxhash64 family)
     "dedup_cluster_keep_best": dedup_cluster_keep_best,
     "text_length_stats_approx": text_length_stats_approx,  # rows-only (sketch)
     "corpus_curate": corpus_curate,

@@ -279,3 +279,16 @@ def test_signlsh_planted_neardup_recall(spark):
     # production sizing: bits grow with log2(n) so per-bucket work is O(occ^2)
     assert recommended_signlsh_bits(10**11, 64) == math.ceil(math.log2(10**11 / 64))
     assert recommended_signlsh_bits(100) == 8
+
+
+def test_minhash_clusters_match_exact_clusters(spark):
+    """The LSH-fronted CC (dedup_minhash_clusters) must produce the same
+    clusters as the exact-pair CC on the test corpora, where band recall
+    at j >= 0.5 is total — pinning that swapping the scale-path pair
+    generator does not change the dedup decision."""
+    from pdfparse_spark.pipeline.textops import dedup_clusters, dedup_minhash_clusters
+
+    exact = {tuple(r) for r in dedup_clusters(spark, SF).collect()}
+    lsh = {tuple(r) for r in dedup_minhash_clusters(spark, SF).collect()}
+    assert exact == lsh
+    assert len(exact) > 0
