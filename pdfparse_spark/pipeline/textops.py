@@ -644,9 +644,30 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _connected_components(dedup_minhash_lsh(spark, sf_dir))
 
 
-def _connected_components(pairs: DataFrame) -> DataFrame:
-    """Min-label-propagation CC over an undirected (doc_a, doc_b) pair
-    frame; see dedup_clusters for the scale/oracle story."""
+def _connected_components(
+    pairs: DataFrame, max_rounds: int | None = None
+) -> DataFrame:
+    """Min-label-propagation CC with pointer jumping (path halving) over an
+    undirected (doc_a, doc_b) pair frame; see dedup_clusters for the
+    scale/oracle story.
+
+    Each round does (1) the classic neighbor-min step — label(v) <-
+    min(label(v), min over neighbors) — then (2) a pointer jump —
+    label(v) <- label(label(v)).  Step 1 alone converges in
+    graph-diameter rounds, which is fine for clique-shaped dup clusters
+    but O(chain length) shuffles for the long near-dup CHAINS templated
+    web text actually produces (A~B~C~... with no direct A~C edge); the
+    jump halves every label path per round, giving O(log diameter)
+    rounds total (Shiloach-Vishkin style).  Labels only ever decrease
+    and only ever hold ids from the same component (neighbor labels and
+    label-of-label both stay in-component), so the fixpoint — no change
+    anywhere — still forces label(u) = label(v) across every edge, i.e.
+    the component min.  The logarithmic bound is pinned by
+    ``test_cc_pointer_jumping_rounds`` on a 256-node path graph.
+
+    ``max_rounds`` (tests only) raises if convergence takes longer —
+    the guard that the jump is actually doing its job.
+    """
     pairs = pairs.select("doc_a", "doc_b")
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -658,16 +679,40 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
         .persist()
     )
     edges = edges.persist()
+    rounds = 0
     while True:
+        rounds += 1
+        if max_rounds is not None and rounds > max_rounds:
+            raise RuntimeError(
+                f"connected components did not converge in {max_rounds} rounds"
+            )
         neigh = (
             edges.join(labels, edges.doc_a == labels.doc_id)
             .groupBy(F.col("doc_b").alias("doc_id"))
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = labels.join(neigh, "doc_id", "left").select(
+        stepped = labels.join(neigh, "doc_id", "left").select(
             "doc_id",
-            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
-            (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).cast("long").alias("chg"),
+            F.col("label").alias("old"),
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # pointer jump: label(v) <- label(label(v)).  Every label is the
+        # doc_id of a node inside the labels frame (labels start as self
+        # and only ever move to another in-component node's id), so the
+        # left join hits except transiently; coalesce keeps it total.
+        jump = stepped.select(
+            F.col("doc_id").alias("jkey"), F.col("label").alias("jlabel")
+        )
+        new_labels = (
+            stepped.join(jump, stepped.label == jump.jkey, "left")
+            .withColumn("label", F.least("label", F.coalesce("jlabel", "label")))
+            .select(
+                "doc_id",
+                "label",
+                (F.col("label") < F.col("old")).cast("long").alias("chg"),
+            )
         )
         # localCheckpoint (eager) both materializes the round AND truncates
         # lineage — without it the logical plan grows by one join per

@@ -292,3 +292,37 @@ def test_minhash_clusters_match_exact_clusters(spark):
     lsh = {tuple(r) for r in dedup_minhash_clusters(spark, SF).collect()}
     assert exact == lsh
     assert len(exact) > 0
+
+def test_cc_pointer_jumping_rounds(spark):
+    """A 256-node PATH graph (worst case for plain min-label propagation:
+    O(n) rounds) must converge in O(log n) rounds thanks to the pointer
+    jump, and still label every node with the component minimum."""
+    from pdfparse_spark.pipeline.textops import _connected_components
+
+    n = 256
+    pairs = spark.createDataFrame(
+        [("d%04d" % i, "d%04d" % (i + 1)) for i in range(n - 1)],
+        ["doc_a", "doc_b"],
+    )
+    # plain min-label needs ~n rounds on a path; path halving needs
+    # ~log2(n)=8 — allow slack for the convergence-detection round
+    out = _connected_components(pairs, max_rounds=12).collect()
+    assert len(out) == n
+    assert {r.cluster_id for r in out} == {"d0000"}
+    assert all(r.cluster_size == n for r in out)
+
+
+def test_cc_two_components_min_label(spark):
+    """Disjoint components keep distinct min labels under the jump."""
+    from pdfparse_spark.pipeline.textops import _connected_components
+
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y"), ("y", "z")],
+        ["doc_a", "doc_b"],
+    )
+    out = {r.doc_id: (r.cluster_id, r.cluster_size) for r in
+           _connected_components(pairs, max_rounds=8).collect()}
+    assert out == {
+        "a": ("a", 3), "b": ("a", 3), "c": ("a", 3),
+        "x": ("x", 3), "y": ("x", 3), "z": ("x", 3),
+    }
