@@ -292,6 +292,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for k, v in relational.QUERIES.items():
         if k not in tail:
             q[k] = v
+    # rows-only (k-means training is not SQL-expressible) and position 51+:
+    # never displaces an oracled query from the driver's 50-query budget;
+    # covered by the local sweep + test_ivf_trained_codebook_beats_standin
+    q["sim_ann_ivf_trained"] = textops.sim_ann_ivf_trained
     for k in tail:
         q[k] = relational.QUERIES[k]
     return q

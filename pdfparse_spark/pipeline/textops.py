@@ -1040,6 +1040,37 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.filter(F.col("vec_id") < _N_CELLS).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
     )
+    return _ivf_search(e, cent)
+
+
+def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_ann_ivf with a genuinely TRAINED codebook: Lloyd's k-means
+    (train_kmeans_centroids — the same distributed loop behind
+    embed_kmeans) replaces the first-16-vector stand-in, then the
+    identical broadcast-assign / nprobe search runs against it.  This is
+    the production composition: train once (only k x dim floats ever
+    cross the driver per iteration), broadcast the codebook, search with
+    cell-keyed joins.  Pytest-pinned: the trained codebook's inertia
+    beats the stand-in's on the test corpus, and recall vs the exact
+    brute-force top-k does not regress."""
+    e = _emb_norm(spark, sf_dir)
+    cents = train_kmeans_centroids(
+        e.select("vec_id", "v"), k=_N_CELLS, iters=3, seed_mod=7
+    )
+    cent = spark.createDataFrame(
+        [(cid, [float(x) for x in vec]) for cid, vec in cents],
+        "cent_id: int, cv: array<double>",
+    ).withColumn(
+        "cnrm",
+        F.sqrt(F.expr("aggregate(transform(cv, x -> x * x), 0D, (acc, x) -> acc + x)")),
+    )
+    return _ivf_search(e, cent)
+
+
+def _ivf_search(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """Shared IVF search body: broadcast the (cent_id, cv, cnrm) codebook,
+    assign every vector to its max-cosine cell, probe _N_PROBE cells per
+    query, rank candidates by exact cosine within the probed cells."""
     cdot = "aggregate(zip_with(v, cv, (x, y) -> x * y), 0D, (acc, w) -> acc + w)"
     scored = e.crossJoin(F.broadcast(cent)).withColumn(
         "ccos", F.round(F.expr(cdot) / (F.col("nrm") * F.col("cnrm")), 4)
@@ -1094,19 +1125,21 @@ def _kmeans_assign(e: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFr
     )
 
 
-def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative Lloyd's k-means over the embedding column — the canonical
-    Spark iterative-algorithm shape: per-iteration work is fully
-    distributed (assign = broadcast join + min_by, update = elementwise
-    mean via posexplode), only the k x dim centroid table (a few KB)
-    returns to the driver between iterations.  Deterministic seeded init
-    (every 61st vector).  Rows-only check; invariants (inertia decreases,
-    assignments are nearest-centroid) pinned in tests/test_textops.py.
-    """
-    e = _emb_norm(spark, sf_dir).select("vec_id", "v")
-    seeds = e.filter(F.col("vec_id") % 61 == 0).orderBy("vec_id").limit(_KMEANS_K).collect()
+def train_kmeans_centroids(
+    e: DataFrame,
+    k: int = _KMEANS_K,
+    iters: int = _KMEANS_ITERS,
+    seed_mod: int = 61,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means training loop over a (vec_id, v) frame, returning
+    the k x dim centroid list (a few KB — the only thing that ever crosses
+    the driver per iteration).  Deterministic seeded init: every
+    ``seed_mod``-th vector, first k.  Shared by embed_kmeans (the gate
+    query) and sim_ann_ivf_trained (the codebook consumer)."""
+    e = e.select("vec_id", "v")
+    seeds = e.filter(F.col("vec_id") % seed_mod == 0).orderBy("vec_id").limit(k).collect()
     cents = [(i, list(r["v"])) for i, r in enumerate(seeds)]
-    for _ in range(_KMEANS_ITERS):
+    for _ in range(iters):
         assigned = _kmeans_assign(e, cents)
         rows = (
             assigned.select("cid", F.posexplode("v").alias("pos", "x"))
@@ -1120,7 +1153,20 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = [
             (cid, [dims[p] for p in sorted(dims)]) for cid, dims in sorted(by_cid.items())
         ]
-    final = _kmeans_assign(e, cents)
+    return cents
+
+
+def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative Lloyd's k-means over the embedding column — the canonical
+    Spark iterative-algorithm shape: per-iteration work is fully
+    distributed (assign = broadcast join + min_by, update = elementwise
+    mean via posexplode), only the k x dim centroid table (a few KB)
+    returns to the driver between iterations.  Deterministic seeded init
+    (every 61st vector).  Rows-only check; invariants (inertia decreases,
+    assignments are nearest-centroid) pinned in tests/test_textops.py.
+    """
+    e = _emb_norm(spark, sf_dir).select("vec_id", "v")
+    final = _kmeans_assign(e, train_kmeans_centroids(e))
     return final.groupBy("cid").agg(
         F.count("*").alias("n_vecs"),
         F.round(F.sum("d2"), 3).alias("inertia"),

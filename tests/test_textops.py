@@ -326,3 +326,38 @@ def test_cc_two_components_min_label(spark):
         "a": ("a", 3), "b": ("a", 3), "c": ("a", 3),
         "x": ("x", 3), "y": ("x", 3), "z": ("x", 3),
     }
+
+def test_ivf_trained_codebook_beats_standin(spark):
+    """sim_ann_ivf_trained must (a) produce a strictly better codebook than
+    the first-16-vector stand-in (lower total assignment inertia) and
+    (b) not lose recall vs the exact brute-force top-3.  Measured on this
+    corpus: inertia 754 -> 445, recall@3 0.27 -> 0.50 at sf0.01."""
+    from pyspark.sql import functions as F
+    from pdfparse_spark.pipeline.textops import (
+        _emb_norm, _kmeans_assign, sim_ann_ivf, sim_ann_ivf_trained,
+        sim_cosine_topk, train_kmeans_centroids,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    e = _emb_norm(spark, sf).select("vec_id", "v")
+    standin = [
+        (i, list(r["v"]))
+        for i, r in enumerate(e.filter(F.col("vec_id") < 16).orderBy("vec_id").collect())
+    ]
+    trained = train_kmeans_centroids(e, k=16, iters=3, seed_mod=7)
+    assert len(trained) == 16
+    i_stand = _kmeans_assign(e, standin).agg(F.sum("d2")).collect()[0][0]
+    i_train = _kmeans_assign(e, trained).agg(F.sum("d2")).collect()[0][0]
+    assert i_train < 0.8 * i_stand, (i_train, i_stand)
+
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_cosine_topk(spark, sf).filter(F.col("rank") <= 3).collect()
+    }
+    rec = {
+        name: len({(r.query_id, r.neighbor_id) for r in fn(spark, sf).collect()} & truth)
+        / len(truth)
+        for name, fn in (("standin", sim_ann_ivf), ("trained", sim_ann_ivf_trained))
+    }
+    assert rec["trained"] >= rec["standin"], rec
+    assert rec["trained"] >= 0.4, rec
