@@ -206,7 +206,8 @@ def test_plan_hygiene_all_queries(spark):
     import __spark_entry__ as e
 
     allowed_all_pairs = {
-        "sim_cosine_topk", "dedup_embedding_cosine", "sim_ann_ivf", "embed_kmeans",
+        "sim_cosine_topk", "dedup_embedding_cosine", "sim_ann_ivf",
+        "sim_ann_ivf_trained", "embed_kmeans",
     }
     for name, fn in e.queries().items():
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
