@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "decontaminate_ngram",
     "docs_global_shuffle",
     "dedup_clusters",
+    "dedup_minhash_clusters",
+    "sim_ann_ivf_trained",
     "corpus_curate",
     "events_session_window",
     "events_funnel",

@@ -361,3 +361,46 @@ def test_ivf_trained_codebook_beats_standin(spark):
     }
     assert rec["trained"] >= rec["standin"], rec
     assert rec["trained"] >= 0.4, rec
+
+def test_cc_random_graphs_match_union_find(spark):
+    """_connected_components must agree with a driver-side union-find on
+    random graphs (deterministic seeds) — labels are the component MIN and
+    sizes match, across shapes the fixture corpora never produce (isolated
+    pairs, stars, multi-chains, dense blobs)."""
+    import random
+    from pdfparse_spark.pipeline.textops import _connected_components
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        n = 60
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randrange(20, 80))
+            }
+        )
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = sorted({v for e in edges for v in e})
+        want_label = {("n%03d" % v): "n%03d" % find(v) for v in touched}
+        sizes: dict = {}
+        for v in touched:
+            sizes[find(v)] = sizes.get(find(v), 0) + 1
+        want_size = {("n%03d" % v): sizes[find(v)] for v in touched}
+
+        pairs = spark.createDataFrame(
+            [("n%03d" % a, "n%03d" % b) for a, b in edges], ["doc_a", "doc_b"]
+        )
+        got = _connected_components(pairs, max_rounds=12).collect()
+        assert {r.doc_id: r.cluster_id for r in got} == want_label, seed
+        assert {r.doc_id: r.cluster_size for r in got} == want_size, seed
