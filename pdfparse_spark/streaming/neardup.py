@@ -1,0 +1,216 @@
+"""Streaming NEAR-duplicate detection with bounded state (MinHash-LSH).
+
+The streaming face of the batch ``dedup_minhash_lsh`` operator: each
+incoming turn gets the SAME 32-permutation MinHash signature and 8 LSH
+band keys as the batch op (identical xxhash64 family and shingle
+construction — pinned by ``test_streaming_bands_match_batch``), but
+computed PER ROW with higher-order functions (``transform`` +
+``array_min`` over the shingle array) instead of an explode + groupBy —
+stateless, whole-stage-codegen'd, no shuffle before the stateful stage.
+
+Detection is a custom stateful operator keyed by ``band_key``
+(``applyInPandasWithState``): the state for a band bucket is the last
+``state_cap`` (id, signature) entries that hashed into it.  A new turn is
+a near-duplicate if its signature agrees with a stored one on >= the
+threshold fraction of the 32 components (the standard unbiased Jaccard
+estimate).  Per-doc verdicts are folded across the 8 bands inside
+``foreachBatch`` (all of a row's band rows live in the same micro-batch,
+so the fold needs no second stateful operator).
+
+Bounded-state trade, stated honestly: FIFO-evicting ``state_cap``
+entries per bucket means a duplicate of something evicted (> cap
+near-identical docs hashing to one band bucket between occurrences) is
+NOT caught — the streaming analogue of the exact-dedup watermark
+horizon (dedup.py); run the batch op over the sink for a full-history
+sweep.  At scale the state store shards by band_key across executors,
+and per-bucket state is O(cap * 32 longs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..pipeline.textops import _MINHASH_PERMS, _LSH_BANDS, _SHINGLES, _TOKS
+from ..pipeline.transcripts import INPUT_SCHEMA
+
+__all__ = ["minhash_cols", "fold_band_verdicts", "start_stream_neardup"]
+
+_ROWS_PER_BAND = _MINHASH_PERMS // _LSH_BANDS
+
+
+def minhash_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``sig`` (array<long>, 32 MinHash components) and ``bands``
+    (array<long>, 8 LSH band keys) computed per row from ``text_col``.
+
+    Bit-identical to the batch signature/band pipeline in
+    ``textops.dedup_minhash_lsh`` (same shingles, same
+    ``xxhash64(i, xxhash64(shingle))`` family, same band hash): the
+    per-row ``array_min(transform(...))`` is the HOF form of the batch
+    explode + ``groupBy.agg(min(...))`` over the identical distinct
+    shingle set.  Rows with fewer than 3 tokens have no shingles:
+    ``sig``/``bands`` are null and ``has_sig`` is false (the batch op
+    drops them the same way — no shingle rows, no signature).
+    """
+    toks = _TOKS.replace("text", text_col) if text_col != "text" else _TOKS
+    sig_items = ", ".join(
+        "array_min(transform(_hs, h -> xxhash64(%d, h)))" % i
+        for i in range(_MINHASH_PERMS)
+    )
+    out = (
+        df.withColumn("arr", F.expr(toks))
+        .withColumn("_shs", F.expr(_SHINGLES))
+        .withColumn("has_sig", F.size("_shs") > 0)
+        .withColumn(
+            "_hs", F.expr("transform(_shs, s -> xxhash64(s))")
+        )
+        .withColumn(
+            "sig", F.when(F.col("has_sig"), F.expr("array(%s)" % sig_items))
+        )
+    )
+    band_items = [
+        F.xxhash64(
+            F.lit(b),
+            *[
+                F.element_at("sig", b * _ROWS_PER_BAND + r + 1)
+                for r in range(_ROWS_PER_BAND)
+            ],
+        )
+        for b in range(_LSH_BANDS)
+    ]
+    return out.withColumn(
+        "bands", F.when(F.col("has_sig"), F.array(*band_items))
+    ).drop("arr", "_shs", "_hs")
+
+
+_BAND_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("band_key", T.LongType(), False),
+        T.StructField("match_id", T.StringType(), False),
+        T.StructField("est_j", T.DoubleType(), False),
+    ]
+)
+
+# flattened bounded FIFO: ids[k] owns sigs[k*32:(k+1)*32]
+_BAND_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.StringType()), False),
+        T.StructField("sigs", T.ArrayType(T.LongType()), False),
+    ]
+)
+
+
+def _make_band_updater(threshold: float, state_cap: int):
+    def _update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (band_key,) = key
+        if state.exists:
+            ids, flat = state.get
+            ids = list(ids)
+            sigs = [list(flat[k * _MINHASH_PERMS : (k + 1) * _MINHASH_PERMS]) for k in range(len(ids))]
+        else:
+            ids, sigs = [], []
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                # int() strips numpy scalar types — state round-trips
+                # through the JVM row pickler, which rejects numpy.int64
+                (r.ts, r.id, [int(x) for x in r.sig])
+                for r in pdf.itertuples(index=False)
+            )
+        rows.sort(key=lambda t: (t[0], t[1]))  # deterministic arrival order
+        out_id, out_match, out_est = [], [], []
+        for _, rid, sig in rows:
+            best_est, best_id = -1.0, ""
+            for sid, ssig in zip(ids, sigs):
+                est = sum(a == b for a, b in zip(sig, ssig)) / _MINHASH_PERMS
+                if est >= threshold and (est > best_est or (est == best_est and sid < best_id)):
+                    best_est, best_id = est, sid
+            out_id.append(rid)
+            out_match.append(best_id)
+            out_est.append(best_est)
+            ids.append(rid)
+            sigs.append(sig)
+            if len(ids) > state_cap:
+                ids = ids[-state_cap:]
+                sigs = sigs[-state_cap:]
+        state.update((ids, [x for s in sigs for x in s]))
+        yield pd.DataFrame(
+            {
+                "id": out_id,
+                "band_key": [band_key] * len(out_id),
+                "match_id": out_match,
+                "est_j": out_est,
+            }
+        )
+
+    return _update
+
+
+def fold_band_verdicts(band_rows: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Collapse per-band verdict rows to one row per doc: a doc is a
+    near-dup if ANY band matched it against a stored signature; ties keep
+    the highest-estimate (then lexicographically first) match."""
+    m = F.max(F.struct(F.col("est_j"), F.col("match_id"))).alias("m")
+    return (
+        band_rows.groupBy("id")
+        .agg(m)
+        .select(
+            "id",
+            (F.col("m.est_j") >= threshold).alias("is_dup"),
+            F.when(F.col("m.est_j") >= threshold, F.col("m.match_id")).alias("dup_of"),
+            F.when(F.col("m.est_j") >= threshold, F.round(F.col("m.est_j"), 4)).alias("est_j"),
+        )
+    )
+
+
+def start_stream_neardup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    state_cap: int = 8,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+):
+    """Stream transcript parquet drops through MinHash-LSH near-dup
+    detection; the sink gets one (id, is_dup, dup_of, est_j) row per turn
+    that produced a signature (turns with < 3 tokens have nothing to
+    near-dup against and are skipped, exactly like the batch op)."""
+    stream = (
+        spark.readStream.schema(INPUT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    banded = (
+        minhash_cols(stream)
+        .filter(F.col("has_sig"))
+        .withColumn("id", F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")))
+        .select("id", "ts", "sig", F.explode("bands").alias("band_key"))
+    )
+    verdicts = banded.groupBy("band_key").applyInPandasWithState(
+        _make_band_updater(threshold, state_cap),
+        outputStructType=_BAND_OUT_SCHEMA,
+        stateStructType=_BAND_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        fold_band_verdicts(batch_df, threshold).write.mode("append").parquet(out_dir)
+
+    writer = verdicts.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

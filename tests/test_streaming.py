@@ -205,3 +205,85 @@ def test_streaming_sessions_watermark_append(spark, tmp_path):
                     spark.createDataFrame(early, OUTPUT_SCHEMA)).collect()}
     assert got == expected
     assert len(got) == 3  # c1 x2 sessions + c2 x1; sentinel session unemitted
+
+
+def test_streaming_bands_match_batch(spark):
+    """minhash_cols' per-row HOF signature/band computation must be
+    bit-identical to the batch explode + groupBy-min path it mirrors
+    (textops.dedup_minhash_lsh's signature stage) — two independent plan
+    shapes, one hash family."""
+    from pdfparse_spark.pipeline.textops import (
+        _LSH_BANDS, _MINHASH_PERMS, _shingle_rows,
+    )
+    from pdfparse_spark.streaming.neardup import minhash_cols
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(sf + "/documents.parquet").select("doc_id", "text")
+
+    rows_per_band = _MINHASH_PERMS // _LSH_BANDS
+    base = _shingle_rows(spark, sf).withColumn("h", F.xxhash64(F.col("sh")))
+    sigs = base.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("h"))).alias("h%d" % i)
+          for i in range(_MINHASH_PERMS)]
+    )
+    band_keys = F.array(
+        *[F.xxhash64(F.lit(b), *[F.col("h%d" % (b * rows_per_band + r))
+                                 for r in range(rows_per_band)])
+          for b in range(_LSH_BANDS)]
+    )
+    batch = {r["doc_id"]: r["bk"] for r in
+             sigs.select("doc_id", band_keys.alias("bk")).collect()}
+
+    stream_style = {r["doc_id"]: r["bands"] for r in
+                    minhash_cols(docs).filter(F.col("has_sig"))
+                    .select("doc_id", "bands").collect()}
+    assert set(batch) == set(stream_style)
+    assert batch == stream_style
+
+
+def test_stream_neardup_minhash(spark, tmp_path):
+    """Streaming near-dup: exact and near duplicates arriving later are
+    flagged with the correct dup_of; distinct text passes clean; a
+    checkpointed restart emits nothing new."""
+    import datetime as dt
+
+    from pdfparse_spark.pipeline.transcripts import INPUT_SCHEMA
+
+    base = dt.datetime(2026, 1, 1, 9, 0, 0)
+    long_text = ("the quick brown fox jumps over the lazy dog while the "
+                 "patient grey owl watches from a tall oak tree near the "
+                 "quiet river bend at dusk every single evening")
+
+    def row(conv, idx, minute, text):
+        return (conv, idx, "user", text, "", base + dt.timedelta(minutes=minute))
+
+    rows = [
+        row("c1", 0, 0, long_text),
+        row("c1", 1, 1, "completely unrelated words about spark physical plans"),
+        row("c2", 0, 2, long_text),                      # exact dup of c1#0
+        row("c2", 1, 3, long_text + " tonight"),         # near dup of c1#0
+        row("c3", 0, 4, "another distinct text mentioning broadcast joins"),
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    spark.createDataFrame(rows, INPUT_SCHEMA).coalesce(1).write.parquet(str(in_dir / "f1"))
+
+    from pdfparse_spark.streaming.neardup import start_stream_neardup
+
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = start_stream_neardup(spark, str(in_dir) + "/f*", out_dir, ck)
+    q.awaitTermination(120)
+
+    got = {r["id"]: (r["is_dup"], r["dup_of"], r["est_j"])
+           for r in spark.read.parquet(out_dir).collect()}
+    assert len(got) == 5
+    assert got["c1#0"] == (False, None, None)
+    assert got["c1#1"][0] is False
+    assert got["c2#0"] == (True, "c1#0", 1.0)            # exact dup: est 1.0
+    assert got["c2#1"][0] is True and got["c2#1"][1] in ("c1#0", "c2#0")
+    assert got["c2#1"][2] >= 0.5
+    assert got["c3#0"][0] is False
+
+    q2 = start_stream_neardup(spark, str(in_dir) + "/f*", out_dir, ck)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == 5
