@@ -107,11 +107,21 @@ _BAND_STATE_SCHEMA = T.StructType(
 )
 
 
-def _make_band_updater(threshold: float, state_cap: int):
+def _make_band_updater(threshold: float, state_cap: int, state_ttl_ms: int):
     def _update(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (band_key,) = key
+        if state.hasTimedOut:
+            # idle bucket: drop its entries entirely.  The FIFO cap bounds
+            # per-bucket state; this TTL bounds the NUMBER of live buckets
+            # (band keys are hashes — over an unbounded stream, unbounded
+            # distinct buckets would otherwise accumulate forever).
+            state.remove()
+            yield pd.DataFrame(
+                {"id": [], "band_key": [], "match_id": [], "est_j": []}
+            ).astype({"id": str, "band_key": "int64", "match_id": str, "est_j": float})
+            return
         if state.exists:
             ids, flat = state.get
             ids = list(ids)
@@ -143,6 +153,8 @@ def _make_band_updater(threshold: float, state_cap: int):
                 ids = ids[-state_cap:]
                 sigs = sigs[-state_cap:]
         state.update((ids, [x for s in sigs for x in s]))
+        if state_ttl_ms:
+            state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(
             {
                 "id": out_id,
@@ -179,13 +191,22 @@ def start_stream_neardup(
     checkpoint_dir: str,
     threshold: float = 0.5,
     state_cap: int = 8,
+    state_ttl_minutes: int | None = 60,
     max_files_per_trigger: int = 1,
     available_now: bool = True,
 ):
     """Stream transcript parquet drops through MinHash-LSH near-dup
     detection; the sink gets one (id, is_dup, dup_of, est_j) row per turn
     that produced a signature (turns with < 3 tokens have nothing to
-    near-dup against and are skipped, exactly like the batch op)."""
+    near-dup against and are skipped, exactly like the batch op).
+
+    State is doubly bounded: ``state_cap`` entries per band bucket
+    (FIFO) and ``state_ttl_minutes`` of processing-time idleness per
+    bucket (ProcessingTimeTimeout eviction) — without the TTL the set of
+    LIVE buckets grows with every distinct band key the stream ever
+    produces.  Pass ``state_ttl_minutes=None`` to disable eviction
+    (NoTimeout): a finite availableNow backfill wants this, since
+    pending timers keep the query alive past the last input batch."""
     stream = (
         spark.readStream.schema(INPUT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -197,12 +218,17 @@ def start_stream_neardup(
         .withColumn("id", F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")))
         .select("id", "ts", "sig", F.explode("bands").alias("band_key"))
     )
+    ttl_ms = 0 if state_ttl_minutes is None else state_ttl_minutes * 60_000
     verdicts = banded.groupBy("band_key").applyInPandasWithState(
-        _make_band_updater(threshold, state_cap),
+        _make_band_updater(threshold, state_cap, ttl_ms),
         outputStructType=_BAND_OUT_SCHEMA,
         stateStructType=_BAND_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_ms == 0
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:

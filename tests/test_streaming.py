@@ -271,7 +271,11 @@ def test_stream_neardup_minhash(spark, tmp_path):
     from pdfparse_spark.streaming.neardup import start_stream_neardup
 
     out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
-    q = start_stream_neardup(spark, str(in_dir) + "/f*", out_dir, ck)
+    # state_ttl_minutes=None: pending processing-time timers would keep an
+    # availableNow query alive past the last input batch (the TTL is for
+    # long-running streams; a finite backfill wants NoTimeout)
+    q = start_stream_neardup(spark, str(in_dir) + "/f*", out_dir, ck,
+                             state_ttl_minutes=None)
     q.awaitTermination(120)
 
     got = {r["id"]: (r["is_dup"], r["dup_of"], r["est_j"])
@@ -284,6 +288,7 @@ def test_stream_neardup_minhash(spark, tmp_path):
     assert got["c2#1"][2] >= 0.5
     assert got["c3#0"][0] is False
 
-    q2 = start_stream_neardup(spark, str(in_dir) + "/f*", out_dir, ck)
+    q2 = start_stream_neardup(spark, str(in_dir) + "/f*", out_dir, ck,
+                              state_ttl_minutes=None)
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == 5
