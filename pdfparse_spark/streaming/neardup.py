@@ -13,9 +13,12 @@ Detection is a custom stateful operator keyed by ``band_key``
 ``state_cap`` (id, signature) entries that hashed into it.  A new turn is
 a near-duplicate if its signature agrees with a stored one on >= the
 threshold fraction of the 32 components (the standard unbiased Jaccard
-estimate).  Per-doc verdicts are folded across the 8 bands inside
-``foreachBatch`` (all of a row's band rows live in the same micro-batch,
-so the fold needs no second stateful operator).
+estimate).  The stateful stage emits one verdict row per (turn, band)
+to a native parquet sink; ``read_neardup_verdicts`` folds them to one
+row per turn at read time — equivalent to an in-stream fold (a turn's
+band rows always share its single arrival micro-batch, so no fold ever
+crosses a batch boundary) without a second stateful operator or a
+Python callback in the sink path.
 
 Bounded-state trade, stated honestly: FIFO-evicting ``state_cap``
 entries per bucket means a duplicate of something evicted (> cap
@@ -87,6 +90,28 @@ def minhash_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn(
         "bands", F.when(F.col("has_sig"), F.array(*band_items))
     ).drop("arr", "_shs", "_hs")
+
+
+def _fence_sig_bands(df: DataFrame) -> DataFrame:
+    """Materialization fence between the signature HOF pipeline and any
+    downstream ``explode``: Catalyst's expression rewriting around a
+    Generate substitutes the DEFINING expressions of the exploded and
+    referenced columns into the plan wherever they are consumed,
+    re-evaluating the whole tokenize→shingle→hash chain dozens of times
+    per row (measured: the explode plan grows to 800k chars / 48x
+    duplicated xxhash64 nodes, and 100 docs take 200s instead of 4s —
+    batch and streaming alike).  Neither ``repartition`` (projections
+    push through) nor a scalar pandas-UDF wrapper (substitution happens
+    before Python-UDF extraction) stops it.  A ``mapInPandas`` identity
+    does: it is its own LOGICAL operator with fixed output attributes,
+    so no rule can substitute expressions across it — ``sig``/``bands``
+    are computed exactly once per row below the fence, at the cost of
+    one Arrow round trip of the narrow (id, ts, sig, bands) rows."""
+
+    def _ident(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from batches
+
+    return df.mapInPandas(_ident, schema=df.schema)
 
 
 _BAND_OUT_SCHEMA = T.StructType(
@@ -196,9 +221,10 @@ def start_stream_neardup(
     available_now: bool = True,
 ):
     """Stream transcript parquet drops through MinHash-LSH near-dup
-    detection; the sink gets one (id, is_dup, dup_of, est_j) row per turn
-    that produced a signature (turns with < 3 tokens have nothing to
-    near-dup against and are skipped, exactly like the batch op).
+    detection; the parquet sink gets one verdict row per (turn, band) for
+    every turn that produced a signature (turns with < 3 tokens have
+    nothing to near-dup against and are skipped, exactly like the batch
+    op) — read the folded per-turn result with ``read_neardup_verdicts``.
 
     State is doubly bounded: ``state_cap`` entries per band bucket
     (FIFO) and ``state_ttl_minutes`` of processing-time idleness per
@@ -212,11 +238,14 @@ def start_stream_neardup(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
-    banded = (
+    narrow = (
         minhash_cols(stream)
         .filter(F.col("has_sig"))
         .withColumn("id", F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")))
-        .select("id", "ts", "sig", F.explode("bands").alias("band_key"))
+        .select("id", "ts", "sig", "bands")
+    )
+    banded = _fence_sig_bands(narrow).select(
+        "id", "ts", "sig", F.explode("bands").alias("band_key")
     )
     ttl_ms = 0 if state_ttl_minutes is None else state_ttl_minutes * 60_000
     verdicts = banded.groupBy("band_key").applyInPandasWithState(
@@ -231,12 +260,20 @@ def start_stream_neardup(
         ),
     )
 
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        fold_band_verdicts(batch_df, threshold).write.mode("append").parquet(out_dir)
-
-    writer = verdicts.writeStream.foreachBatch(_sink).option(
-        "checkpointLocation", checkpoint_dir
+    writer = (
+        verdicts.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_neardup_verdicts(
+    spark: SparkSession, out_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Per-turn (id, is_dup, dup_of, est_j) view over the band-verdict
+    sink written by :func:`start_stream_neardup`."""
+    return fold_band_verdicts(spark.read.parquet(out_dir), threshold)

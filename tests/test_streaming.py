@@ -268,7 +268,9 @@ def test_stream_neardup_minhash(spark, tmp_path):
     in_dir.mkdir()
     spark.createDataFrame(rows, INPUT_SCHEMA).coalesce(1).write.parquet(str(in_dir / "f1"))
 
-    from pdfparse_spark.streaming.neardup import start_stream_neardup
+    from pdfparse_spark.streaming.neardup import (
+        read_neardup_verdicts, start_stream_neardup,
+    )
 
     out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
     # state_ttl_minutes=None: pending processing-time timers would keep an
@@ -279,7 +281,7 @@ def test_stream_neardup_minhash(spark, tmp_path):
     q.awaitTermination(120)
 
     got = {r["id"]: (r["is_dup"], r["dup_of"], r["est_j"])
-           for r in spark.read.parquet(out_dir).collect()}
+           for r in read_neardup_verdicts(spark, out_dir).collect()}
     assert len(got) == 5
     assert got["c1#0"] == (False, None, None)
     assert got["c1#1"][0] is False
@@ -291,4 +293,68 @@ def test_stream_neardup_minhash(spark, tmp_path):
     q2 = start_stream_neardup(spark, str(in_dir) + "/f*", out_dir, ck,
                               state_ttl_minutes=None)
     q2.awaitTermination(120)
-    assert spark.read.parquet(out_dir).count() == 5
+    assert read_neardup_verdicts(spark, out_dir).count() == 5
+
+
+def test_stream_neardup_matches_batch_simulation(spark, tmp_path):
+    """Corpus-level pin: streaming near-dup over the 500-doc sf0.001
+    documents table must agree row-for-row with an independent driver-side
+    simulation of the band-bucket protocol (same signatures, same
+    arrival-order matching), including est_j values."""
+    import datetime as dt
+
+    from pdfparse_spark.pipeline.textops import _MINHASH_PERMS
+    from pdfparse_spark.pipeline.transcripts import INPUT_SCHEMA
+    from pdfparse_spark.streaming.neardup import (
+        minhash_cols, read_neardup_verdicts, start_stream_neardup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (str(r["doc_id"]), 0, "user", r["text"], "",
+         base + dt.timedelta(seconds=int(r["doc_id"])))
+        for r in docs.collect()
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    spark.createDataFrame(rows, INPUT_SCHEMA).coalesce(1).write.parquet(str(in_dir / "f1"))
+
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = start_stream_neardup(spark, str(in_dir) + "/f*", out_dir, ck,
+                             state_cap=64, state_ttl_minutes=None)
+    q.awaitTermination(180)
+    got = {r["id"]: (r["is_dup"], r["dup_of"], r["est_j"])
+           for r in read_neardup_verdicts(spark, out_dir).collect()}
+
+    # independent simulation from the batch-parity-pinned sig/bands columns
+    sigbands = sorted(
+        ((int(r["doc_id"]), list(r["sig"]), list(r["bands"]))
+         for r in minhash_cols(docs.withColumnRenamed("doc_id", "did")
+                               .withColumnRenamed("text", "text")
+                               .selectExpr("did as doc_id", "text"))
+         .filter("has_sig").select("doc_id", "sig", "bands").collect()),
+        key=lambda t: t[0],
+    )
+    buckets: dict = {}
+    expected = {}
+    for did, sig, bands in sigbands:
+        rid = "%d#0" % did
+        best_est, best_id = -1.0, ""
+        for bk in bands:
+            for sid, ssig in buckets.get(bk, []):
+                est = sum(a == b for a, b in zip(sig, ssig)) / _MINHASH_PERMS
+                if est >= 0.5 and (est > best_est or (est == best_est and sid < best_id)):
+                    best_est, best_id = est, sid
+        for bk in bands:
+            buckets.setdefault(bk, []).append((rid, sig))
+        expected[rid] = (
+            (True, best_id, round(best_est, 4)) if best_est >= 0.5
+            else (False, None, None)
+        )
+    assert set(got) == set(expected)
+    assert sum(1 for v in expected.values() if v[0]) > 0  # corpus has near-dups
+    mismatches = {k: (got[k], expected[k]) for k in expected if got[k] != expected[k]}
+    assert not mismatches, dict(list(mismatches.items())[:5])
