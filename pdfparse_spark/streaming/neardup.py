@@ -43,7 +43,12 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from ..pipeline.textops import _MINHASH_PERMS, _LSH_BANDS, _SHINGLES, _TOKS
 from ..pipeline.transcripts import INPUT_SCHEMA
 
-__all__ = ["minhash_cols", "fold_band_verdicts", "start_stream_neardup"]
+__all__ = [
+    "minhash_cols",
+    "fold_band_verdicts",
+    "read_neardup_verdicts",
+    "start_stream_neardup",
+]
 
 _ROWS_PER_BAND = _MINHASH_PERMS // _LSH_BANDS
 
