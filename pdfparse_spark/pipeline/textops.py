@@ -23,8 +23,11 @@ from pyspark.sql import functions as F
 __all__ = ["QUERIES", "ORACLES"]
 
 # tokenization shared by every text op — MUST stay in sync with the DuckDB
-# expression _SQL_TOKS below (same regex class, same empty-token filter)
-_TOKS = "filter(split(lower(text), '[^a-z0-9]+'), w -> w != '')"
+# expression _SQL_TOKS below (same regex class, same empty-token filter).
+# _TOKS_T is the column-parameterized template (streaming/neardup.py builds
+# the same expression over a different column name).
+_TOKS_T = "filter(split(lower({col}), '[^a-z0-9]+'), w -> w != '')"
+_TOKS = _TOKS_T.format(col="text")
 _SQL_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), w -> w <> '')"
 
 # 3-word shingles over the token array (order-preserving, then de-duplicated)
@@ -134,6 +137,34 @@ _MINHASH_PERMS = 32
 _LSH_BANDS = 8  # 4 rows/band → P(candidate | j=0.5) ≈ 1-(1-0.5^4)^8 ≈ 0.4, j=0.9 ≈ 0.998
 
 
+def minhash_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band_key) rows — the MinHash signature + LSH banding stage
+    of :func:`dedup_minhash_lsh`, exposed so the streaming face
+    (streaming/neardup.py) can be parity-pinned against the REAL batch
+    construction rather than a copy of it.
+
+    Hash family: each shingle string is xxhash64'd ONCE, then the 32
+    permutations rehash that long — 1 string hash + 32 long hashes per
+    row instead of 32 string hashes (2.9x faster signature stage at
+    sf0.1; same independence in practice, and ANSI-safe, unlike
+    multiply-mix families which raise on long overflow).  Signatures
+    hash the UNCAPPED shingle set (standard MinHash; see
+    dedup_minhash_lsh on why the df cap applies to join stages only).
+    """
+    base = _shingle_rows(spark, sf_dir).withColumn("h", F.xxhash64(F.col("sh")))
+    sigs = base.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("h"))).alias("h%d" % i) for i in range(_MINHASH_PERMS)]
+    )
+    rows_per_band = _MINHASH_PERMS // _LSH_BANDS
+    band_keys = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[F.col("h%d" % (b * rows_per_band + r)) for r in range(rows_per_band)])
+            for b in range(_LSH_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_keys).alias("band_key"))
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 perms) + LSH(8 bands × 4 rows) candidate pairs, verified
     with exact Jaccard ≥ 0.5.  Output shape == dedup_ngram_jaccard.
@@ -154,25 +185,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     On the test corpora max df is 25 < 128, so capped and uncapped
     signatures are identical and the exact-Jaccard pytest pin is unchanged.
     """
-    sig_sh = _shingle_rows(spark, sf_dir)
-    # hash family: each shingle string is xxhash64'd ONCE, then the 32
-    # permutations rehash that long — 1 string hash + 32 long hashes per
-    # row instead of 32 string hashes (2.9x faster signature stage at
-    # sf0.1; same independence in practice, and ANSI-safe, unlike
-    # multiply-mix families which raise on long overflow)
-    base = sig_sh.withColumn("h", F.xxhash64(F.col("sh")))
-    sigs = base.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("h"))).alias("h%d" % i) for i in range(_MINHASH_PERMS)]
-    )
     sh = _shingle_rows(spark, sf_dir, max_df=_MAX_SHINGLE_DF)
-    rows_per_band = _MINHASH_PERMS // _LSH_BANDS
-    band_keys = F.array(
-        *[
-            F.xxhash64(F.lit(b), *[F.col("h%d" % (b * rows_per_band + r)) for r in range(rows_per_band)])
-            for b in range(_LSH_BANDS)
-        ]
-    )
-    bands = sigs.select("doc_id", F.explode(band_keys).alias("band_key"))
+    bands = minhash_band_rows(spark, sf_dir)
     ba = bands.alias("a")
     bb = bands.alias("b")
     cand = (

@@ -1,4 +1,9 @@
 from .stream_extract import start_stream_extraction  # noqa: F401
 from .windowed import start_windowed_stats, windowed_turn_stats  # noqa: F401
 from .dedup import dedup_stream, start_stream_dedup  # noqa: F401
-from .neardup import minhash_cols, read_neardup_verdicts, start_stream_neardup  # noqa: F401
+from .neardup import (  # noqa: F401
+    fold_band_verdicts,
+    minhash_cols,
+    read_neardup_verdicts,
+    start_stream_neardup,
+)

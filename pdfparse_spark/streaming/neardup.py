@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..pipeline.textops import _MINHASH_PERMS, _LSH_BANDS, _SHINGLES, _TOKS
+from ..pipeline.textops import _MINHASH_PERMS, _LSH_BANDS, _SHINGLES, _TOKS_T
 from ..pipeline.transcripts import INPUT_SCHEMA
 
 __all__ = [
@@ -66,7 +66,9 @@ def minhash_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
     ``sig``/``bands`` are null and ``has_sig`` is false (the batch op
     drops them the same way — no shingle rows, no signature).
     """
-    toks = _TOKS.replace("text", text_col) if text_col != "text" else _TOKS
+    if not text_col.isidentifier():
+        raise ValueError("text_col must be a plain column name: %r" % text_col)
+    toks = _TOKS_T.format(col=text_col)
     sig_items = ", ".join(
         "array_min(transform(_hs, h -> xxhash64(%d, h)))" % i
         for i in range(_MINHASH_PERMS)
@@ -137,7 +139,7 @@ _BAND_STATE_SCHEMA = T.StructType(
 )
 
 
-def _make_band_updater(threshold: float, state_cap: int, state_ttl_ms: int):
+def _make_band_updater(state_cap: int, state_ttl_ms: int):
     def _update(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -169,10 +171,13 @@ def _make_band_updater(threshold: float, state_cap: int, state_ttl_ms: int):
         rows.sort(key=lambda t: (t[0], t[1]))  # deterministic arrival order
         out_id, out_match, out_est = [], [], []
         for _, rid, sig in rows:
+            # record the best estimate UNCONDITIONALLY (no threshold gate):
+            # the sink then carries the true per-band maximum, so a reader
+            # may re-threshold in either direction (fold_band_verdicts)
             best_est, best_id = -1.0, ""
             for sid, ssig in zip(ids, sigs):
                 est = sum(a == b for a, b in zip(sig, ssig)) / _MINHASH_PERMS
-                if est >= threshold and (est > best_est or (est == best_est and sid < best_id)):
+                if est > best_est or (est == best_est and sid < best_id):
                     best_est, best_id = est, sid
             out_id.append(rid)
             out_match.append(best_id)
@@ -199,17 +204,22 @@ def _make_band_updater(threshold: float, state_cap: int, state_ttl_ms: int):
 
 def fold_band_verdicts(band_rows: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Collapse per-band verdict rows to one row per doc: a doc is a
-    near-dup if ANY band matched it against a stored signature; ties keep
-    the highest-estimate (then lexicographically first) match."""
-    m = F.max(F.struct(F.col("est_j"), F.col("match_id"))).alias("m")
+    near-dup if its best stored-signature agreement reaches ``threshold``;
+    ties keep the highest-estimate, then lexicographically FIRST match
+    (min over (-est_j, match_id) — the same tie-break the band updater
+    applies within a bucket).  Because the sink stores the true best
+    estimate per band (not thresholded), the threshold here may be
+    either tighter or looser than the one the stream ran with."""
+    m = F.min(F.struct((-F.col("est_j")).alias("neg"), F.col("match_id"))).alias("m")
     return (
         band_rows.groupBy("id")
         .agg(m)
+        .select("id", (-F.col("m.neg")).alias("best_est"), F.col("m.match_id").alias("best_id"))
         .select(
             "id",
-            (F.col("m.est_j") >= threshold).alias("is_dup"),
-            F.when(F.col("m.est_j") >= threshold, F.col("m.match_id")).alias("dup_of"),
-            F.when(F.col("m.est_j") >= threshold, F.round(F.col("m.est_j"), 4)).alias("est_j"),
+            (F.col("best_est") >= threshold).alias("is_dup"),
+            F.when(F.col("best_est") >= threshold, F.col("best_id")).alias("dup_of"),
+            F.when(F.col("best_est") >= threshold, F.round(F.col("best_est"), 4)).alias("est_j"),
         )
     )
 
@@ -221,7 +231,7 @@ def start_stream_neardup(
     checkpoint_dir: str,
     threshold: float = 0.5,
     state_cap: int = 8,
-    state_ttl_minutes: int | None = 60,
+    state_ttl_minutes: int | None | str = "auto",
     max_files_per_trigger: int = 1,
     available_now: bool = True,
 ):
@@ -230,14 +240,20 @@ def start_stream_neardup(
     every turn that produced a signature (turns with < 3 tokens have
     nothing to near-dup against and are skipped, exactly like the batch
     op) — read the folded per-turn result with ``read_neardup_verdicts``.
+    ``threshold`` only sets the default fold cut-off: the sink stores the
+    true best estimate per band, so readers may re-threshold either way.
 
     State is doubly bounded: ``state_cap`` entries per band bucket
     (FIFO) and ``state_ttl_minutes`` of processing-time idleness per
     bucket (ProcessingTimeTimeout eviction) — without the TTL the set of
     LIVE buckets grows with every distinct band key the stream ever
-    produces.  Pass ``state_ttl_minutes=None`` to disable eviction
-    (NoTimeout): a finite availableNow backfill wants this, since
-    pending timers keep the query alive past the last input batch."""
+    produces.  ``None`` disables eviction (NoTimeout).  The default
+    ``"auto"`` resolves to 60 minutes for a long-running stream and to
+    ``None`` for an availableNow backfill — pending timers would
+    otherwise keep a finite backfill query alive past the last input
+    batch."""
+    if state_ttl_minutes == "auto":
+        state_ttl_minutes = None if available_now else 60
     stream = (
         spark.readStream.schema(INPUT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -254,7 +270,7 @@ def start_stream_neardup(
     )
     ttl_ms = 0 if state_ttl_minutes is None else state_ttl_minutes * 60_000
     verdicts = banded.groupBy("band_key").applyInPandasWithState(
-        _make_band_updater(threshold, state_cap, ttl_ms),
+        _make_band_updater(state_cap, ttl_ms),
         outputStructType=_BAND_OUT_SCHEMA,
         stateStructType=_BAND_STATE_SCHEMA,
         outputMode="append",

@@ -212,29 +212,19 @@ def test_streaming_bands_match_batch(spark):
     bit-identical to the batch explode + groupBy-min path it mirrors
     (textops.dedup_minhash_lsh's signature stage) — two independent plan
     shapes, one hash family."""
-    from pdfparse_spark.pipeline.textops import (
-        _LSH_BANDS, _MINHASH_PERMS, _shingle_rows,
-    )
+    from pdfparse_spark.pipeline.textops import minhash_band_rows
     from pdfparse_spark.streaming.neardup import minhash_cols
 
     sf = "/root/testdata/sf0.001"
     docs = spark.read.parquet(sf + "/documents.parquet").select("doc_id", "text")
 
-    rows_per_band = _MINHASH_PERMS // _LSH_BANDS
-    base = _shingle_rows(spark, sf).withColumn("h", F.xxhash64(F.col("sh")))
-    sigs = base.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("h"))).alias("h%d" % i)
-          for i in range(_MINHASH_PERMS)]
-    )
-    band_keys = F.array(
-        *[F.xxhash64(F.lit(b), *[F.col("h%d" % (b * rows_per_band + r))
-                                 for r in range(rows_per_band)])
-          for b in range(_LSH_BANDS)]
-    )
-    batch = {r["doc_id"]: r["bk"] for r in
-             sigs.select("doc_id", band_keys.alias("bk")).collect()}
+    # the REAL batch stage (the one dedup_minhash_lsh executes), not a copy
+    batch: dict = {}
+    for r in minhash_band_rows(spark, sf).collect():
+        batch.setdefault(r["doc_id"], []).append(r["band_key"])
+    batch = {k: sorted(v) for k, v in batch.items()}
 
-    stream_style = {r["doc_id"]: r["bands"] for r in
+    stream_style = {r["doc_id"]: sorted(r["bands"]) for r in
                     minhash_cols(docs).filter(F.col("has_sig"))
                     .select("doc_id", "bands").collect()}
     assert set(batch) == set(stream_style)
@@ -273,11 +263,9 @@ def test_stream_neardup_minhash(spark, tmp_path):
     )
 
     out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
-    # state_ttl_minutes=None: pending processing-time timers would keep an
-    # availableNow query alive past the last input batch (the TTL is for
-    # long-running streams; a finite backfill wants NoTimeout)
-    q = start_stream_neardup(spark, str(in_dir) + "/f*", out_dir, ck,
-                             state_ttl_minutes=None)
+    # default state_ttl_minutes="auto" resolves to NoTimeout for this
+    # availableNow backfill, so the query terminates at end of input
+    q = start_stream_neardup(spark, str(in_dir) + "/f*", out_dir, ck)
     q.awaitTermination(120)
 
     got = {r["id"]: (r["is_dup"], r["dup_of"], r["est_j"])
@@ -290,8 +278,7 @@ def test_stream_neardup_minhash(spark, tmp_path):
     assert got["c2#1"][2] >= 0.5
     assert got["c3#0"][0] is False
 
-    q2 = start_stream_neardup(spark, str(in_dir) + "/f*", out_dir, ck,
-                              state_ttl_minutes=None)
+    q2 = start_stream_neardup(spark, str(in_dir) + "/f*", out_dir, ck)
     q2.awaitTermination(120)
     assert read_neardup_verdicts(spark, out_dir).count() == 5
 
@@ -332,29 +319,53 @@ def test_stream_neardup_matches_batch_simulation(spark, tmp_path):
     # independent simulation from the batch-parity-pinned sig/bands columns
     sigbands = sorted(
         ((int(r["doc_id"]), list(r["sig"]), list(r["bands"]))
-         for r in minhash_cols(docs.withColumnRenamed("doc_id", "did")
-                               .withColumnRenamed("text", "text")
-                               .selectExpr("did as doc_id", "text"))
+         for r in minhash_cols(docs)
          .filter("has_sig").select("doc_id", "sig", "bands").collect()),
         key=lambda t: t[0],
     )
+    from decimal import ROUND_HALF_UP, Decimal
+
     buckets: dict = {}
     expected = {}
     for did, sig, bands in sigbands:
         rid = "%d#0" % did
+        # mirror the updater: best over ALL stored entries (no threshold
+        # gate), max est then lexicographically smallest id
         best_est, best_id = -1.0, ""
         for bk in bands:
             for sid, ssig in buckets.get(bk, []):
                 est = sum(a == b for a, b in zip(sig, ssig)) / _MINHASH_PERMS
-                if est >= 0.5 and (est > best_est or (est == best_est and sid < best_id)):
+                if est > best_est or (est == best_est and sid < best_id):
                     best_est, best_id = est, sid
         for bk in bands:
             buckets.setdefault(bk, []).append((rid, sig))
-        expected[rid] = (
-            (True, best_id, round(best_est, 4)) if best_est >= 0.5
-            else (False, None, None)
-        )
-    assert set(got) == set(expected)
-    assert sum(1 for v in expected.values() if v[0]) > 0  # corpus has near-dups
-    mismatches = {k: (got[k], expected[k]) for k in expected if got[k] != expected[k]}
+        expected[rid] = (best_est, best_id)
+
+    def fold(thr):
+        out = {}
+        for rid, (best_est, best_id) in expected.items():
+            if best_est >= thr:
+                # F.round is HALF_UP; python round() is banker's — est
+                # values are exact dyadic k/32, so the modes differ
+                est4 = float(Decimal(str(best_est)).quantize(
+                    Decimal("0.0001"), rounding=ROUND_HALF_UP))
+                out[rid] = (True, best_id, est4)
+            else:
+                out[rid] = (False, None, None)
+        return out
+
+    exp05 = fold(0.5)
+    assert set(got) == set(exp05)
+    assert sum(1 for v in exp05.values() if v[0]) > 0  # corpus has near-dups
+    mismatches = {k: (got[k], exp05[k]) for k in exp05 if got[k] != exp05[k]}
     assert not mismatches, dict(list(mismatches.items())[:5])
+
+    # the sink stores TRUE best estimates, so re-thresholding at read time
+    # works in BOTH directions — a looser cut finds at least as many dups
+    got025 = {r["id"]: (r["is_dup"], r["dup_of"], r["est_j"])
+              for r in read_neardup_verdicts(spark, out_dir, threshold=0.25).collect()}
+    exp025 = fold(0.25)
+    assert got025 == exp025
+    n05 = sum(1 for v in exp05.values() if v[0])
+    n025 = sum(1 for v in exp025.values() if v[0])
+    assert n025 >= n05
