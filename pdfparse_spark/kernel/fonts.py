@@ -343,7 +343,14 @@ class TrueTypeFont:
         data = self.data
         (_version, nsub) = struct.unpack(">HH", data[base : base + 4])
         char2gid: dict[int, int] = {}
+        # whole-table work budget: formats 4 and 12 allow up to 2^15 x 2^16
+        # and 2^16 x 2^16 inner iterations from a sub-MB crafted font — a
+        # CPU bomb even with per-range caps.  2M iterations is ~2x every
+        # assignable Unicode code point, so no legitimate font can hit it.
+        budget = 1 << 21
         for i in range(nsub):
+            if budget <= 0:
+                break
             rec = base + 4 + i * 8
             _pid, _eid, st_off = struct.unpack(">HHL", data[rec : rec + 8])
             st = base + st_off
@@ -368,10 +375,13 @@ class TrueTypeFont:
                     ">%dH" % segcount, data[p : p + segcount2]
                 )
                 for seg in range(segcount):
+                    if budget <= 0:
+                        break
                     s0, e0 = starts[seg], ends[seg]
                     if s0 == 0xFFFF:
                         continue
                     ro = range_offsets[seg]
+                    budget -= min(e0, 0xFFFE) + 1 - s0 if e0 >= s0 else 0
                     for code in range(s0, min(e0, 0xFFFE) + 1):
                         if ro == 0:
                             gid = (code + deltas[seg]) & 0xFFFF
@@ -459,12 +469,15 @@ class TrueTypeFont:
                 # 12 bytes per group; cap like _MAX_CMAP_RANGE guards the
                 # bfrange path — a hostile ngroups/range cannot bomb memory
                 for g in range(min(ngroups, 65536)):
+                    if budget <= 0:
+                        break
                     off = gbase + g * 12
                     if off + 12 > len(data):
                         break
                     s0, e0, gid0 = struct.unpack(">LLL", data[off : off + 12])
                     if e0 < s0 or e0 - s0 >= _MAX_CMAP_RANGE or s0 > 0x10FFFF:
                         continue
+                    budget -= min(e0, 0x10FFFF) - s0 + 1
                     for k in range(min(e0, 0x10FFFF) - s0 + 1):
                         if gid0 + k:
                             char2gid.setdefault(s0 + k, gid0 + k)

@@ -52,7 +52,10 @@ def _path_exists(spark: SparkSession, path: str) -> bool:
 def read_ledger(spark: SparkSession, ledger_dir: str) -> DataFrame | None:
     if not _path_exists(spark, ledger_dir):
         return None  # first run: no ledger yet
-    return spark.read.parquet(ledger_dir)
+    # mergeSchema: a ledger spanning the wave-column upgrade holds files
+    # with and without 'wave'; without the merge, which schema wins depends
+    # on file listing order
+    return spark.read.option("mergeSchema", "true").parquet(ledger_dir)
 
 
 def read_output(spark: SparkSession, out_dir: str, ledger_dir: str | None = None) -> DataFrame:
@@ -72,9 +75,30 @@ def read_output(spark: SparkSession, out_dir: str, ledger_dir: str | None = None
         if ledger is None:
             return out.limit(0)
         if "wave" in ledger.columns:
-            done = ledger.select("bucket", F.col("wave").cast("string").alias("wave")).distinct()
-            out = out.withColumn("wave", F.col("wave").cast("string"))
-            out = out.join(F.broadcast(done), ["bucket", "wave"], "left_semi")
+            # rows appended before the wave-column upgrade read back with
+            # wave=NULL — they committed under bucket-only semantics, so
+            # admit their whole bucket (NULL keys in the (bucket, wave)
+            # semi-join would otherwise silently DROP pre-upgrade output);
+            # post-upgrade rows keep the orphan-wave protection
+            done_w = (
+                ledger.filter(F.col("wave").isNotNull())
+                .select("bucket", F.col("wave").cast("string").alias("wave"))
+                .distinct()
+                .withColumn("_mw", F.lit(1))
+            )
+            legacy = (
+                ledger.filter(F.col("wave").isNull())
+                .select("bucket")
+                .distinct()
+                .withColumn("_mb", F.lit(1))
+            )
+            out = (
+                out.withColumn("wave", F.col("wave").cast("string"))
+                .join(F.broadcast(done_w), ["bucket", "wave"], "left")
+                .join(F.broadcast(legacy), ["bucket"], "left")
+                .filter(F.col("_mw").isNotNull() | F.col("_mb").isNotNull())
+                .drop("_mw", "_mb")
+            )
         else:
             # ledger written before the wave column existed: fall back to the
             # bucket-only semi-join so a crash-resume across the upgrade still

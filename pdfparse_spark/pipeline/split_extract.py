@@ -204,15 +204,14 @@ def run_extraction_split(
         .select("conv_id", "turn_idx", "text")
         .mapInPandas(_probe_batch, schema=_PROBE_SCHEMA)
     )
-    # materialize the heavy key set ONCE on the driver: it is broadcast-sized
-    # by construction (heavy docs are rare), and reusing the lazy subplan in
-    # both the heavy join and the light anti-join would re-run the page-count
-    # probe over every pdf turn twice
-    heavy_rows = probe.filter(F.col("n_pages") > page_threshold).collect()
-    if not heavy_rows:
-        return run_extraction(df, num_partitions=num_partitions, salt=salt)
-    spark = df.sparkSession
-    heavy_keys = spark.createDataFrame(heavy_rows, _PROBE_SCHEMA)
+    # persist the heavy key set: it is broadcast-sized by construction
+    # (heavy docs are rare) and feeds BOTH the heavy join and the light
+    # anti-join — without the persist the page-count probe would run over
+    # every pdf turn twice.  persist (not a driver collect) keeps plan
+    # construction lazy: building this DataFrame runs no jobs, and the
+    # probe snapshot is taken when the query executes, not when it is
+    # planned.
+    heavy_keys = probe.filter(F.col("n_pages") > page_threshold).persist()
 
     heavy = df.join(F.broadcast(heavy_keys), ["conv_id", "turn_idx"])
     seg_pages = F.greatest(

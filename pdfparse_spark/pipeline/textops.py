@@ -1010,7 +1010,8 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine.  This is the scale path: shuffle keys are band keys, never an
     O(n²) cross join, and per-bucket occupancy is tuned by the bit count
     (recommended_signlsh_bits at production scale)."""
-    e = signlsh_band_keys(_emb_norm(spark, sf_dir))
+    base = _emb_norm(spark, sf_dir)
+    e = signlsh_band_keys(base)
     q = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "band_key"
     )
@@ -1021,7 +1022,6 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    base = _emb_norm(spark, sf_dir)
     qv = base.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm"))
     nv = base.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), F.col("nrm").alias("nnrm"))
     j = cand.join(qv, "query_id").join(nv, "neighbor_id")

@@ -102,6 +102,45 @@ def test_resume_kill_rerun(spark, tmp_path):
     )
 
 
+def test_resume_mixed_schema_ledger(spark, tmp_path):
+    """A ledger spanning the wave-column upgrade (old rows without 'wave',
+    new rows with it) must admit the PRE-upgrade buckets' output via their
+    bucket-only commit semantics — NULL wave keys in the (bucket, wave)
+    semi-join would silently drop everything committed before the upgrade
+    — while post-upgrade rows keep the orphan-wave protection."""
+    from pdfparse_spark.pipeline.resume import read_output, run_resumable
+    from pdfparse_spark.pipeline.transcripts import synthesize
+
+    df, _ = synthesize(spark, n_convs=8, turns_per_conv=4, seed=7)
+    out = str(tmp_path / "out")
+    ledger = str(tmp_path / "ledger")
+    run_resumable(spark, df, out, ledger, n_buckets=4, buckets_per_wave=2,
+                  num_partitions=4)
+    # simulate a pre-upgrade ledger era: rewrite half the ledger rows
+    # WITHOUT the wave column (the old schema)
+    led = spark.read.parquet(ledger)
+    assert "wave" in led.columns
+    # materialize BEFORE deleting the dir the lazy frames read from
+    old_schema = led.drop("wave").schema
+    new_schema = led.schema
+    old_rows = led.filter(F.col("bucket") < 2).drop("wave").collect()
+    new_rows = led.filter(F.col("bucket") >= 2).collect()
+    import shutil
+    shutil.rmtree(ledger)
+    spark.createDataFrame(old_rows, old_schema).write.mode("append").parquet(ledger)
+    spark.createDataFrame(new_rows, new_schema).write.mode("append").parquet(ledger)
+
+    got = read_output(spark, out, ledger)
+    assert got.count() == df.count()  # pre-upgrade buckets NOT dropped
+    assert got.select("conv_id", "turn_idx").distinct().count() == df.count()
+
+    # orphan-wave protection still active for post-upgrade buckets: an
+    # uncommitted wave dir for bucket 3 stays invisible
+    orphan = got.filter(F.col("bucket") == 3).limit(3)
+    orphan.write.parquet(out + "/wave=orphan")
+    assert read_output(spark, out, ledger).count() == df.count()
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as e
 
@@ -205,9 +244,11 @@ def test_plan_hygiene_all_queries(spark):
     O(n·k) with constant k is the right plan at any scale: IVF, k-means)."""
     import __spark_entry__ as e
 
+    # dedup_embedding_cosine is NOT exempt: since the multi-band sign-LSH
+    # rework its candidates come from band-key equality joins, so a BNLJ
+    # there would be a genuine O(n^2) regression
     allowed_all_pairs = {
-        "sim_cosine_topk", "dedup_embedding_cosine", "sim_ann_ivf",
-        "sim_ann_ivf_trained", "embed_kmeans",
+        "sim_cosine_topk", "sim_ann_ivf", "sim_ann_ivf_trained", "embed_kmeans",
     }
     for name, fn in e.queries().items():
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()

@@ -107,3 +107,24 @@ def test_format12_hostile_ranges_are_skipped():
     font = TrueTypeFont("t", _ttf_with_cmap(_subtable_header() + body))
     umap = font.create_unicode_map()
     assert umap.get_unichr(77) == "a"
+
+
+def test_format12_cpu_bomb_bounded():
+    """A crafted format-12 subtable with 65536 max-width groups would run
+    ~4e9 inner iterations without the whole-table work budget; with it the
+    parse must finish in seconds and still map the first groups."""
+    import time
+
+    ngroups = 65536
+    groups = bytearray()
+    for g in range(ngroups):
+        s0 = g  # overlapping max-width ranges, all within guards
+        e0 = s0 + 0xFFFE  # e0 - s0 < _MAX_CMAP_RANGE
+        groups += struct.pack(">LLL", s0, e0, 1)
+    sub = struct.pack(">HHLLL", 12, 0, 16 + len(groups), 0, ngroups) + bytes(groups)
+    font = TrueTypeFont("t", _ttf_with_cmap(_subtable_header() + sub))
+    t0 = time.time()
+    umap = font.create_unicode_map()
+    assert time.time() - t0 < 20, "format-12 bomb not bounded"
+    # first group's glyphs are mapped before the budget trips
+    assert umap.get_unichr(1) == "\x00"
