@@ -343,10 +343,12 @@ class TrueTypeFont:
         data = self.data
         (_version, nsub) = struct.unpack(">HH", data[base : base + 4])
         char2gid: dict[int, int] = {}
-        # whole-table work budget: formats 4 and 12 allow up to 2^15 x 2^16
-        # and 2^16 x 2^16 inner iterations from a sub-MB crafted font — a
-        # CPU bomb even with per-range caps.  2M iterations is ~2x every
-        # assignable Unicode code point, so no legitimate font can hit it.
+        # whole-table work budget, charged in EVERY format branch (an
+        # uncharged branch reopens the hole via nsub repetition): formats 4
+        # and 12 allow up to 2^15 x 2^16 and 2^16 x 2^16 inner iterations
+        # from a sub-MB crafted font — a CPU bomb even with per-range caps.
+        # 2M iterations is ~2x every assignable Unicode code point, so no
+        # legitimate font can hit it.
         budget = 1 << 21
         for i in range(nsub):
             if budget <= 0:
@@ -357,6 +359,7 @@ class TrueTypeFont:
             (fmt,) = struct.unpack(">H", data[st : st + 2])
             if fmt == 0:
                 gids = data[st + 6 : st + 6 + 256]
+                budget -= 256
                 for code, gid in enumerate(gids):
                     char2gid.setdefault(code, gid)
             elif fmt == 4:
@@ -411,6 +414,7 @@ class TrueTypeFont:
                 keys = struct.unpack(">256H", data[st + 6 : st + 6 + 512])
                 subh_base = st + 6 + 512
                 nsubh = max(keys) // 8 + 1
+                budget -= 256 + nsubh  # key scan + subheader parse
 
                 def _gid_at(pos: int) -> int:
                     if pos + 2 > len(data):
@@ -426,6 +430,8 @@ class TrueTypeFont:
                     first, count, delta, rng = struct.unpack(">HHhH", data[off : off + 8])
                     subheaders.append((first, count, delta, rng, off + 6))
                 for hi in range(256):
+                    if budget <= 0:
+                        break
                     k = keys[hi] // 8
                     if k >= len(subheaders) or subheaders[k] is None:
                         continue
@@ -437,6 +443,7 @@ class TrueTypeFont:
                             if gid:
                                 char2gid.setdefault(code, (gid + delta) & 0xFFFF)
                     else:
+                        budget -= max(min(first + count, 256) - first, 0)
                         for lo in range(first, min(first + count, 256)):
                             code = (hi << 8) | lo
                             gid = _gid_at(ro_pos + rng + (lo - first) * 2)
@@ -451,6 +458,7 @@ class TrueTypeFont:
                     continue
                 first, count = struct.unpack(">HH", data[st + 6 : st + 10])
                 gid_base = st + 10
+                budget -= count
                 for k in range(count):
                     pos = gid_base + k * 2
                     if pos + 2 > len(data):
@@ -479,13 +487,20 @@ class TrueTypeFont:
                         continue
                     budget -= min(e0, 0x10FFFF) - s0 + 1
                     for k in range(min(e0, 0x10FFFF) - s0 + 1):
-                        if gid0 + k:
-                            char2gid.setdefault(s0 + k, gid0 + k)
+                        gid = (gid0 + k) & 0xFFFF  # glyph ids are 16-bit
+                        if gid:
+                            char2gid.setdefault(s0 + k, gid)
             # other formats (8, 10, 13, 14): skipped like the reference
         if not char2gid:
             raise CMapNotFound("no supported cmap subtable")
         umap = FileUnicodeMap()
         for char, gid in char2gid.items():
+            if 0xD800 <= char <= 0xDFFF:
+                # unpaired surrogate: chr() accepts it but UTF-8 encoding
+                # (parquet/Arrow row serialization) raises far from here —
+                # skip uniformly, like the ToUnicode path's utf-16be
+                # 'ignore' decode already does
+                continue
             umap.cid2unichr.setdefault(gid, chr(char))
         return umap
 
@@ -549,8 +564,13 @@ def get_font_metrics(basefont) -> tuple[dict, dict] | None:
         cached = (descriptor, dict(widths))
         _METRICS_CACHE[name] = cached
     # fresh copies per call: a caller overlaying /Widths (or mutating the
-    # descriptor) must not poison the cache for every later font instance
-    return (dict(cached[0]), dict(cached[1]))
+    # descriptor) must not poison the cache for every later font instance.
+    # List values (FontBBox) are copied too — a shallow dict() would still
+    # share the nested list with the cache AND the module-level data table.
+    descriptor = {
+        k: (list(v) if isinstance(v, list) else v) for k, v in cached[0].items()
+    }
+    return (descriptor, dict(cached[1]))
 
 
 # --- Type1 font-file header encoding (pdfparse.lisp:2875-2901) ---------------

@@ -128,3 +128,57 @@ def test_format12_cpu_bomb_bounded():
     assert time.time() - t0 < 20, "format-12 bomb not bounded"
     # first group's glyphs are mapped before the budget trips
     assert umap.get_unichr(1) == "\x00"
+
+
+def test_nsub_repetition_bomb_bounded():
+    """65535 subtable records all pointing at ONE format-6 subtable with
+    entryCount=0xFFFF: without uniform budget charging this is 65535 x
+    65535 iterations.  The shared budget must bound it."""
+    import time
+
+    nsub = 0xFFFF
+    cmap_hdr = struct.pack(">HH", 0, nsub)
+    sub_off = 4 + nsub * 8
+    records = b"".join(
+        struct.pack(">HHL", 3, 1, sub_off) for _ in range(nsub)
+    )
+    count = 0xFFFF
+    gids = struct.pack(">%dH" % count, *([1] * count))
+    # length field is u16 and unread by the parser; clamp it
+    sub = struct.pack(">HHHHH", 6, 0xFFFF, 0, 0, count) + gids
+    font = TrueTypeFont("t", _ttf_with_cmap(cmap_hdr + records + sub))
+    t0 = time.time()
+    umap = font.create_unicode_map()
+    assert time.time() - t0 < 20, "format-6 nsub bomb not bounded"
+    assert umap.get_unichr(1) == "\x00"
+
+
+def test_format12_surrogates_skipped():
+    """A format-12 group covering U+D800-DFFF must not inject unpaired
+    surrogates (they crash UTF-8 encoding far from the parser)."""
+    groups = struct.pack(">LLL", 0xD7FF, 0xE001, 5)  # straddles surrogates
+    sub = struct.pack(">HHLLL", 12, 0, 16 + len(groups), 0, 1) + groups
+    font = TrueTypeFont("t", _ttf_with_cmap(_subtable_header() + sub))
+    umap = font.create_unicode_map()
+    mapped = set(umap.cid2unichr.values())
+    assert "퟿" in mapped and "" in mapped
+    assert not any(0xD800 <= ord(c) <= 0xDFFF for c in mapped)
+    # and every mapped char survives UTF-8 round-trip
+    for c in mapped:
+        c.encode("utf-8")
+
+
+def test_font_metrics_bbox_isolated():
+    """get_font_metrics must return fully caller-mutable structures: the
+    nested FontBBox list may not be shared with the cache or the module
+    data table."""
+    from pdfparse_spark.kernel.fonts import LIT, get_font_metrics
+
+    d1, w1 = get_font_metrics("Helvetica")
+    bbox_key = next(k for k in d1 if getattr(k, "name", "") == "FontBBox")
+    original = list(d1[bbox_key])
+    d1[bbox_key][0] = -99999
+    w1[32] = -1.0
+    d2, w2 = get_font_metrics("Helvetica")
+    assert list(d2[bbox_key]) == original
+    assert w2.get(32) != -1.0
