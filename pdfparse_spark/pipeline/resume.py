@@ -32,6 +32,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .extract import run_extraction
 
@@ -69,6 +70,21 @@ def read_output(spark: SparkSession, out_dir: str, ledger_dir: str | None = None
     ``buckets_per_wave``, the orphan dir's buckets eventually commit via a
     differently-composed wave path — a bucket-only semi-join would
     re-admit the orphan rows and duplicate turns."""
+    if not _path_exists(spark, out_dir):
+        # truly fresh run: nothing written yet.  An empty frame with the
+        # standard output schema (+ lineage columns) — reading the wave
+        # glob here would raise PATH_NOT_FOUND before the documented
+        # 'first run -> empty' branch could ever run.
+        from .extract import OUTPUT_SCHEMA
+
+        schema = T.StructType(
+            list(OUTPUT_SCHEMA.fields)
+            + [
+                T.StructField("bucket", T.LongType(), True),
+                T.StructField("wave", T.StringType(), True),
+            ]
+        )
+        return spark.createDataFrame([], schema)
     out = spark.read.option("basePath", out_dir).parquet(out_dir + "/wave=*")
     if ledger_dir is not None:
         ledger = read_ledger(spark, ledger_dir)
@@ -150,14 +166,15 @@ def run_resumable(
     ledger = read_ledger(spark, ledger_dir)
     done: set[int] = set()
     if ledger is not None:
-        prev_n = {r["n_buckets"] for r in ledger.select("n_buckets").distinct().collect()}
+        rows = ledger.select("bucket", "n_buckets").distinct().collect()
+        prev_n = {r["n_buckets"] for r in rows}
         if prev_n and prev_n != {n_buckets}:
             raise ValueError(
                 "n_buckets=%d does not match ledger n_buckets=%s — "
                 "bucket assignment would shift; restart with a fresh out/ledger dir"
                 % (n_buckets, sorted(prev_n))
             )
-        done = {r["bucket"] for r in ledger.select("bucket").distinct().collect()}
+        done = {r["bucket"] for r in rows}
 
     todo = sorted(set(range(n_buckets)) - done)
     waves = [todo[i : i + buckets_per_wave] for i in range(0, len(todo), buckets_per_wave)]
@@ -178,9 +195,9 @@ def run_resumable(
                 subset.drop("bucket"), num_partitions=num_partitions, salt=salt,
                 telemetry=telemetry, device=device,
             )
-        out = extracted.withColumn(
-            "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))
-        )
+        # bucket_of, not an inline copy of the formula: the output bucket
+        # MUST stay bit-identical to the planning assignment above
+        out = bucket_of(extracted, n_buckets)
         out.write.mode("overwrite").parquet(wave_path)
         wall_ms = int((time.monotonic() - t0) * 1000)
 

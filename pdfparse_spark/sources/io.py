@@ -55,14 +55,19 @@ def load_transcripts(
     json or csv.  ``fmt="auto"``: Iceberg for catalog table names (no '/'),
     else by file extension, defaulting to parquet."""
     if fmt == "auto":
-        if "/" not in path and iceberg_available(spark):
-            fmt = "iceberg"
-        elif path.endswith(".json") or path.endswith(".jsonl"):
+        # file-extension sniff BEFORE the catalog-name heuristic: a
+        # slash-less FILE name ('drops.jsonl') must not route to the
+        # Iceberg catalog just because the jars are present
+        if path.endswith(".json") or path.endswith(".jsonl"):
             fmt = "json"
         elif path.endswith(".csv"):
             fmt = "csv"
         elif path.endswith(".orc"):
             fmt = "orc"
+        elif path.endswith(".parquet"):
+            fmt = "parquet"
+        elif "/" not in path and iceberg_available(spark):
+            fmt = "iceberg"
         else:
             fmt = "parquet"
     if fmt == "iceberg":
@@ -79,10 +84,14 @@ def load_transcripts(
 def write_output(df: DataFrame, path: str, mode: str = "overwrite", fmt: str = "auto") -> None:
     """Write extraction output; Iceberg when targeting a catalog table."""
     if fmt == "auto":
-        if "/" not in path and iceberg_available(df.sparkSession):
-            fmt = "iceberg"
-        elif path.endswith(".orc"):
+        # extension check first — see load_transcripts: 'out.parquet' must
+        # never become catalog table ('out', 'parquet')
+        if path.endswith(".orc"):
             fmt = "orc"
+        elif path.endswith(".parquet"):
+            fmt = "parquet"
+        elif "/" not in path and iceberg_available(df.sparkSession):
+            fmt = "iceberg"
         else:
             fmt = "parquet"
     if fmt == "iceberg":

@@ -24,13 +24,21 @@ __all__ = ["dedup_stream", "start_stream_dedup"]
 def dedup_stream(transcripts, watermark_delay: str = "10 minutes") -> DataFrame:
     """Exact-dedup a (streaming or batch) transcripts DataFrame on the
     text hash.  On a batch frame the watermark is a no-op and this is
-    plain dropDuplicates — the test oracle."""
+    plain dropDuplicates — the test oracle.
+
+    NULL-text turns (tool-call turns carry no text) pass through
+    un-deduplicated: sha2(NULL) is NULL, and both dropDuplicates variants
+    group NULL keys together — without the split, every null-text turn
+    after the first in a window would be silently dropped."""
     hashed = transcripts.withColumn("text_hash", F.sha2(F.col("text"), 256))
     if hashed.isStreaming:
-        return hashed.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(
-            ["text_hash"]
-        )
-    return hashed.dropDuplicates(["text_hash"])
+        hashed = hashed.withWatermark("ts", watermark_delay)
+        with_text = hashed.filter(F.col("text").isNotNull())
+        deduped = with_text.dropDuplicatesWithinWatermark(["text_hash"])
+    else:
+        with_text = hashed.filter(F.col("text").isNotNull())
+        deduped = with_text.dropDuplicates(["text_hash"])
+    return deduped.unionByName(hashed.filter(F.col("text").isNull()))
 
 
 def start_stream_dedup(

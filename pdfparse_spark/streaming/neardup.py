@@ -68,6 +68,13 @@ def minhash_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     if not text_col.isidentifier():
         raise ValueError("text_col must be a plain column name: %r" % text_col)
+    reserved = {"arr", "_shs", "_hs", "has_sig", "sig", "bands"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            "minhash_cols scratch/output column name collision: %s — "
+            "rename or drop these input columns first" % sorted(clash)
+        )
     toks = _TOKS_T.format(col=text_col)
     sig_items = ", ".join(
         "array_min(transform(_hs, h -> xxhash64(%d, h)))" % i

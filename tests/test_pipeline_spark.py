@@ -141,6 +141,16 @@ def test_resume_mixed_schema_ledger(spark, tmp_path):
     assert read_output(spark, out, ledger).count() == df.count()
 
 
+def test_read_output_fresh_dirs(spark, tmp_path):
+    """read_output on never-written out/ledger dirs returns an empty frame
+    with the standard schema instead of raising PATH_NOT_FOUND."""
+    from pdfparse_spark.pipeline.resume import read_output
+
+    got = read_output(spark, str(tmp_path / "nope"), str(tmp_path / "noledger"))
+    assert got.count() == 0
+    assert {"conv_id", "turn_idx", "extracted_text", "parse_status", "bucket"} <= set(got.columns)
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as e
 

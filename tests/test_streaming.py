@@ -147,6 +147,8 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         row("c2", 0, 2, "alpha"),   # dup of c1/0 within horizon → dropped
         row("c2", 1, 3, "gamma"),
         row("c3", 0, 4, "beta"),    # dup → dropped
+        row("c4", 0, 5, None),      # null-text (tool turn): passes through
+        row("c4", 1, 6, None),      # ... and does NOT collapse with c4/0
     ]
     in_dir = tmp_path / "in"
     in_dir.mkdir()
@@ -158,8 +160,9 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
 
     got = spark.read.parquet(out_dir)
     batch = dedup_stream(spark.createDataFrame(rows, INPUT_SCHEMA))
-    assert got.count() == batch.count() == 3
-    assert {r["text"] for r in got.collect()} == {"alpha", "beta", "gamma"}
+    assert got.count() == batch.count() == 5
+    assert {r["text"] for r in got.collect()} == {"alpha", "beta", "gamma", None}
+    assert got.filter("text is null").count() == 2  # both tool turns kept
 
 
 def test_streaming_sessions_watermark_append(spark, tmp_path):
