@@ -70,58 +70,44 @@ TELEMETRY_SCHEMA = T.StructType(
 )
 
 
-def make_extract_batch(device: str = "simple"):
-    """mapInPandas body factory for a chosen layout device ('simple' |
-    'advance' | 'column').  The default stays the golden-parity device."""
+def make_extract_batch(device: str = "simple", telemetry: bool = False):
+    """mapInPandas body factory: one parameterized implementation for every
+    (layout device, telemetry) combination — the column-assembly dict lives
+    in exactly one place.  The kernel is imported lazily inside the body so
+    the module object is constructed once per (reused) Python worker and
+    the glyph/AFM tables stay warm.
 
-    def extract_batch_dev(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    ``telemetry=True`` also emits ``kernel_us`` — wall microseconds spent
+    in the kernel per turn, measured at the call site inside the worker.
+    Per-partition sums of ``kernel_us`` are the straggler evidence the
+    partition-row-count proxy can't give: a partition can hold few rows
+    but one pathological 500-page PDF.  The ~100 ns perf_counter overhead
+    per turn is noise next to the 0.1-50 ms kernel cost; telemetry stays
+    opt-in only because the extra column changes the output schema.
+    """
+
+    def extract_batch_body(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from time import perf_counter_ns
+
         from ..kernel.extract import extract_turn, get_device_factory
 
         factory = get_device_factory(device)
         for pdf in batches:
             ctypes, texts, spans_col, statuses, nchars = [], [], [], [], []
+            micros = []
             for text in pdf["text"]:
+                t0 = perf_counter_ns()
                 ctype, extracted, spans, status = extract_turn(text, factory)
+                if telemetry:
+                    micros.append((perf_counter_ns() - t0) // 1000)
                 ctypes.append(ctype)
                 texts.append(extracted)
-                spans_col.append([{"page": p, "start": s, "end": e} for (p, s, e) in spans])
+                spans_col.append(
+                    [{"page": p, "start": s, "end": e} for (p, s, e) in spans]
+                )
                 statuses.append(status)
                 nchars.append(len(extracted))
-            yield pd.DataFrame(
-                {
-                    "conv_id": pdf["conv_id"],
-                    "turn_idx": pdf["turn_idx"],
-                    "role": pdf["role"],
-                    "tool": pdf["tool"],
-                    "ts": pdf["ts"],
-                    "content_type": ctypes,
-                    "extracted_text": texts,
-                    "spans": spans_col,
-                    "parse_status": statuses,
-                    "n_chars": nchars,
-                }
-            )
-
-    return extract_batch_dev
-
-
-def extract_batch(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas body.  Imports the kernel lazily so the module object is
-    constructed once per (reused) Python worker — glyph/AFM tables stay warm.
-    """
-    from ..kernel.extract import extract_turn
-
-    for pdf in batches:
-        ctypes, texts, spans_col, statuses, nchars = [], [], [], [], []
-        for text in pdf["text"]:
-            ctype, extracted, spans, status = extract_turn(text)
-            ctypes.append(ctype)
-            texts.append(extracted)
-            spans_col.append([{"page": p, "start": s, "end": e} for (p, s, e) in spans])
-            statuses.append(status)
-            nchars.append(len(extracted))
-        yield pd.DataFrame(
-            {
+            cols = {
                 "conv_id": pdf["conv_id"],
                 "turn_idx": pdf["turn_idx"],
                 "role": pdf["role"],
@@ -133,50 +119,16 @@ def extract_batch(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "parse_status": statuses,
                 "n_chars": nchars,
             }
-        )
+            if telemetry:
+                cols["kernel_us"] = pd.array(micros, dtype="int64")
+            yield pd.DataFrame(cols)
+
+    return extract_batch_body
 
 
-def extract_batch_telemetry(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Telemetry variant: also emits ``kernel_us`` — wall microseconds spent
-    in the kernel for each turn, measured at the call site inside the worker.
-
-    Per-partition sums of ``kernel_us`` are the straggler evidence the
-    partition-row-count proxy can't give: a partition can hold few rows but
-    one pathological 500-page PDF.  The ~100 ns perf_counter overhead per
-    turn is noise next to the 0.1–50 ms kernel cost, so telemetry mode is
-    cheap enough to leave on for audit runs (it is still opt-in: the extra
-    column changes the output schema).
-    """
-    from time import perf_counter_ns
-
-    from ..kernel.extract import extract_turn
-
-    for pdf in batches:
-        ctypes, texts, spans_col, statuses, nchars, micros = [], [], [], [], [], []
-        for text in pdf["text"]:
-            t0 = perf_counter_ns()
-            ctype, extracted, spans, status = extract_turn(text)
-            micros.append((perf_counter_ns() - t0) // 1000)
-            ctypes.append(ctype)
-            texts.append(extracted)
-            spans_col.append([{"page": p, "start": s, "end": e} for (p, s, e) in spans])
-            statuses.append(status)
-            nchars.append(len(extracted))
-        yield pd.DataFrame(
-            {
-                "conv_id": pdf["conv_id"],
-                "turn_idx": pdf["turn_idx"],
-                "role": pdf["role"],
-                "tool": pdf["tool"],
-                "ts": pdf["ts"],
-                "content_type": ctypes,
-                "extracted_text": texts,
-                "spans": spans_col,
-                "parse_status": statuses,
-                "n_chars": nchars,
-                "kernel_us": pd.array(micros, dtype="int64"),
-            }
-        )
+# the two standard bodies (golden device), kept as module names for callers
+extract_batch = make_extract_batch()
+extract_batch_telemetry = make_extract_batch(telemetry=True)
 
 
 def salt_repartition(df: DataFrame, num_partitions: int, salt: int = 64) -> DataFrame:

@@ -22,12 +22,19 @@ def join_golden(extracted: DataFrame, golden: DataFrame) -> DataFrame:
         "golden_text",
         "golden_status",
     )
-    joined = extracted.join(g, ["conv_id", "turn_idx"], "inner")
+    # LEFT join from the golden side: an inner join would let a row-loss
+    # regression (extraction silently dropping turns) shrink the
+    # denominator and still report rate=1.0 — a dropped golden turn must
+    # count as a mismatch, not vanish from the metric
+    joined = g.join(extracted, ["conv_id", "turn_idx"], "left")
     return joined.withColumn(
         "match",
-        (F.col("extracted_text").eqNullSafe(F.col("golden_text")))
-        & (F.col("content_type") == F.col("golden_content_type"))
-        & (F.col("parse_status") == F.col("golden_status")),
+        F.coalesce(
+            (F.col("extracted_text").eqNullSafe(F.col("golden_text")))
+            & (F.col("content_type") == F.col("golden_content_type"))
+            & (F.col("parse_status") == F.col("golden_status")),
+            F.lit(False),
+        ),
     )
 
 

@@ -69,6 +69,9 @@ def decode_meta_batch(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]
     for pdf in batches:
         n_bytes, widths, heights, frames = [], [], [], []
         for payload in pdf["payload"]:
+            # NULL payload coerces to b'' — mirrored in every ORACLES
+            # entry via coalesce(text, ''), so the lenient path stays
+            # value-parity-checked even on a corpus with NULL text
             n, w, h, f = _fake_decode(bytes(payload) if payload is not None else b"")
             n_bytes.append(n)
             widths.append(w)
@@ -217,19 +220,19 @@ ORACLES = {
     # mapInPandas plumbing gets a value-level oracle check
     "mm_decode_meta": """
         SELECT doc_id,
-               octet_length(encode(text)) AS n_bytes,
-               64 + octet_length(encode(text)) % 512 AS width,
-               64 + (octet_length(encode(text)) * 7) % 512 AS height,
-               1 + octet_length(encode(text)) % 24 AS n_frames
+               octet_length(encode(coalesce(text, ''))) AS n_bytes,
+               64 + octet_length(encode(coalesce(text, ''))) % 512 AS width,
+               64 + (octet_length(encode(coalesce(text, ''))) * 7) % 512 AS height,
+               1 + octet_length(encode(coalesce(text, ''))) % 24 AS n_frames
         FROM documents
     """,
     "mm_pipeline": """
         WITH meta AS (
             SELECT doc_id,
-                   octet_length(encode(text)) AS n_bytes,
-                   64 + octet_length(encode(text)) % 512 AS width,
-                   64 + (octet_length(encode(text)) * 7) % 512 AS height,
-                   1 + octet_length(encode(text)) % 24 AS n_frames
+                   octet_length(encode(coalesce(text, ''))) AS n_bytes,
+                   64 + octet_length(encode(coalesce(text, ''))) % 512 AS width,
+                   64 + (octet_length(encode(coalesce(text, ''))) * 7) % 512 AS height,
+                   1 + octet_length(encode(coalesce(text, ''))) % 24 AS n_frames
             FROM documents
         )
         SELECT doc_id, n_bytes, width, height, n_frames,
@@ -244,10 +247,10 @@ ORACLES = {
     "mm_audio_chunks": """
         WITH meta AS (
             SELECT doc_id,
-                   octet_length(encode(text)) AS n_bytes,
-                   ([8000, 16000, 22050, 44100])[octet_length(encode(text)) % 4 + 1]
+                   octet_length(encode(coalesce(text, ''))) AS n_bytes,
+                   ([8000, 16000, 22050, 44100])[octet_length(encode(coalesce(text, ''))) % 4 + 1]
                        AS sample_rate,
-                   octet_length(encode(text)) // 2 AS n_samples
+                   octet_length(encode(coalesce(text, ''))) // 2 AS n_samples
             FROM documents
         )
         SELECT doc_id, n_bytes, sample_rate, n_samples,

@@ -270,7 +270,10 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     binomial bounds pinned in pytest.  Scale: sampleBy is a narrow map —
     no shuffle at all before the summary aggregate."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    fractions = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "la": 0.1}
+    # every corpus lang gets an explicit fraction: sampleBy silently
+    # DROPS unlisted strata (fraction 0), so a missing entry excludes a
+    # whole language from the "rebalanced" output
+    fractions = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.25}
     kept = d.sampleBy("lang", fractions, seed=42)
     return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
 

@@ -104,24 +104,29 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-word-shingle Jaccard pairs ≥ 0.5 (the small-scale oracle).
-
-    Scale: quadratic in pair count by design — this op exists as the
-    correctness oracle for MinHash-LSH, which is the 100 TB path
-    (dedup_minhash_lsh) — but the per-key blowup is bounded: shingles with
-    document frequency > _MAX_SHINGLE_DF are dropped before the self-join
-    (mirrored exactly in the DuckDB oracle).
-    """
-    sh = _shingle_rows(spark, sf_dir, max_df=_MAX_SHINGLE_DF)
+def _exact_jaccard_pairs(sh, cand=None):
+    """(doc_a, doc_b, jaccard) pairs with jaccard >= 0.5 from a
+    (doc_id, sh) shingle frame — the ONE definition of the exact-Jaccard
+    verification math, shared by dedup_ngram_jaccard (all pairs via the
+    shingle self-join) and dedup_minhash_lsh (candidate pairs only).  The
+    two ops are pinned against each other in pytest; sharing the body
+    makes that pin structural."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
+    if cand is None:
+        inter = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        inter = (
+            cand.join(a, cand.doc_a == F.col("a.doc_id"))
+            .join(b, (cand.doc_b == F.col("b.doc_id")) & (F.col("a.sh") == F.col("b.sh")))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
@@ -131,6 +136,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard pairs ≥ 0.5 (the small-scale oracle).
+
+    Scale: quadratic in pair count by design — this op exists as the
+    correctness oracle for MinHash-LSH, which is the 100 TB path
+    (dedup_minhash_lsh) — but the per-key blowup is bounded: shingles with
+    document frequency > _MAX_SHINGLE_DF are dropped before the self-join
+    (mirrored exactly in the DuckDB oracle).
+    """
+    return _exact_jaccard_pairs(_shingle_rows(spark, sf_dir, max_df=_MAX_SHINGLE_DF))
 
 
 _MINHASH_PERMS = 32
@@ -194,25 +211,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify candidates with exact jaccard (same math as dedup_ngram_jaccard)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        cand.join(a, cand.doc_a == F.col("a.doc_id"))
-        .join(b, (cand.doc_b == F.col("b.doc_id")) & (F.col("a.sh") == F.col("b.sh")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4))
-        .filter(F.col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    # verify candidates with exact jaccard — literally dedup_ngram_jaccard's
+    # body (shared helper), only the pair source differs
+    return _exact_jaccard_pairs(sh, cand)
 
 
 _SIMHASH_BITS = 63  # stay within a signed long without sign games
@@ -327,34 +328,44 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_expr():
+    """The UNROUNDED text-quality composite over (text, arr) columns — the
+    single definition shared by text_quality (rounded, reported) and both
+    keep-best ranking paths, so a weight change cannot desynchronize the
+    dedup decision from the reported score."""
+    stop = F.expr(
+        "size(filter(arr, w -> w IN ('the','a','and','of','to','in','is')))"
+    ) / F.greatest(F.size("arr"), F.lit(1))
+    alpha = F.length(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")
+    ) / F.greatest(F.length("text"), F.lit(1))
+    return (
+        F.least(F.size("arr") / F.lit(64.0), F.lit(1.0))
+        * (0.5 + 0.5 * alpha)
+        * (1.0 - 0.5 * stop)
+    )
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+
     """Quality scoring: token count, stopword ratio, alpha ratio → composite."""
     d = _docs(spark, sf_dir).select("doc_id", "text", F.expr(_TOKS).alias("arr"))
-    d = d.select(
-        "doc_id",
-        F.length("text").alias("n_chars_m"),
-        F.size("arr").alias("n_tokens"),
-        F.expr("size(filter(arr, w -> w IN ('the','a','and','of','to','in','is')))").alias("n_stop"),
-        F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")).alias("n_alpha"),
-    )
     # quality is computed from the UNROUNDED ratios: feeding rounded inputs
     # into the product creates exact .00005 boundaries where Spark and
     # DuckDB round() can disagree by 1 ulp (seen at sf0.1)
-    stop_raw = F.col("n_stop") / F.greatest(F.col("n_tokens"), F.lit(1))
-    alpha_raw = F.col("n_alpha") / F.greatest(F.col("n_chars_m"), F.lit(1))
-    return (
-        d.withColumn(
-            "quality_score",
-            F.round(
-                F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0))
-                * (0.5 + 0.5 * alpha_raw)
-                * (1.0 - 0.5 * stop_raw),
-                4,
-            ),
-        )
-        .withColumn("stopword_ratio", F.round(stop_raw, 4))
-        .withColumn("alpha_ratio", F.round(alpha_raw, 4))
-        .select("doc_id", "n_chars_m", "n_tokens", "stopword_ratio", "alpha_ratio", "quality_score")
+    stop_raw = F.expr(
+        "size(filter(arr, w -> w IN ('the','a','and','of','to','in','is')))"
+    ) / F.greatest(F.size("arr"), F.lit(1))
+    alpha_raw = F.length(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")
+    ) / F.greatest(F.length("text"), F.lit(1))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        F.size("arr").alias("n_tokens"),
+        F.round(stop_raw, 4).alias("stopword_ratio"),
+        F.round(alpha_raw, 4).alias("alpha_ratio"),
+        F.round(_quality_expr(), 4).alias("quality_score"),
     )
 
 
@@ -391,26 +402,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = d.select(
         "doc_id",
         F.sha2(F.col("text"), 256).alias("text_hash"),
-        # same composite as text_quality, unrounded (ranking only)
-        (
-            F.least(F.size("arr") / F.lit(64.0), F.lit(1.0))
-            * (
-                0.5
-                + 0.5
-                * (
-                    F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
-                    / F.greatest(F.length("text"), F.lit(1))
-                )
-            )
-            * (
-                1.0
-                - 0.5
-                * (
-                    F.expr("size(filter(arr, w -> w IN ('the','a','and','of','to','in','is')))")
-                    / F.greatest(F.size("arr"), F.lit(1))
-                )
-            )
-        ).alias("q"),
+        _quality_expr().alias("q"),  # text_quality's composite, unrounded
     )
     w = Window.partitionBy("text_hash").orderBy(F.col("q").desc(), F.col("doc_id"))
     ranked = scored.withColumn("rn", F.row_number().over(w))
@@ -626,7 +618,9 @@ def _md5_shuffle_rank(d: DataFrame, *extra_cols: str) -> DataFrame:
             "doc_id",
             *extra_cols,
             "shuffle_key",
-            (F.col("bkt_offset") + F.col("bkt_rank")).cast("int").alias("shuffle_rank"),
+            # long: an int rank raises under ANSI past 2^31-1 docs — a
+            # bound a 100 TB corpus plausibly exceeds (oracle is BIGINT)
+            (F.col("bkt_offset") + F.col("bkt_rank")).cast("long").alias("shuffle_rank"),
         )
     )
 
@@ -739,6 +733,9 @@ def _connected_components(
         labels = new_labels.drop("chg")
         if changed == 0:
             break
+    edges.unpersist()  # the symmetrized pair graph is the largest cached
+    # intermediate here — without this every CC invocation leaks it for
+    # the session lifetime (4+ invocations per full gate run)
     w = Window.partitionBy("label")
     return labels.select(
         "doc_id",
@@ -809,25 +806,7 @@ def dedup_cluster_keep_best(
     d = _docs(spark, sf_dir).select("doc_id", "text", F.expr(_TOKS).alias("arr"))
     scored = d.select(
         "doc_id",
-        (
-            F.least(F.size("arr") / F.lit(64.0), F.lit(1.0))
-            * (
-                0.5
-                + 0.5
-                * (
-                    F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
-                    / F.greatest(F.length("text"), F.lit(1))
-                )
-            )
-            * (
-                1.0
-                - 0.5
-                * (
-                    F.expr("size(filter(arr, w -> w IN ('the','a','and','of','to','in','is')))")
-                    / F.greatest(F.size("arr"), F.lit(1))
-                )
-            )
-        ).alias("q"),
+        _quality_expr().alias("q"),
     )
     j = clusters.join(scored, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(F.col("q").desc(), F.col("doc_id"))
@@ -996,6 +975,11 @@ def signlsh_band_keys(e: DataFrame, n_bands: int = _SIGNLSH_BANDS,
     row per (vector, band) with the band's sign-LSH key — the shared
     candidate-generation front end for sim_ann_lsh / dedup_embedding_cosine
     and the planted-near-dup recall pin in tests."""
+    clash = {"_sb", "band_key"} & set(e.columns)
+    if clash:
+        raise ValueError(
+            "signlsh_band_keys scratch/output column collision: %s" % sorted(clash)
+        )
     return (
         e.withColumn("_sb", F.expr(_spark_signbits_expr(n_bands, n_bits, dim)))
         .withColumn("band_key", F.explode(F.expr(_spark_bandkeys_expr(n_bands, n_bits))))

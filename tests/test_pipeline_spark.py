@@ -53,6 +53,25 @@ def test_salting_spreads_hot_conversation(spark):
     assert parts > 1, "hot conv_id pinned to a single partition"
 
 
+def test_match_rate_sees_dropped_rows(spark):
+    """A row-loss regression must LOWER the match rate, not shrink the
+    denominator: join_golden is golden-left, so a turn missing from the
+    extraction output counts as a mismatch."""
+    from pdfparse_spark.pipeline.extract import run_extraction
+    from pdfparse_spark.pipeline.metrics import join_golden, match_rate
+    from pdfparse_spark.pipeline.transcripts import synthesize
+
+    df, golden = synthesize(spark, n_convs=4, turns_per_conv=4, seed=5)
+    extracted = run_extraction(df, num_partitions=4, salt=8)
+    # simulate the regression: silently drop one turn
+    lossy = extracted.filter(~((F.col("conv_id") == df.first()["conv_id"])
+                               & (F.col("turn_idx") == 0)))
+    row = match_rate(join_golden(lossy, golden)).collect()[0]
+    assert row["n_turns"] == df.count()          # denominator stays golden
+    assert row["n_match"] == df.count() - 1      # the dropped turn is a miss
+    assert row["rate"] < 1.0
+
+
 def test_resume_kill_rerun(spark, tmp_path):
     """Kill after 1 wave → rerun skips committed buckets → identical output."""
     from pdfparse_spark.pipeline.resume import read_ledger, read_output, run_resumable
@@ -289,8 +308,11 @@ def test_stratified_sample_binomial_bounds(spark):
         for r in spark.read.parquet(f"{sf}/documents.parquet")
         .groupBy("lang").agg(F.count("*").alias("cnt")).collect()
     }
-    fractions = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "la": 0.1}
+    fractions = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.25}
     first = {r["lang"]: r["n_kept"] for r in docs_stratified_sample(spark, sf).collect()}
+    # EVERY corpus stratum must appear in the output — sampleBy silently
+    # drops unlisted strata, which this assert would catch
+    assert set(first) == set(totals) == set(fractions)
     for lang, kept in first.items():
         n, p = totals[lang], fractions[lang]
         sigma = math.sqrt(n * p * (1 - p))
