@@ -53,10 +53,15 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
             digest.update(fh.read())
     zpath = os.path.join("/tmp", "pdfparse_spark_pyfiles_%s.zip" % digest.hexdigest()[:12])
     if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath + ".tmp", "w", zipfile.ZIP_DEFLATED) as zf:
+        # stage under a per-process name: two concurrent drivers (pytest +
+        # bench) writing one shared .tmp would interleave and publish a
+        # corrupt zip under the content-addressed name — which then never
+        # gets rewritten.  os.replace keeps the publish atomic.
+        tmp = "%s.%d.tmp" % (zpath, os.getpid())
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
             for full in sources:
                 zf.write(full, os.path.relpath(full, repo))
-        os.replace(zpath + ".tmp", zpath)
+        os.replace(tmp, zpath)
     try:
         spark.sparkContext.addPyFile(zpath)
     except Exception:

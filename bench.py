@@ -164,8 +164,14 @@ def scaling_mode() -> int:
             text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
-        legs[cpus] = json.loads(line)
+        lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+        if proc.returncode != 0 or not lines:
+            sys.stderr.write(
+                "scaling leg local[%d] failed (rc=%d)\n--- child stderr ---\n%s\n"
+                % (cpus, proc.returncode, proc.stderr[-4000:])
+            )
+            raise SystemExit(1)
+        legs[cpus] = json.loads(lines[-1])
     eff_4_16 = round(legs[16]["value"] / (4 * legs[4]["value"]), 4)
     eff_8_32 = round(legs[32]["value"] / (4 * legs[8]["value"]), 4)
     out = {

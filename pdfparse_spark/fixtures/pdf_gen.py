@@ -558,6 +558,11 @@ def fx_rc4_encrypted() -> PDFFixture:
     enc_content = _rc4(objkey(5, 0), content)
     bodies = _doc_skeleton(b"")  # placeholder for obj 5, replaced below
     bodies[5] = _stream(b"", enc_content)
+    # an encrypted INDIRECT STRING object (hexstring form): exercises the
+    # per-object string decrypt + the plaintext-cache pin
+    # (test_encrypted_object_cache_returns_plaintext) — streams alone
+    # never caught a cache that stored ciphertext
+    bodies[7] = b"<%s>" % _rc4(objkey(7, 0), b"Top Secret Title").hex().encode()
     bodies[6] = (
         b"<< /Filter /Standard /V 1 /R 2 /Length 40 /P -1 "
         b"/O <%s> /U <%s> >>" % (o_val.hex().encode(), u_val.hex().encode())

@@ -92,15 +92,25 @@ class _TreeBuilder(HTMLParser):
             return
         if self._drop_depth:
             return
-        if tag == "a" and self._link_depth:
-            self._link_depth -= 1
-        # pop up to the matching open tag if present (tolerates stray ends)
+        # find the matching open tag (tolerates stray ends)
         node = self.cur
-        while node is not self.root:
-            if node.tag == tag:
-                self.cur = node.parent
-                return
+        while node is not self.root and node.tag != tag:
             node = node.parent
+        if node is self.root:
+            return  # stray end tag: nothing open to close
+        # close everything from cur up to AND including the match,
+        # decrementing _link_depth for every <a> implicitly closed on the
+        # way — an unclosed <a> must not leak link-ness over the rest of
+        # the document (it marked every later block as pure link text and
+        # emptied the whole page's extraction)
+        n = self.cur
+        while True:
+            if n.tag == "a" and self._link_depth:
+                self._link_depth -= 1
+            if n is node:
+                break
+            n = n.parent
+        self.cur = node.parent
 
     def handle_data(self, data):
         if self._drop_depth or not data:
@@ -109,22 +119,30 @@ class _TreeBuilder(HTMLParser):
 
 
 def _node_text(node: _Node) -> tuple[str, int, int]:
-    """(text, total_chars, link_chars) of a subtree (raw, uncollapsed)."""
-    parts = []
+    """(text, total_chars, link_chars) of a subtree (raw, uncollapsed).
+
+    Iterative (explicit stack): recursion here bounded extraction depth by
+    the interpreter limit, so a ~2000-deep nest of tags raised
+    RecursionError THROUGH extract_turn and killed the whole Spark task —
+    the one failure mode the lenient kernel may never have.  The " "
+    markers pushed around block-tag subtrees reproduce the recursive
+    version's spacing exactly."""
+    parts: list[str] = []
     total = 0
     link = 0
-    for child in node.children:
+    stack = list(reversed(node.children))
+    while stack:
+        child = stack.pop()
+        if isinstance(child, str):  # post-subtree spacing marker
+            parts.append(child)
+            continue
         if isinstance(child, _Node):
             if child.tag in _BOILERPLATE_TAGS:
                 continue
-            t, c, l = _node_text(child)
             if child.tag in _BLOCK_TAGS:
                 parts.append(" ")
-            parts.append(t)
-            total += c
-            link += l
-            if child.tag in _BLOCK_TAGS:
-                parts.append(" ")
+                stack.append(" ")
+            stack.extend(reversed(child.children))
         else:
             text, in_link = child
             parts.append(text)
@@ -146,7 +164,11 @@ def _collapse(text: str) -> str:
 
 
 def _walk(node: _Node, out: list[str]) -> None:
-    for child in node.children:
+    """Candidate-block selection in document order — iterative for the
+    same unbounded-depth reason as _node_text."""
+    stack = list(reversed(node.children))
+    while stack:
+        child = stack.pop()
         if not isinstance(child, _Node):
             continue
         tag = child.tag
@@ -166,7 +188,7 @@ def _walk(node: _Node, out: list[str]) -> None:
             ):
                 out.append(_collapse(raw))
             continue
-        _walk(child, out)
+        stack.extend(reversed(child.children))
 
 
 def extract_html(html: str) -> str:

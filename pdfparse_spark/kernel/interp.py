@@ -409,14 +409,21 @@ class PDFPageInterpreter:
         self.device.end_tag()
 
     # text state
+    # non-numeric/missing operands fall back to the PDFTextState defaults
+    # (the same guard style as do_TL/do_Tr/do_Ts): an unguarded None or
+    # PSLiteral in textstate crashes the advance-width device's arithmetic
+    # turns later, far from the malformed operator
     def do_Tc(self):
-        self.textstate.charspace = _first(self.pop(1))
+        v = _first(self.pop(1))
+        self.textstate.charspace = v if isinstance(v, (int, float)) else 0
 
     def do_Tw(self):
-        self.textstate.wordspace = _first(self.pop(1))
+        v = _first(self.pop(1))
+        self.textstate.wordspace = v if isinstance(v, (int, float)) else 0
 
     def do_Tz(self):
-        self.textstate.scaling = _first(self.pop(1))
+        v = _first(self.pop(1))
+        self.textstate.scaling = v if isinstance(v, (int, float)) else 100
 
     def do_TL(self):
         v = _first(self.pop(1))
@@ -433,7 +440,9 @@ class PDFPageInterpreter:
                 "undefined font id: %r" % (getattr(fontid, "name", fontid),)
             )
         self.textstate.font = font
-        self.textstate.fontsize = fontsize
+        self.textstate.fontsize = (
+            fontsize if isinstance(fontsize, (int, float)) else 0
+        )
 
     def do_Tr(self):
         v = _first(self.pop(1))

@@ -206,10 +206,14 @@ class PDFDocument:
             obj = self._getobj_objstm(strmid, index, objid)
         else:
             obj = self._getobj_parse(index, objid)
-        if self.caching and objid not in self._cached_objs:
-            self._cached_objs[objid] = obj
+        # decipher BEFORE caching: the cache must hold plaintext, else the
+        # first fetch returns the deciphered object but every cache hit
+        # returns raw RC4 ciphertext for bytes/list objects (dicts only
+        # survived because decipher_all mutates them in place)
         if self.decipher:
             obj = decipher_all(self.decipher, objid, genno, obj)
+        if self.caching and objid not in self._cached_objs:
+            self._cached_objs[objid] = obj
         return obj
 
     def _getobj_objstm(self, strmid: int, index: int, objid: int):

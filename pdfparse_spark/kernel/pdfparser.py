@@ -171,17 +171,31 @@ class PDFXRefStream:
         _, stream = parser.nextobject()
         if not isinstance(stream, PDFStream):
             raise PDFNoValidXRef("invalid xref stream spec")
-        size = int_value(stream.get(LITERAL_SIZE))
+        # /Index, /W and /Size must be DIRECT objects here: xref loading is
+        # what makes indirect references resolvable in the first place, so
+        # a reference (or any wrong type) is treated as an invalid xref —
+        # PDFNoValidXRef routes read_xref to the brute-force fallback scan
+        # instead of a TypeError escaping and failing the whole document
+        def _direct_list(v, what: str) -> list:
+            if not isinstance(v, list) or any(isinstance(x, PDFObjRef) for x in v):
+                raise PDFNoValidXRef("invalid %s: %r" % (what, v))
+            return v
+
+        size_raw = stream.get(LITERAL_SIZE)
+        if isinstance(size_raw, PDFObjRef):
+            raise PDFNoValidXRef("indirect /Size in xref stream")
+        size = int_value(size_raw)
         index = stream.get(LITERAL_INDEX)
         if index is None:
             index = [0, size]
+        index = _direct_list(index, "/Index")
         if len(index) % 2 != 0:
             raise PDFNoValidXRef("invalid /Index length")
         self.ranges = [
             (int_value(index[i]), int_value(index[i + 1]))
             for i in range(0, len(index), 2)
         ]
-        w = [int_value(v) for v in stream.get(LITERAL_W, [])]
+        w = [int_value(v) for v in _direct_list(stream.get(LITERAL_W, []), "/W")]
         if len(w) != 3:
             raise PDFNoValidXRef("invalid /W array: %r" % (w,))
         self.fl1, self.fl2, self.fl3 = w
@@ -455,7 +469,16 @@ class PDFContentParser(PSStackParser):
                     _t, items = frames.pop()
                     if len(items) % 2 != 0:
                         raise PSSyntaxError("invalid dictionary construct: %r" % items)
-                    d = {items[i]: items[i + 1] for i in range(0, len(items), 2)}
+                    # unhashable key (array/dict in key position of a
+                    # malformed << >>): skip the pair leniently — a
+                    # TypeError is not a PS* error and would abort the
+                    # whole document instead of degrading
+                    d = {}
+                    for i in range(0, len(items), 2):
+                        try:
+                            d[items[i]] = items[i + 1]
+                        except TypeError:
+                            continue
                     if frames:
                         frames[-1][1].append(d)
                     else:

@@ -140,7 +140,6 @@ _NONSPC = re.compile(rb"\S")
 _HEX = re.compile(rb"[0-9a-fA-F]")
 _END_LITERAL = re.compile(rb"[#/%\[\]()<>{}\s]")
 _END_HEX_STRING = re.compile(rb"[^\s0-9a-fA-F]")
-_HEX_PAIR = re.compile(rb"[0-9a-fA-F]{2}|.")
 _END_NUMBER = re.compile(rb"[^0-9]")
 _END_KEYWORD = re.compile(rb"[#/%\[\]()<>{}\s]")
 _END_STRING = re.compile(rb"[()\\]")
@@ -543,7 +542,17 @@ class PSStackParser(PSBaseParser):
                     pos_, objs = self.end_type("d")
                     if len(objs) % 2 != 0:
                         raise PSSyntaxError("invalid dictionary construct: %r" % objs)
-                    d = {objs[i]: objs[i + 1] for i in range(0, len(objs), 2)}
+                    # unhashable keys (array/dict in key position of a
+                    # malformed << >>) are skipped leniently: a TypeError
+                    # here is not a PS* error and would abort the whole
+                    # document instead of degrading (the reference's hash
+                    # tables accept any key)
+                    d = {}
+                    for i in range(0, len(objs), 2):
+                        try:
+                            d[objs[i]] = objs[i + 1]
+                        except TypeError:
+                            continue
                     self.push((pos_, d))
                 except PSTypeError:
                     pass

@@ -297,6 +297,22 @@ def test_objstm_self_containment_is_lenient():
     assert status == "ok" and text == ""
 
 
+def test_indirect_index_w_falls_back():
+    """An xref stream whose /W (or /Index) is an indirect reference must
+    route to the brute-force fallback scan (PDFNoValidXRef), not escape
+    with a TypeError — indirect refs are unresolvable DURING xref load."""
+    data = _xrefstream_doc()
+    assert data.count(b"/W [1 2 1]") == 1
+    bad = data.replace(b"/W [1 2 1]", b"/W 9 0 R  ")  # equal length: offsets intact
+    text, spans, status = extract_pdf_bytes(bad)
+    # the document degrades through the LENIENT machinery (fallback scan /
+    # PS-error statuses) — the pin is that no TypeError crashes the turn
+    assert status == "ok" or status.startswith("error:PS") or status.startswith(
+        "error:PDF"
+    ), status
+    assert status != "error:TypeError"""
+
+
 def test_giant_xref_w_is_bounded():
     """A forged /W of [1 2000000 1] must not allocate per-entry gigabytes;
     the doc degrades leniently (fallback scan finds no catalog → no pages)."""
@@ -361,3 +377,66 @@ def test_fuzz_split_merge_parity_on_corrupted_pdfs():
                 ), (len(v), pps, status)
                 checked += 1
     assert checked > 50
+
+
+def test_encrypted_object_cache_returns_plaintext():
+    """Repeated getobj of the same encrypted object must return identical
+    PLAINTEXT: the cache holds post-decipher objects (a pre-decipher cache
+    returned RC4 ciphertext on every hit after the first)."""
+    from pdfparse_spark.fixtures.pdf_gen import fx_rc4_encrypted
+    from pdfparse_spark.kernel.pdfdocument import PDFDocument
+    from pdfparse_spark.kernel.pdfparser import PDFParser
+
+    doc = PDFDocument()
+    parser = PDFParser(fx_rc4_encrypted().data)
+    parser.set_document(doc)
+    doc.set_parser(parser)
+    doc.initialize()
+    # object 7 is the fixture's encrypted indirect string
+    assert doc.getobj(7) == b"Top Secret Title"
+    assert doc.getobj(7) == b"Top Secret Title"  # cache hit: still plaintext
+    # and first-fetch/cache-hit equality for every object in the doc
+    for xref in doc.xrefs:
+        for objid in getattr(xref, "offsets", {}):
+            first = doc.getobj(objid)
+            again = doc.getobj(objid)
+            assert type(first) is type(again)
+            if isinstance(first, (bytes, list)):
+                assert first == again, objid
+
+
+def test_malformed_dict_array_key_is_lenient():
+    """A << >> whose key position holds an array/dict (unhashable) must
+    degrade leniently, not abort the document with error:TypeError."""
+    import base64
+
+    from pdfparse_spark.fixtures.pdf_gen import build_pdf_fixtures
+    from pdfparse_spark.kernel.extract import extract_turn
+
+    fx = build_pdf_fixtures()[0].data
+    bad = fx.replace(b"endobj", b"endobj\n99 0 obj << [1 2] 3 /X 7 >> endobj", 1)
+    ctype, text, spans, status = extract_turn(
+        "pdfb64:" + base64.b64encode(bad).decode()
+    )
+    assert status == "ok" and text == "\nHello World"
+
+
+def test_malformed_textstate_operands_all_devices():
+    """Bare/garbage Tc/Tw/Tz/Tf-size operands must fall back to textstate
+    defaults on EVERY layout device — unguarded None/PSLiteral values
+    crash the advance device's arithmetic turns later."""
+    import base64
+
+    from pdfparse_spark.fixtures.pdf_gen import _assemble, _doc_skeleton
+    from pdfparse_spark.kernel.extract import extract_turn, get_device_factory
+
+    content = b"BT /F1 /X Tf Tz Tc Tw 72 720 Td (guarded ops here) Tj ET"
+    # /X is an undefined font id -> Tf raises PDFInterpreterError; use a
+    # defined font with a garbage size instead
+    content = b"BT /F1 (big) Tf Tz Tc Tw 72 720 Td (guarded ops here) Tj ET"
+    data = _assemble(_doc_skeleton(content))
+    turn = "pdfb64:" + base64.b64encode(data).decode()
+    for dev in ("simple", "advance", "column"):
+        ctype, text, spans, status = extract_turn(turn, get_device_factory(dev))
+        assert status == "ok", (dev, status)
+        assert "guarded ops here" in text, (dev, text)
