@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import zlib
 
-__all__ = ["PDF_FIXTURES", "build_pdf_fixtures", "PDFFixture"]
+__all__ = ["build_pdf_fixtures", "PDFFixture"]
 
 
 class PDFFixture:
@@ -637,7 +637,6 @@ def build_pdf_fixtures() -> list[PDFFixture]:
     return [f() for f in _FIXTURE_BUILDERS]
 
 
-PDF_FIXTURES = None  # lazily built via build_pdf_fixtures()
 
 
 def make_big_pdf(n_pages: int = 20, lines_per_page: int = 40, seed: int = 0) -> PDFFixture:

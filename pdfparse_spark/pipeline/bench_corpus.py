@@ -77,9 +77,16 @@ def ensure_bench_corpus(
 
     The cache path is keyed by (n_convs, template-content hash) so edits to
     the fixture generators force regeneration instead of silently reusing a
-    stale corpus that would invalidate benchmark comparability."""
+    stale corpus that would invalidate benchmark comparability.
+
+    The corpus replicates the _N_TEMPLATES-conversation template whole, so
+    the ACTUAL conversation count is n_convs floored to a template multiple
+    (bench callers pass exact multiples: 21000 = 2625 x 8); a request below
+    one template yields one full template."""
+    rows = _template_rows()  # built ONCE: generating the big fixture PDFs
+    # twice (hash pass + createDataFrame pass) doubled cache-miss cost
     digest = hashlib.sha256()
-    for row in _template_rows():
+    for row in rows:
         digest.update(repr(row).encode())
     path = os.path.join(
         cache_dir, "corpus_%dconvs_%s" % (n_convs, digest.hexdigest()[:12])
@@ -87,7 +94,7 @@ def ensure_bench_corpus(
     marker = os.path.join(path, "_SUCCESS")
     if os.path.exists(marker):
         return path
-    base = spark.createDataFrame(_template_rows(), schema=INPUT_SCHEMA)
+    base = spark.createDataFrame(rows, schema=INPUT_SCHEMA)
     reps = max(1, n_convs // _N_TEMPLATES)
     corpus = (
         base.crossJoin(spark.range(reps).select(F.col("id").alias("rep")))

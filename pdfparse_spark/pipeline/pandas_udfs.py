@@ -19,18 +19,31 @@ from pyspark.sql.functions import pandas_udf
 
 __all__ = ["text_tokens_vectorized", "conv_reassemble"]
 
-_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+# ASCII whitespace spelled out: Java's \s (the JVM surface / oracle) is
+# ASCII-only while Python's \s and str.split() cover Unicode whitespace —
+# the classes must match for bit-parity on e.g. NBSP-bearing text
+_ASCII_WS = " \t\n\x0b\f\r"
+_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9" + _ASCII_WS + r"]"
 
 
 @pandas_udf(T.LongType())
 def _bpe_count(texts: pd.Series) -> pd.Series:
-    # vectorized over the Arrow batch: one str.count per series, no row loop
-    return texts.str.lower().str.count(_BPE_RE).astype("int64")
+    # vectorized over the Arrow batch: one str.count per series, no row
+    # loop.  NULL text stays NULL (nullable Int64), exactly like the JVM
+    # regexp_count surface and the DuckDB oracle — a plain astype('int64')
+    # raised IntCastingNaNError on the first NULL row
+    return texts.str.lower().str.count(_BPE_RE).astype("Int64")
 
 
 @pandas_udf(T.LongType())
 def _ws_count(texts: pd.Series) -> pd.Series:
-    return texts.str.split().str.len().fillna(0).astype("int64")
+    # NULL -> NULL (not 0): size(filter(split(NULL, ...), ...)) is NULL on
+    # the JVM surface this UDF is pinned against
+    return (
+        texts.str.split("[" + _ASCII_WS + "]+", regex=True)
+        .map(lambda ws: sum(1 for w in ws if w) if isinstance(ws, list) else ws)
+        .astype("Int64")
+    )
 
 
 def text_tokens_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -166,7 +166,8 @@ def run_resumable(
     ledger = read_ledger(spark, ledger_dir)
     done: set[int] = set()
     if ledger is not None:
-        rows = ledger.select("bucket", "n_buckets").distinct().collect()
+        sel = ["bucket", "n_buckets"] + (["device"] if "device" in ledger.columns else [])
+        rows = ledger.select(*sel).distinct().collect()
         prev_n = {r["n_buckets"] for r in rows}
         if prev_n and prev_n != {n_buckets}:
             raise ValueError(
@@ -174,11 +175,22 @@ def run_resumable(
                 "bucket assignment would shift; restart with a fresh out/ledger dir"
                 % (n_buckets, sorted(prev_n))
             )
+        # device drift guard: resuming with a different layout policy would
+        # silently mix policies across waves in one out dir (pre-device-
+        # column ledgers carry no record; the check applies going forward)
+        prev_dev = {r["device"] for r in rows if "device" in r.__fields__}
+        if prev_dev and prev_dev != {device}:
+            raise ValueError(
+                "device=%r does not match ledger device=%s — output would mix "
+                "layout policies; restart with a fresh out/ledger dir"
+                % (device, sorted(prev_dev))
+            )
         done = {r["bucket"] for r in rows}
 
     todo = sorted(set(range(n_buckets)) - done)
     waves = [todo[i : i + buckets_per_wave] for i in range(0, len(todo), buckets_per_wave)]
     waves_run = 0
+    turns_processed = 0
     for wave_buckets in waves:
         wave_str = "_".join(str(b) for b in wave_buckets)
         wave_path = "%s/wave=%s" % (out_dir, wave_str)
@@ -224,9 +236,16 @@ def run_resumable(
             .withColumn("wall_ms", F.lit(wall_ms))
             .withColumn("n_buckets", F.lit(n_buckets))
             .withColumn("wave", F.lit(wave_str))
+            .withColumn("device", F.lit(device))
         )
         stats.write.mode("append").parquet(ledger_dir)
+        # this wave's committed turn count — the caller's throughput stat
+        # must divide THIS run's work by this run's wall, not everything
+        # ever committed to the out dir
+        turns_processed += sum(
+            r["n_turns"] for r in stats.select("n_turns").collect()
+        )
         waves_run += 1
         if fail_after_waves is not None and waves_run >= fail_after_waves:
             raise RuntimeError("injected failure after %d waves" % waves_run)
-    return {"waves_run": waves_run, "buckets_skipped": len(done), "n_buckets": n_buckets}
+    return {"waves_run": waves_run, "buckets_skipped": len(done), "n_buckets": n_buckets, "turns_processed": turns_processed}

@@ -4,11 +4,12 @@ Local smoke:
     python -m pdfparse_spark.pipeline.run_extract --out /tmp/px_out \\
         --n-convs 20 --turns 12
 
-Cluster shape (multi-executor, per BASELINE.json north_rule):
+Cluster shape (multi-executor, per BASELINE.json north_rule) — spark-submit
+takes a SCRIPT path, not -m; scripts/submit_extract.py is that script:
     zip -r pdfparse_spark.zip pdfparse_spark
     spark-submit --py-files pdfparse_spark.zip \\
         --conf spark.sql.execution.arrow.maxRecordsPerBatch=512 \\
-        -m pdfparse_spark.pipeline.run_extract -- \\
+        scripts/submit_extract.py \\
         --input <transcripts parquet/iceberg path> --out <dir>
 
 With --input the transcripts are read from parquet (input_hint schema);
@@ -94,10 +95,14 @@ def main(argv: list[str] | None = None) -> int:
     out = read_output(spark, args.out + "/extracted", args.out + "/ledger")
     n = out.count()
     ledger = read_ledger(spark, args.out + "/ledger")
+    done = stats["turns_processed"]
     print(json.dumps({
         "turns": n,
+        "turns_processed": done,
         "wall_sec": round(wall, 3),
-        "turns_per_sec": round(n / wall, 1) if wall > 0 else None,
+        # THIS run's throughput: committed-total / wall would report a
+        # resumed run (mostly skipped buckets) as absurdly fast
+        "turns_per_sec": round(done / wall, 1) if wall > 0 and done else None,
         "waves_run": stats["waves_run"],
         "buckets_skipped": stats["buckets_skipped"],
         "ledger_rows": ledger.count() if ledger is not None else 0,

@@ -530,3 +530,25 @@ def test_real_decode_with_pil_if_available():
     Image.new("RGB", (320, 200)).save(buf, format="PNG")
     payload = buf.getvalue()
     assert real_decode(payload) == (len(payload), 320, 200, 1)
+
+
+def test_tokens_vectorized_null_and_nbsp_parity(spark):
+    """The pandas-UDF token surface must equal the JVM surface on NULL
+    text (NULL, not 0/crash) and on non-ASCII whitespace (Java \\s is
+    ASCII-only; Python's defaults are Unicode-wide)."""
+    from pdfparse_spark.pipeline.pandas_udfs import _bpe_count, _ws_count
+
+    rows = [(1, "hello world foo"), (2, None), (3, "a b c"), (4, ""),
+            (5, "x  y\tz"), (6, "  ")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    jvm = df.select(
+        "doc_id",
+        F.expr("size(filter(split(text, '\\\\s+'), w -> w != ''))").alias("ws"),
+        F.expr("regexp_count(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]')").alias("bpe"),
+    )
+    udf = df.select("doc_id", _ws_count(F.col("text")).alias("ws"),
+                    _bpe_count(F.col("text")).alias("bpe"))
+    a = {r["doc_id"]: (r["ws"], r["bpe"]) for r in jvm.collect()}
+    b = {r["doc_id"]: (r["ws"], r["bpe"]) for r in udf.collect()}
+    assert a == b, {k: (a[k], b[k]) for k in a if a[k] != b[k]}
+    assert a[2] == (None, None)

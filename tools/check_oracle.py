@@ -68,6 +68,11 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name must not produce a green zero-check run
+        print("unknown query name(s): %s" % ", ".join(sorted(unknown)))
+        return 2
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -115,8 +120,12 @@ def main() -> int:
             if sh != dh:
                 problems.append(f"valuehash: spark={sh} duck={dh}")
                 # print a few diffs for debugging
-                sset = {tuple(_norm_cell(v) for v in r) for r in srows}
-                dset = {tuple(_norm_cell(v) for v in r) for r in drows}
+                # sort columns by name like value_hash, else differing
+                # native column orders print every row as a spurious diff
+                sord = sorted(range(len(scols)), key=lambda i: scols[i])
+                dord = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                sset = {tuple(_norm_cell(r[i]) for i in sord) for r in srows}
+                dset = {tuple(_norm_cell(r[i]) for i in dord) for r in drows}
                 for r in list(sset - dset)[:3]:
                     print(f"       spark-only: {r}")
                 for r in list(dset - sset)[:3]:
