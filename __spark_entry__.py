@@ -301,6 +301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # never displaces an oracled query from the driver's 50-query budget;
     # covered by the local sweep + test_ivf_trained_codebook_beats_standin
     q["sim_ann_ivf_trained"] = textops.sim_ann_ivf_trained
+    # oracled, position 51+ by the same displacement rule as above
+    q["text_tfidf_topk"] = textops.text_tfidf_topk
     for k in tail:
         q[k] = relational.QUERIES[k]
     return q

@@ -1213,6 +1213,50 @@ def embed_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TFIDF_TOPK = 3
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most distinctive terms per document by a rational tf-idf
+    score: (c_td / n_d) * (N / df_t) — term frequency times reciprocal
+    document frequency.  The reciprocal-df idf (instead of the textbook
+    ln(N/df)) keeps every arithmetic step an exact-integer-to-double
+    conversion plus IEEE divide/multiply, so Spark and the DuckDB oracle
+    produce bit-identical doubles with no transcendental-libm drift.
+
+    Scale: two hash aggregates — term counts keyed by (doc_id, w) (doc_id
+    in the key, so hot vocabulary spreads across reducers) and a w-keyed
+    df agg whose output is vocabulary-sized; df joins back on w (AQE
+    broadcasts the vocab side when small, a plain shuffle join otherwise).
+    The top-k window partitions by doc_id — no global sort, no UDFs.
+    Part of the §2.E LLM-pipeline family (the reference has no analytics
+    surface; corpus-level term statistics are a standard curation need).
+    """
+    d = _docs(spark, sf_dir).select("doc_id", F.expr(_TOKS).alias("arr"))
+    n_total = d.select(F.count("*").alias("n_docs_total"))
+    tc = (
+        d.select("doc_id", F.size("arr").alias("n_d"), F.explode("arr").alias("w"))
+        .groupBy("doc_id", "n_d", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    df_t = tc.groupBy("w").agg(F.count("*").alias("df"))
+    score = (F.col("c") / F.col("n_d")) * (F.col("n_docs_total") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("w"))
+    return (
+        tc.join(df_t, "w")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn("score", score)
+        .withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= _TFIDF_TOPK)
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            "term_rank",
+            F.round("score", 4).alias("tfidf"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect, same column names + rounding as above)
 # ---------------------------------------------------------------------------
@@ -1516,6 +1560,30 @@ ORACLES: dict[str, str] = {
                round(coalesce(h.n_overlap, 0) * 1.0 / greatest(t.n_shingles, 1), 4) AS contam_frac,
                CAST(coalesce(h.n_overlap, 0) > 0 AS INT) AS contaminated
         FROM totals t LEFT JOIN hits h USING (doc_id)
+    """,
+    "text_tfidf_topk": f"""
+        WITH toks AS (
+            SELECT doc_id, {_SQL_TOKS} AS arr FROM documents
+        ), tc AS (
+            SELECT doc_id, n_d, w, count(*) AS c FROM (
+                SELECT doc_id, len(arr) AS n_d, unnest(arr) AS w FROM toks
+            ) GROUP BY doc_id, n_d, w
+        ), dft AS (
+            SELECT w, count(*) AS df FROM tc GROUP BY w
+        ), nd AS (
+            SELECT count(*) AS n_docs_total FROM documents
+        ), scored AS (
+            -- same operation order as the Spark side: (c/n_d) * (N/df),
+            -- each an int->double conversion + one IEEE divide
+            SELECT t.doc_id, t.w,
+                   (t.c * 1.0 / t.n_d) * (nd.n_docs_total * 1.0 / d.df) AS score
+            FROM tc t JOIN dft d USING (w) CROSS JOIN nd
+        )
+        SELECT doc_id, w AS term,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, w) AS term_rank,
+               round(score, 4) AS tfidf
+        FROM scored QUALIFY term_rank <= {_TFIDF_TOPK}
     """,
     "docs_global_shuffle": """
         SELECT doc_id,

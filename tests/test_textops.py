@@ -120,6 +120,41 @@ def test_langid_discriminates(spark, tmp_path):
     assert got == {1: "en", 2: "de", 3: "fr", 4: "unknown"}
 
 
+def test_tfidf_distinctive_term_wins(spark, tmp_path):
+    """A term unique to one document must outrank terms every document
+    shares (idf crushes corpus-wide vocabulary), and each doc yields
+    exactly k ranked rows with rank starting at 1."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "common words everywhere zebra common words everywhere",
+                "common words everywhere common words everywhere",
+                "common words everywhere common words everywhere",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [10] * 3,
+        }
+    )
+    d = str(tmp_path)
+    pdf.to_parquet(d + "/documents.parquet")
+    from pdfparse_spark.pipeline.textops import _TFIDF_TOPK, text_tfidf_topk
+
+    rows = text_tfidf_topk(spark, d).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2, 3}
+    for doc_id, rs in by_doc.items():
+        assert sorted(r["term_rank"] for r in rs) == list(range(1, _TFIDF_TOPK + 1))
+        assert all(r["tfidf"] > 0 for r in rs)
+    top1 = {r["term"] for r in by_doc[1] if r["term_rank"] == 1}
+    assert top1 == {"zebra"}
+
+
 def test_ann_lsh_recall_vs_brute_force(spark):
     """Every ANN hit must be a true same-bucket neighbor with the exact
     cosine the brute-force path computes for that pair."""
