@@ -303,6 +303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_ann_ivf_trained"] = textops.sim_ann_ivf_trained
     # oracled, position 51+ by the same displacement rule as above
     q["text_tfidf_topk"] = textops.text_tfidf_topk
+    q["docs_pps_sample"] = textops.docs_pps_sample
+    q["events_retention"] = relational.events_retention
     for k in tail:
         q[k] = relational.QUERIES[k]
     return q

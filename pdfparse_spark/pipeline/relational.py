@@ -450,6 +450,42 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by their first-active
+    week, counted in every later week they return (the standard
+    cohort-retention triangle every analytics engine ships).
+
+    Weeks are integer indexes from the corpus epoch (floor(days/7) on the
+    DATE part of ts) — pure integer arithmetic, no session-TZ or DST
+    dependence.  Scale: the (user_id, week_idx) distinct shrinks the event
+    log to at most users x weeks before any join; the cohort frame is
+    user-keyed; the final agg is keyed by (cohort_week, week_offset) —
+    three hash shuffles total, no windows over the raw log.
+    """
+    wk = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.floor(
+                F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01"))) / 7
+            )
+            .cast("int")
+            .alias("week_idx"),
+        )
+        .distinct()
+    )
+    cohort = wk.groupBy("user_id").agg(F.min("week_idx").alias("cohort_week"))
+    return (
+        wk.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week_idx") - F.col("cohort_week")).alias("week_offset"),
+        )
+        # (user_id, week_idx) is distinct, so count(*) IS the user count
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
 def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level top-20 word bigrams (explode + count + top-k) over
     documents — the corpus-statistics face of the shingle machinery."""
@@ -668,6 +704,20 @@ ORACLES: dict[str, str] = {
         SELECT (SELECT count(*) FROM v) AS n_view,
                (SELECT count(*) FROM c) AS n_click_after_view,
                (SELECT count(*) FROM p) AS n_purchase_after_click
+    """,
+    "events_retention": """
+        WITH wk AS (
+            SELECT DISTINCT user_id,
+                   CAST(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0) AS INT)
+                       AS week_idx
+            FROM events
+        ), cohort AS (
+            SELECT user_id, min(week_idx) AS cohort_week FROM wk GROUP BY user_id
+        )
+        SELECT c.cohort_week, w.week_idx - c.cohort_week AS week_offset,
+               count(*) AS n_users
+        FROM wk w JOIN cohort c USING (user_id)
+        GROUP BY 1, 2
     """,
     "events_sessionize": """
         WITH g AS (

@@ -1213,6 +1213,40 @@ def embed_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PPS_TARGET = 50  # expected sample size (docs with p clipped at 1 shrink it)
+
+
+def docs_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson PPS sample: include each doc with probability
+    min(1, k * w / W) where w = n_chars and W = total corpus chars —
+    quality/size-weighted subsampling, the training-mixture workhorse.
+
+    The per-doc uniform draw is the first 52 bits of md5('pps:' || doc_id)
+    (u in [0, 2^52)), and the inclusion test ``u * W < k * w * 2^52`` is
+    evaluated in exact decimal/huge integer arithmetic — no doubles, no
+    libm — so Spark and the DuckDB oracle select the identical row set.
+
+    Scale: one 1-row broadcast (total weight) + a stateless per-row
+    predicate; no shuffle at all beyond the count aggregate.  Deterministic
+    under retries (the draw is keyed by doc_id, not RNG state).
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    tot = d.agg(F.sum("n_chars").alias("w_total"))
+    u = F.expr(
+        "CAST(conv(substring(md5(concat('pps:', CAST(doc_id AS STRING))), 1, 13), 16, 10) AS BIGINT)"
+    )
+    lhs = u.cast("decimal(20,0)") * F.col("w_total").cast("decimal(20,0)")
+    rhs = (
+        F.lit(_PPS_TARGET * (1 << 52)).cast("decimal(20,0)")
+        * F.col("n_chars").cast("decimal(20,0)")
+    )
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .filter(lhs < rhs)
+        .select("doc_id", F.col("n_chars").alias("weight"))
+    )
+
+
 _TFIDF_TOPK = 3
 
 
@@ -1560,6 +1594,20 @@ ORACLES: dict[str, str] = {
                round(coalesce(h.n_overlap, 0) * 1.0 / greatest(t.n_shingles, 1), 4) AS contam_frac,
                CAST(coalesce(h.n_overlap, 0) > 0 AS INT) AS contaminated
         FROM totals t LEFT JOIN hits h USING (doc_id)
+    """,
+    "docs_pps_sample": f"""
+        WITH tot AS (
+            SELECT sum(n_chars) AS w_total FROM documents
+        ), drawn AS (
+            SELECT doc_id, n_chars,
+                   CAST(concat('0x', substr(md5('pps:' || CAST(doc_id AS VARCHAR)), 1, 13))
+                        AS BIGINT) AS u
+            FROM documents
+        )
+        SELECT doc_id, n_chars AS weight
+        FROM drawn CROSS JOIN tot
+        WHERE CAST(u AS HUGEINT) * w_total
+              < CAST({_PPS_TARGET} AS HUGEINT) * {1 << 52} * n_chars
     """,
     "text_tfidf_topk": f"""
         WITH toks AS (

@@ -155,6 +155,32 @@ def test_tfidf_distinctive_term_wins(spark, tmp_path):
     assert top1 == {"zebra"}
 
 
+def test_pps_sample_deterministic_and_clips_heavy(spark, tmp_path):
+    """A doc holding ~all the corpus weight has p clipped at 1 — it must
+    ALWAYS be sampled; and the draw is keyed by doc_id, so two runs select
+    the identical row set (deterministic under retries)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(40)),
+            "text": ["x"] * 40,
+            "lang": ["en"] * 40,
+            "source": ["t"] * 40,
+            # doc 0 carries 10^6 of the ~10^6 + 39 total weight
+            "n_chars": [1_000_000] + [1] * 39,
+        }
+    )
+    d = str(tmp_path)
+    pdf.to_parquet(d + "/documents.parquet")
+    from pdfparse_spark.pipeline.textops import docs_pps_sample
+
+    got1 = sorted(r["doc_id"] for r in docs_pps_sample(spark, d).collect())
+    got2 = sorted(r["doc_id"] for r in docs_pps_sample(spark, d).collect())
+    assert got1 == got2
+    assert 0 in got1
+
+
 def test_ann_lsh_recall_vs_brute_force(spark):
     """Every ANN hit must be a true same-bucket neighbor with the exact
     cosine the brute-force path computes for that pair."""
