@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "corpus_curate",
     "events_session_window",
     "events_funnel",
+    "text_tfidf_topk",
+    "docs_pps_sample",
+    "events_retention",
 ]
 
 
