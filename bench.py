@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "text_tfidf_topk",
     "docs_pps_sample",
     "events_retention",
+    "docs_token_chunks",
+    "docs_mix_rebalance",
 ]
 
 

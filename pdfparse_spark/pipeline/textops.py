@@ -591,38 +591,60 @@ def docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _md5_shuffle_rank(_docs(spark, sf_dir))
 
 
-def _md5_shuffle_rank(d: DataFrame, *extra_cols: str) -> DataFrame:
+def _md5_shuffle_rank(
+    d: DataFrame, *extra_cols: str, cumsum_col: str | None = None
+) -> DataFrame:
     """Two-phase deterministic global rank by md5(seed || doc_id) over any
     DataFrame with a doc_id column (see docs_global_shuffle for the scale
-    argument); ``extra_cols`` are carried through."""
+    argument); ``extra_cols`` are carried through.
+
+    With ``cumsum_col`` set (must name a column of ``d``), also emits
+    ``cum_start`` — the exclusive prefix sum of that column in shuffle
+    order — using the SAME two-phase trick: a per-bucket running sum under
+    hashpartitioning plus a broadcast 256-row bucket-offset table, so the
+    global prefix sum never funnels through a SinglePartition exchange.
+    """
     key = F.md5(F.encode(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string")), "utf-8"))
-    keyed = d.select("doc_id", *extra_cols).withColumn("shuffle_key", key).withColumn(
+    cols = list(extra_cols)
+    if cumsum_col is not None and cumsum_col not in cols:
+        cols.append(cumsum_col)
+    keyed = d.select("doc_id", *cols).withColumn("shuffle_key", key).withColumn(
         "bkt", F.substring("shuffle_key", 1, 2)
     )
-    counts = keyed.groupBy("bkt").agg(F.count("*").alias("n"))
+    aggs = [F.count("*").alias("n")]
+    if cumsum_col is not None:
+        aggs.append(F.sum(cumsum_col).alias("wsum"))
+    counts = keyed.groupBy("bkt").agg(*aggs)
     # 256 rows: the unbounded-preceding window over them is trivially cheap
+    prior = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(
-        "bkt_offset",
-        F.coalesce(
-            F.sum("n").over(
-                Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
-    ).select("bkt", "bkt_offset")
-    w = Window.partitionBy("bkt").orderBy("shuffle_key", "doc_id")
-    return (
-        keyed.withColumn("bkt_rank", F.row_number().over(w))
-        .join(F.broadcast(offsets), "bkt")
-        .select(
-            "doc_id",
-            *extra_cols,
-            "shuffle_key",
-            # long: an int rank raises under ANSI past 2^31-1 docs — a
-            # bound a 100 TB corpus plausibly exceeds (oracle is BIGINT)
-            (F.col("bkt_offset") + F.col("bkt_rank")).cast("long").alias("shuffle_rank"),
-        )
+        "bkt_offset", F.coalesce(F.sum("n").over(prior), F.lit(0))
     )
+    off_cols = ["bkt", "bkt_offset"]
+    if cumsum_col is not None:
+        offsets = offsets.withColumn(
+            "bkt_woffset", F.coalesce(F.sum("wsum").over(prior), F.lit(0))
+        )
+        off_cols.append("bkt_woffset")
+    offsets = offsets.select(*off_cols)
+    w = Window.partitionBy("bkt").orderBy("shuffle_key", "doc_id")
+    ranked = keyed.withColumn("bkt_rank", F.row_number().over(w))
+    out_cols = [
+        F.col("doc_id"),
+        *[F.col(c) for c in cols],
+        F.col("shuffle_key"),
+        # long: an int rank raises under ANSI past 2^31-1 docs — a
+        # bound a 100 TB corpus plausibly exceeds (oracle is BIGINT)
+        (F.col("bkt_offset") + F.col("bkt_rank")).cast("long").alias("shuffle_rank"),
+    ]
+    if cumsum_col is not None:
+        ranked = ranked.withColumn(
+            "bkt_cum", F.sum(cumsum_col).over(w) - F.col(cumsum_col)
+        )
+        out_cols.append(
+            (F.col("bkt_woffset") + F.col("bkt_cum")).cast("long").alias("cum_start")
+        )
+    return ranked.join(F.broadcast(offsets), "bkt").select(*out_cols)
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1291,6 +1313,110 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_TOKENS = 256  # training sequence length (tokens per packed chunk)
+
+
+def docs_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack-and-chunk sequence assignment — the final step of a pretraining
+    data pipeline: concatenate every document's token stream in a
+    deterministic global training order and cut the stream into fixed
+    ``_CHUNK_TOKENS``-token chunks.  Emits each doc's half-open token
+    interval [tok_start, tok_end) plus the first/last chunk it lands in —
+    exactly what a downstream loader needs to materialize chunk k without
+    re-scanning the corpus.
+
+    Scale: the training order is the md5 shuffle rank and the global
+    prefix sum over token counts is the same two-phase bucket trick
+    (per-bucket running sums under hashpartitioning + one broadcast
+    256-row offset table) — no SinglePartition exchange anywhere; chunk
+    ids are integer division on the prefix sum (exact, engine-portable,
+    no doubles).
+    """
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.expr(_TOKS)).cast("long").alias("n_tok")
+    )
+    ranked = _md5_shuffle_rank(d, cumsum_col="n_tok")
+    # integer DIV, not `/`: double division loses exactness past 2^53
+    # cumulative tokens — a bound a 100 TB token stream exceeds
+    return (
+        ranked.withColumn("tok_start", F.col("cum_start"))
+        .withColumn("tok_end", F.col("cum_start") + F.col("n_tok"))
+        .withColumn("chunk_first", F.expr(f"tok_start DIV {_CHUNK_TOKENS}"))
+        .withColumn(
+            "chunk_last",
+            F.expr(f"greatest(tok_end - 1, tok_start) DIV {_CHUNK_TOKENS}"),
+        )
+        .select(
+            "doc_id",
+            "shuffle_rank",
+            "n_tok",
+            "tok_start",
+            "tok_end",
+            "chunk_first",
+            "chunk_last",
+            (F.col("chunk_last") - F.col("chunk_first") + 1).alias("n_chunks_spanned"),
+        )
+    )
+
+
+# target corpus mixture by language, numerators over _MIX_DENOM (langs not
+# listed are dropped); uniform here — the documents table's en share is
+# ~44%, so the op visibly downsamples en while keeping the small strata
+_MIX_TARGETS = {"en": 20, "zh": 20, "es": 20, "de": 20, "fr": 20}
+_MIX_DENOM = 100
+
+
+def docs_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture rebalancing — downsample overrepresented strata
+    toward a target mix (the static data-mixing step of corpus curation):
+    each doc of language l survives with p_l = min(1, t_l * N / n_l),
+    where t_l is the target share, N the corpus size and n_l the stratum
+    size.  Strata already at or below target keep every doc (p clips at
+    1 — no upsampling); overrepresented strata shrink to ~t_l * N docs.
+
+    The per-doc draw is the first 52 bits of md5('mix:' || doc_id) and the
+    inclusion test  u * D * n_l  <  t_l * N * 2^52  is exact decimal
+    integer arithmetic (D = the target denominator) — no doubles, no RNG
+    state, so Spark and DuckDB select identical rows and retries are
+    deterministic.  Returns the per-language before/after summary.
+
+    Scale: one tiny lang-keyed agg (|langs| rows, broadcast back), a
+    stateless per-row predicate, one lang-keyed summary agg.  The draw is
+    keyed by doc_id, so speculative re-execution can't change the sample.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    strata = d.groupBy("lang").agg(F.count("*").alias("n_l"))
+    tot = d.agg(F.count("*").alias("n_total"))
+    target = F.create_map(
+        *[F.lit(x) for kv in _MIX_TARGETS.items() for x in kv]
+    )[F.col("lang")]
+    u = F.expr(
+        "CAST(conv(substring(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 13), 16, 10) AS BIGINT)"
+    )
+    lhs = (
+        u.cast("decimal(20,0)")
+        * (F.lit(_MIX_DENOM).cast("decimal(20,0)") * F.col("n_l").cast("decimal(20,0)"))
+    )
+    rhs = (
+        F.coalesce(target, F.lit(0)).cast("decimal(20,0)")
+        * F.col("n_total").cast("decimal(20,0)")
+        * F.lit(1 << 52).cast("decimal(20,0)")
+    )
+    kept = (
+        d.join(F.broadcast(strata), "lang")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("keep", (lhs < rhs).cast("long"))
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.max("n_l").alias("n_docs"),
+            F.sum("keep").alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect, same column names + rounding as above)
 # ---------------------------------------------------------------------------
@@ -1632,6 +1758,53 @@ ORACLES: dict[str, str] = {
                                   ORDER BY score DESC, w) AS term_rank,
                round(score, 4) AS tfidf
         FROM scored QUALIFY term_rank <= {_TFIDF_TOPK}
+    """,
+    "docs_token_chunks": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tok,
+                   md5('seed42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+            FROM documents
+        ), ordered AS (
+            SELECT doc_id, n_tok,
+                   row_number() OVER (ORDER BY shuffle_key, doc_id) AS shuffle_rank,
+                   CAST(COALESCE(SUM(n_tok) OVER (
+                            ORDER BY shuffle_key, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS tok_start
+            FROM toks
+        )
+        SELECT doc_id, shuffle_rank, n_tok, tok_start,
+               tok_start + n_tok AS tok_end,
+               tok_start // {_CHUNK_TOKENS} AS chunk_first,
+               greatest(tok_start + n_tok - 1, tok_start) // {_CHUNK_TOKENS} AS chunk_last,
+               greatest(tok_start + n_tok - 1, tok_start) // {_CHUNK_TOKENS}
+                   - tok_start // {_CHUNK_TOKENS} + 1 AS n_chunks_spanned
+        FROM ordered
+    """,
+    "docs_mix_rebalance": f"""
+        WITH strata AS (
+            SELECT lang, count(*) AS n_l FROM documents GROUP BY lang
+        ), tot AS (
+            SELECT count(*) AS n_total FROM documents
+        ), targets(lang, t_num) AS (
+            VALUES {", ".join("('%s', %d)" % kv for kv in sorted(_MIX_TARGETS.items()))}
+        ), drawn AS (
+            SELECT d.doc_id, d.lang, s.n_l, tot.n_total,
+                   COALESCE(t.t_num, 0) AS t_num,
+                   CAST(concat('0x', substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 13))
+                        AS BIGINT) AS u
+            FROM documents d
+            JOIN strata s USING (lang)
+            LEFT JOIN targets t USING (lang)
+            CROSS JOIN tot
+        )
+        SELECT lang,
+               CAST(max(n_l) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN CAST(u AS HUGEINT) * {_MIX_DENOM} * n_l
+                                  < CAST(t_num AS HUGEINT) * n_total * {1 << 52}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM drawn GROUP BY lang ORDER BY lang
     """,
     "docs_global_shuffle": """
         SELECT doc_id,

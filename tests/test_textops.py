@@ -181,6 +181,48 @@ def test_pps_sample_deterministic_and_clips_heavy(spark, tmp_path):
     assert 0 in got1
 
 
+def test_token_chunks_tile_the_stream(spark):
+    """The per-doc token intervals must tile [0, total_tokens) contiguously
+    in shuffle order — no gaps, no overlaps — and every chunk span must be
+    consistent with integer division by the chunk budget."""
+    from pdfparse_spark.pipeline.textops import _CHUNK_TOKENS, docs_token_chunks
+
+    rows = sorted(docs_token_chunks(spark, SF).collect(), key=lambda r: r["shuffle_rank"])
+    assert [r["shuffle_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    pos = 0
+    for r in rows:
+        assert r["tok_start"] == pos, "gap or overlap in the packed stream"
+        assert r["tok_end"] == r["tok_start"] + r["n_tok"]
+        pos = r["tok_end"]
+        assert r["chunk_first"] == r["tok_start"] // _CHUNK_TOKENS
+        last = max(r["tok_end"] - 1, r["tok_start"])
+        assert r["chunk_last"] == last // _CHUNK_TOKENS
+        assert r["n_chunks_spanned"] == r["chunk_last"] - r["chunk_first"] + 1 >= 1
+    assert pos == sum(r["n_tok"] for r in rows)
+
+
+def test_mix_rebalance_downsamples_toward_target(spark):
+    """Strata above their target share shrink toward target_share * N;
+    strata at/below target keep every doc (p clips at 1, no upsampling);
+    and the summary is deterministic across runs."""
+    from pdfparse_spark.pipeline.textops import _MIX_DENOM, _MIX_TARGETS, docs_mix_rebalance
+
+    got1 = {r["lang"]: (r["n_docs"], r["n_kept"]) for r in docs_mix_rebalance(spark, SF).collect()}
+    got2 = {r["lang"]: (r["n_docs"], r["n_kept"]) for r in docs_mix_rebalance(spark, SF).collect()}
+    assert got1 == got2
+    n_total = sum(n for n, _ in got1.values())
+    for lang, (n_docs, n_kept) in got1.items():
+        assert 0 <= n_kept <= n_docs
+        p = min(1.0, _MIX_TARGETS[lang] / _MIX_DENOM * n_total / n_docs)
+        if p == 1.0:
+            assert n_kept == n_docs, f"{lang}: under-target stratum must keep all"
+        else:
+            # binomial(n_docs, p): allow 5 sigma around the mean
+            mean = p * n_docs
+            sigma = max((n_docs * p * (1 - p)) ** 0.5, 1.0)
+            assert abs(n_kept - mean) <= 5 * sigma, (lang, n_kept, mean)
+
+
 def test_ann_lsh_recall_vs_brute_force(spark):
     """Every ANN hit must be a true same-bucket neighbor with the exact
     cosine the brute-force path computes for that pair."""
