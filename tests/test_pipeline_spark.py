@@ -278,10 +278,10 @@ def test_plan_hygiene_all_queries(spark):
     # there would be a genuine O(n^2) regression
     allowed_all_pairs = {
         "sim_cosine_topk", "sim_ann_ivf", "sim_ann_ivf_trained", "embed_kmeans",
-        # tfidf / pps cross-join a ONE-row broadcast aggregate (corpus doc
-        # count / total weight) into every row — O(n·1), the right plan at
-        # any scale
-        "text_tfidf_topk", "docs_pps_sample",
+        # tfidf / pps / mix-rebalance cross-join a ONE-row broadcast
+        # aggregate (corpus doc count / total weight) into every row —
+        # O(n·1), the right plan at any scale
+        "text_tfidf_topk", "docs_pps_sample", "docs_mix_rebalance",
     }
     for name, fn in e.queries().items():
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
