@@ -674,6 +674,12 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _connected_components(dedup_minhash_lsh(spark, sf_dir))
 
 
+# rounds of plain neighbor-min before the pointer jump engages: shallow
+# (clique-shaped) dup graphs converge within the grace and never pay the
+# second join; deeper chains still get O(log diameter) afterwards
+_CC_JUMP_GRACE = 2
+
+
 def _connected_components(
     pairs: DataFrame, max_rounds: int | None = None
 ) -> DataFrame:
@@ -682,18 +688,25 @@ def _connected_components(
     scale/oracle story.
 
     Each round does (1) the classic neighbor-min step — label(v) <-
-    min(label(v), min over neighbors) — then (2) a pointer jump —
-    label(v) <- label(label(v)).  Step 1 alone converges in
-    graph-diameter rounds, which is fine for clique-shaped dup clusters
-    but O(chain length) shuffles for the long near-dup CHAINS templated
-    web text actually produces (A~B~C~... with no direct A~C edge); the
-    jump halves every label path per round, giving O(log diameter)
-    rounds total (Shiloach-Vishkin style).  Labels only ever decrease
-    and only ever hold ids from the same component (neighbor labels and
-    label-of-label both stay in-component), so the fixpoint — no change
-    anywhere — still forces label(u) = label(v) across every edge, i.e.
-    the component min.  The logarithmic bound is pinned by
-    ``test_cc_pointer_jumping_rounds`` on a 256-node path graph.
+    min(label(v), min over neighbors) — then, from round
+    ``_CC_JUMP_GRACE + 1`` on, (2) a pointer jump — label(v) <-
+    label(label(v)).  Step 1 alone converges in graph-diameter rounds,
+    which is fine for clique-shaped dup clusters but O(chain length)
+    shuffles for the long near-dup CHAINS templated web text actually
+    produces (A~B~C~... with no direct A~C edge); the jump halves every
+    label path per round, giving O(log diameter) rounds total
+    (Shiloach-Vishkin style).  The two-round grace period skips the jump
+    join while shallow graphs — the overwhelmingly common case, since
+    near-dup clusters are clique-shaped — converge on neighbor-min
+    alone, so they never pay the second join per round; a chain that is
+    still changing after the grace gets the full halving and keeps the
+    logarithmic bound (grace + log2(diameter) + 1 rounds).  Labels only
+    ever decrease and only ever hold ids from the same component
+    (neighbor labels and label-of-label both stay in-component), so the
+    fixpoint — no change anywhere — still forces label(u) = label(v)
+    across every edge, i.e. the component min.  The logarithmic bound is
+    pinned by ``test_cc_pointer_jumping_rounds`` on a 256-node path
+    graph.
 
     ``max_rounds`` (tests only) raises if convergence takes longer —
     the guard that the jump is actually doing its job.
@@ -728,22 +741,30 @@ def _connected_components(
                 "label"
             ),
         )
-        # pointer jump: label(v) <- label(label(v)).  Every label is the
-        # doc_id of a node inside the labels frame (labels start as self
-        # and only ever move to another in-component node's id), so the
-        # left join hits except transiently; coalesce keeps it total.
-        jump = stepped.select(
-            F.col("doc_id").alias("jkey"), F.col("label").alias("jlabel")
-        )
-        new_labels = (
-            stepped.join(jump, stepped.label == jump.jkey, "left")
-            .withColumn("label", F.least("label", F.coalesce("jlabel", "label")))
-            .select(
+        if rounds > _CC_JUMP_GRACE:
+            # pointer jump: label(v) <- label(label(v)).  Every label is
+            # the doc_id of a node inside the labels frame (labels start
+            # as self and only ever move to another in-component node's
+            # id), so the left join hits except transiently; coalesce
+            # keeps it total.
+            jump = stepped.select(
+                F.col("doc_id").alias("jkey"), F.col("label").alias("jlabel")
+            )
+            new_labels = (
+                stepped.join(jump, stepped.label == jump.jkey, "left")
+                .withColumn("label", F.least("label", F.coalesce("jlabel", "label")))
+                .select(
+                    "doc_id",
+                    "label",
+                    (F.col("label") < F.col("old")).cast("long").alias("chg"),
+                )
+            )
+        else:
+            new_labels = stepped.select(
                 "doc_id",
                 "label",
                 (F.col("label") < F.col("old")).cast("long").alias("chg"),
             )
-        )
         # localCheckpoint (eager) both materializes the round AND truncates
         # lineage — without it the logical plan grows by one join per
         # iteration (a 21k-line plan by convergence; planning time and
