@@ -1098,6 +1098,8 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = train_kmeans_centroids(
         e.select("vec_id", "v"), k=_N_CELLS, iters=3, seed_mod=7
     )
+    # the search re-scans e once more; training already persisted its own
+    # projection, so only the (v, nrm) recompute is saved here
     cent = spark.createDataFrame(
         [(cid, [float(x) for x in vec]) for cid, vec in cents],
         "cent_id: int, cv: array<double>",
@@ -1177,24 +1179,32 @@ def train_kmeans_centroids(
     the driver per iteration).  Deterministic seeded init: every
     ``seed_mod``-th vector, first k.  Shared by embed_kmeans (the gate
     query) and sim_ann_ivf_trained (the codebook consumer)."""
-    e = e.select("vec_id", "v")
-    seeds = e.filter(F.col("vec_id") % seed_mod == 0).orderBy("vec_id").limit(k).collect()
-    cents = [(i, list(r["v"])) for i, r in enumerate(seeds)]
-    for _ in range(iters):
-        assigned = _kmeans_assign(e, cents)
-        rows = (
-            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
-            .collect()
+    # persist the training projection: every Lloyd iteration (and the
+    # seed scan) re-reads it — without the cache that is iters + 1 full
+    # source scans + HOF recomputes of the identical frame
+    e = e.select("vec_id", "v").persist()
+    try:
+        seeds = (
+            e.filter(F.col("vec_id") % seed_mod == 0).orderBy("vec_id").limit(k).collect()
         )
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in rows:
-            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
-        cents = [
-            (cid, [dims[p] for p in sorted(dims)]) for cid, dims in sorted(by_cid.items())
-        ]
-    return cents
+        cents = [(i, list(r["v"])) for i, r in enumerate(seeds)]
+        for _ in range(iters):
+            assigned = _kmeans_assign(e, cents)
+            rows = (
+                assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            )
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in rows:
+                by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+            cents = [
+                (cid, [dims[p] for p in sorted(dims)]) for cid, dims in sorted(by_cid.items())
+            ]
+        return cents
+    finally:
+        e.unpersist()
 
 
 def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
