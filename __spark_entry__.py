@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_tfidf_topk"] = textops.text_tfidf_topk
     q["docs_pps_sample"] = textops.docs_pps_sample
     q["events_retention"] = relational.events_retention
+    q["events_anomaly"] = relational.events_anomaly
     q["docs_token_chunks"] = textops.docs_token_chunks
     q["docs_mix_rebalance"] = textops.docs_mix_rebalance
     for k in tail:

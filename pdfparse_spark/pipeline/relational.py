@@ -486,6 +486,56 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# events_anomaly: fixed-point scale for the value column (≤6 decimal digits
+# in the source data ⇒ the scaled round is exact) and the z-score cut.
+_ANOM_SCALE = 1_000_000
+_ANOM_Z = 3.0
+
+
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type outlier detection: flag events whose value sits ≥3
+    population standard deviations from the event_type mean — the metric
+    anomaly sweep every telemetry pipeline runs.
+
+    Cross-engine determinism: double sums are order-dependent, so the
+    moments are computed on u = round(value·10⁶) held as DECIMAL(38,0) —
+    exact integer arithmetic with one canonical result in any summation
+    order (and on any cluster topology).  The z-score is then
+    (n·u − S1)/sqrt(n·S2 − S1²): the numerator is < 2⁵³ (exact as a
+    double), decimal→double and sqrt are correctly rounded in both
+    engines, and one IEEE divide ends the chain — the same
+    transcendental-free discipline as text_tfidf_topk.
+
+    Scale: one event_type-keyed moment aggregate (|types| rows, broadcast
+    back) and a stateless per-row predicate — the event log itself never
+    shuffles.  At 10¹² rows/type the DECIMAL(38,0) second moment needs
+    ~10³⁰ headroom of its 10³⁸ — rescale u (or shard the aggregate) past
+    that.
+    """
+    e = _t(spark, sf_dir, "events")
+    u = F.round(F.col("value") * _ANOM_SCALE, 0).cast("decimal(38,0)")
+    ev = e.select("event_id", "event_type", "value", u.alias("u"))
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("u").alias("s1"),
+        F.sum(F.col("u") * F.col("u")).alias("s2"),
+    )
+    j = ev.join(F.broadcast(stats), "event_type")
+    num = (F.col("n") * F.col("u") - F.col("s1")).cast("double")
+    den = F.sqrt((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double"))
+    z = num / den
+    return (
+        j.withColumn("z", z)
+        .where(F.abs(F.col("z")) >= _ANOM_Z)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(F.col("z"), 4).alias("z_score"),
+        )
+    )
+
+
 def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level top-20 word bigrams (explode + count + top-k) over
     documents — the corpus-statistics face of the shingle machinery."""
@@ -718,6 +768,27 @@ ORACLES: dict[str, str] = {
                count(*) AS n_users
         FROM wk w JOIN cohort c USING (user_id)
         GROUP BY 1, 2
+    """,
+    "events_anomaly": f"""
+        WITH ev AS (
+            SELECT event_id, event_type, value,
+                   CAST(round(value * {_ANOM_SCALE}) AS HUGEINT) AS u
+            FROM events
+        ), st AS (
+            SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                   sum(u) AS s1, sum(u * u) AS s2
+            FROM ev GROUP BY event_type
+        ), z AS (
+            -- same operation order as the Spark side: exact integer
+            -- numerator/denominator, two correctly-rounded casts to
+            -- double, one sqrt, one divide
+            SELECT event_id, event_type, value,
+                   CAST(n * u - s1 AS DOUBLE)
+                       / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) AS zz
+            FROM ev JOIN st USING (event_type)
+        )
+        SELECT event_id, event_type, value, round(zz, 4) AS z_score
+        FROM z WHERE abs(zz) >= {_ANOM_Z}
     """,
     "events_sessionize": """
         WITH g AS (

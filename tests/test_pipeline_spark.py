@@ -556,3 +556,31 @@ def test_tokens_vectorized_null_and_nbsp_parity(spark):
     b = {r["doc_id"]: (r["ws"], r["bpe"]) for r in udf.collect()}
     assert a == b, {k: (a[k], b[k]) for k in a if a[k] != b[k]}
     assert a[2] == (None, None)
+
+
+def test_events_anomaly_matches_numpy(spark):
+    """events_anomaly's exact-integer z-scores must agree with a NumPy
+    recomputation (population std, same ≥3σ cut) — pinning the algebra
+    (n·u − S1)/sqrt(n·S2 − S1²) == (u − mean)/std up to the final
+    rounding, and that the flagged set is exactly the tail."""
+    import numpy as np
+
+    from pdfparse_spark.pipeline.relational import events_anomaly
+
+    got = {r["event_id"]: r["z_score"] for r in events_anomaly(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "event_type", "value"
+    ).toPandas()
+    want = {}
+    for _, grp in ev.groupby("event_type"):
+        u = np.round(grp["value"].to_numpy() * 1_000_000).astype(np.int64)
+        n = len(u)
+        s1, s2 = int(u.sum()), int((u.astype(object) ** 2).sum())
+        den = float(n * s2 - s1 * s1) ** 0.5
+        z = (n * u.astype(float) - s1) / den
+        for eid, zi in zip(grp["event_id"], z):
+            if abs(zi) >= 3.0:
+                want[int(eid)] = zi
+    assert set(got) == set(want)
+    for eid, zr in got.items():
+        assert abs(zr - want[eid]) < 5e-4, (eid, zr, want[eid])
