@@ -90,6 +90,36 @@ def _extract_corpus(spark: SparkSession, n_convs: int = 12, turns_per_conv: int 
     return extracted, golden
 
 
+def _extract_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: corpus-level boilerplate line removal over the extraction
+    output — lines whose trimmed form recurs in ≥3 distinct conversations
+    are template chrome (the fixture pool plays the shared site template;
+    the conv-unique prose turns play real content) and must be stripped
+    with surviving lines intact in order.  The cross-document complement
+    to the per-document DOM heuristic the kernel already applies."""
+    from pdfparse_spark.pipeline.textops import boilerplate_strip
+
+    extracted, _ = _extract_corpus(spark)
+    cleaned = boilerplate_strip(
+        extracted,
+        key_cols=["conv_id", "turn_idx", "content_type"],
+        corpus_col="conv_id",
+        text_col="extracted_text",
+        min_df=3,
+    )
+    return (
+        cleaned.groupBy("content_type")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum("n_lines").alias("n_lines"),
+            F.sum("n_removed").alias("n_removed"),
+            F.sum((F.col("n_removed") > 0).cast("long")).alias("n_turns_affected"),
+            F.sum(F.length("clean_text")).alias("clean_chars"),
+        )
+        .orderBy("content_type")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extraction + golden match over the synthesized corpus,
     cross-checked against /root/testdata/sf0.001 documents for a stable
@@ -306,6 +336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["docs_pps_sample"] = textops.docs_pps_sample
     q["events_retention"] = relational.events_retention
     q["events_anomaly"] = relational.events_anomaly
+    # rows-only: runs on the synthesized extraction corpus, not a driver table
+    q["extract_line_dedup"] = _extract_line_dedup
     q["docs_token_chunks"] = textops.docs_token_chunks
     q["docs_mix_rebalance"] = textops.docs_mix_rebalance
     for k in tail:

@@ -647,6 +647,64 @@ def _md5_shuffle_rank(
     return ranked.join(F.broadcast(offsets), "bkt").select(*out_cols)
 
 
+def boilerplate_strip(
+    df: DataFrame,
+    key_cols: list[str],
+    corpus_col: str,
+    text_col: str = "text",
+    min_df: int = 3,
+) -> DataFrame:
+    """Corpus-level boilerplate line removal (the CCNet/RefinedWeb trick):
+    a line whose trimmed form appears in ≥ ``min_df`` distinct containers
+    (``corpus_col`` values — conversations, domains, …) is template
+    chrome, not content; strip it from every document and rebuild the
+    survivors in original order.  This is the cross-document complement to
+    the per-document DOM text-density heuristic in kernel/html_extract.py:
+    the DOM pass cannot see that a perfectly text-dense line repeats on
+    every page of a site.
+
+    Returns one row per ``key_cols`` group: ``clean_text`` (surviving
+    lines joined by \\n), ``n_lines``, ``n_removed``.
+
+    Scale: posexplode → one hash aggregate keyed by the trimmed line
+    (partial map-side combine collapses hot template lines to one row per
+    map partition before the shuffle) → the high-df slice is broadcast
+    back as a membership join (bounded: only lines crossing the df
+    threshold ship) → one groupBy(key_cols) rebuild.  The fat text column
+    crosses exactly two shuffles (explode→rebuild), same as any
+    reassembly; no UDFs anywhere.  If the boilerplate slice ever outgrows
+    broadcast range (a 100 TB crawl with millions of template lines),
+    swap F.broadcast for a plain equality join — the plan stays keyed,
+    never cartesian.
+    """
+    lines = df.select(
+        *key_cols,
+        F.col(corpus_col).alias("_corpus"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("norm", F.trim(F.col("line")))
+    bp = (
+        lines.where(F.col("norm") != "")
+        .groupBy("norm")
+        .agg(F.countDistinct("_corpus").alias("line_df"))
+        .where(F.col("line_df") >= min_df)
+        .select("norm", "line_df")
+    )
+    flagged = lines.join(F.broadcast(bp), "norm", "left")
+    return flagged.groupBy(*key_cols).agg(
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list("
+                "CASE WHEN line_df IS NULL THEN struct(pos, line) END)), s -> s.line)"
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("line_df").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+    )
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-duplicate pair graph (the step
     that turns pairwise dedup output into keep-one-per-cluster decisions):

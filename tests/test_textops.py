@@ -507,3 +507,59 @@ def test_cc_random_graphs_match_union_find(spark):
         got = _connected_components(pairs, max_rounds=12).collect()
         assert {r.doc_id: r.cluster_id for r in got} == want_label, seed
         assert {r.doc_id: r.cluster_size for r in got} == want_size, seed
+
+
+def test_boilerplate_strip_known_template(spark):
+    """Lines repeated in ≥min_df distinct containers are stripped; unique
+    lines survive in original order; blank lines are exempt from the df
+    count (they never become 'boilerplate') and an all-template doc
+    collapses to the blank survivors only."""
+    from pdfparse_spark.pipeline.textops import boilerplate_strip
+
+    nav, foot = "Home | About | Contact", "(c) 2026 Example Corp"
+    rows = [
+        ("c1", 0, f"{nav}\nUnique story one.\n\n{foot}"),
+        ("c2", 0, f"{nav}\nAnother unique tale.\n{foot}"),
+        ("c3", 0, f"  {nav}  \nThird body line.\n{foot}"),
+        ("c3", 1, f"{nav}\n{foot}"),
+        ("c4", 0, "No template at all here."),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in boilerplate_strip(
+            df, ["conv_id", "turn_idx"], "conv_id", "text", min_df=3
+        ).collect()
+    }
+    assert got[("c1", 0)]["clean_text"] == "Unique story one.\n"
+    assert got[("c1", 0)]["n_removed"] == 2
+    assert got[("c2", 0)]["clean_text"] == "Another unique tale."
+    # whitespace-variant template lines normalize to the same df key
+    assert got[("c3", 0)]["clean_text"] == "Third body line."
+    assert got[("c3", 1)]["clean_text"] == ""
+    assert got[("c3", 1)]["n_removed"] == 2
+    assert got[("c4", 0)]["clean_text"] == "No template at all here."
+    assert got[("c4", 0)]["n_removed"] == 0
+    # membership join must be a broadcast equality join, never cartesian
+    plan = (
+        boilerplate_strip(df, ["conv_id", "turn_idx"], "conv_id", "text", 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_extract_line_dedup_gate(spark):
+    """The gate summary is deterministic, strips fixture-template lines
+    (shared across ≥3 convs) while conv-unique prose text survives
+    untouched."""
+    import __spark_entry__ as e
+
+    rows = {r["content_type"]: r for r in e.queries()["extract_line_dedup"](spark, SF).collect()}
+    assert set(rows) == {"pdf", "html", "text"}
+    # plain-prose turns are conv-unique -> nothing stripped
+    assert rows["text"]["n_removed"] == 0
+    # fixture-pool payloads repeat across conversations -> template lines go
+    assert rows["pdf"]["n_removed"] > 0
+    assert rows["html"]["n_removed"] > 0
