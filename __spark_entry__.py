@@ -338,6 +338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_anomaly"] = relational.events_anomaly
     # rows-only: runs on the synthesized extraction corpus, not a driver table
     q["extract_line_dedup"] = _extract_line_dedup
+    # rows-only: iterative + transcendental (sigmoid), convergence pytest-pinned
+    q["train_embed_lr"] = textops.train_embed_lr
     q["docs_token_chunks"] = textops.docs_token_chunks
     q["docs_mix_rebalance"] = textops.docs_mix_rebalance
     for k in tail:

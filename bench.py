@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "events_retention",
     "docs_token_chunks",
     "docs_mix_rebalance",
+    "events_anomaly",
+    "train_embed_lr",
 ]
 
 

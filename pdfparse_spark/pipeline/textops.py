@@ -1324,6 +1324,113 @@ def embed_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LR_ITERS = 25
+_LR_RATE = 5.0
+_LR_LABEL = 0  # one-vs-rest target class
+
+
+def _sql_darray(vals) -> str:
+    """A literal array<double> SQL fragment.  Catalyst constant-folds it to
+    ONE Literal node, so shipping a dim-sized vector per iteration costs
+    nothing at plan time (the sign-LSH hyperplane lesson: never build
+    dim-sized +/- expression chains — they blow the Janino 64KB codegen
+    limit and fall back to interpreted eval)."""
+    return "array(%s)" % ", ".join("%rD" % float(v) for v in vals)
+
+
+def train_embed_lr(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = _LR_ITERS,
+    rate: float = _LR_RATE,
+) -> DataFrame:
+    """Distributed logistic-regression training (one-vs-rest on the
+    embeddings table's label column) by full-batch gradient descent — the
+    quality-classifier training loop of a curation pipeline, run INSIDE
+    the engine: each iteration is ONE aggregate job computing the loss,
+    the bias gradient, and all dim weight gradients as plain JVM sum
+    aggregates (no explode, no UDF — sum((p−y)·x[j]) per dimension), so
+    only ~dim+2 doubles ever cross the driver per iteration.
+
+    Features are per-dimension standardized first (one posexplode
+    aggregate; dim rows to the driver) — without it the raw embeddings
+    need ~100× more iterations to separate.  Returns the training trace
+    (iter, loss, avg p̂ on positives/negatives): rows-only gate —
+    iterative and transcendental (sigmoid/log), not SQL-expressible —
+    with convergence invariants pinned in pytest.
+
+    Scale: the standardization aggregate and each GD iteration are
+    map-side-combinable aggregates over a persisted projection; nothing
+    grows with n on the driver.  At 10¹² rows switch full-batch to
+    mini-batch by sampling a deterministic doc_id slice per iteration —
+    the job shape is unchanged.
+    """
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("x0"),
+        (F.col("label") == _LR_LABEL).cast("double").alias("y"),
+    )
+    dim = len(e.select("x0").first()["x0"])
+    stats = {
+        r["pos"]: (r["m"], r["s"])
+        for r in e.select(F.posexplode("x0").alias("pos", "xv"))
+        .groupBy("pos")
+        .agg(F.avg("xv").alias("m"), F.stddev_pop("xv").alias("s"))
+        .collect()
+    }
+    mu = [stats[j][0] for j in range(dim)]
+    sd = [s if s and s > 1e-12 else 1.0 for _, s in (stats[j] for j in range(dim))]
+    ex = e.select(
+        "y",
+        F.expr(
+            f"zip_with(zip_with(x0, {_sql_darray(mu)}, (a, m) -> a - m), "
+            f"{_sql_darray(sd)}, (c, s) -> c / s)"
+        ).alias("x"),
+    ).persist()
+    try:
+        w = [0.0] * dim
+        b = 0.0
+        trace = []
+        n = None
+        for it in range(iters):
+            margin = F.expr(
+                f"aggregate(zip_with(x, {_sql_darray(w)}, (a, b) -> a * b), "
+                f"{b!r}D, (acc, v) -> acc + v)"
+            )
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+            withp = ex.select("y", "x", p.alias("p"))
+            loss = -(
+                F.col("y") * F.log(F.greatest(F.col("p"), F.lit(1e-12)))
+                + (1 - F.col("y")) * F.log(F.greatest(1 - F.col("p"), F.lit(1e-12)))
+            )
+            aggs = [
+                F.count("*").alias("n"),
+                F.avg(loss).alias("loss"),
+                F.avg(F.col("p") - F.col("y")).alias("gb"),
+                F.avg(F.when(F.col("y") == 1.0, F.col("p"))).alias("p_pos"),
+                F.avg(F.when(F.col("y") == 0.0, F.col("p"))).alias("p_neg"),
+            ] + [
+                F.sum(F.expr(f"(p - y) * x[{j}]")).alias(f"g{j}") for j in range(dim)
+            ]
+            row = withp.agg(*aggs).collect()[0]
+            n = row["n"]
+            trace.append(
+                (
+                    it,
+                    round(row["loss"], 6),
+                    round(row["p_pos"] or 0.0, 6),
+                    round(row["p_neg"] or 0.0, 6),
+                )
+            )
+            b -= rate * row["gb"]
+            w = [wj - rate * row[f"g{j}"] / n for j, wj in enumerate(w)]
+        return spark.createDataFrame(
+            trace, "iter: int, loss: double, p_pos: double, p_neg: double"
+        )
+    finally:
+        ex.unpersist()
+
+
 _PPS_TARGET = 50  # expected sample size (docs with p clipped at 1 shrink it)
 
 

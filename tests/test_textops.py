@@ -563,3 +563,21 @@ def test_extract_line_dedup_gate(spark):
     # fixture-pool payloads repeat across conversations -> template lines go
     assert rows["pdf"]["n_removed"] > 0
     assert rows["html"]["n_removed"] > 0
+
+
+def test_train_embed_lr_converges(spark):
+    """Distributed LR training must actually learn: cross-entropy loss is
+    non-increasing over the full-batch GD trace and the trained model
+    separates the target class (avg p̂ on positives ≫ on negatives —
+    the embeddings' class structure is weak but real, cf. the kmeans
+    inertia pin)."""
+    from pdfparse_spark.pipeline.textops import train_embed_lr
+
+    rows = train_embed_lr(spark, SF).collect()
+    assert len(rows) == 25
+    losses = [r["loss"] for r in rows]
+    assert losses[0] > 0.69  # ln 2: the all-zero-weights starting point
+    assert all(a >= b - 1e-9 for a, b in zip(losses, losses[1:])), losses
+    assert losses[-1] < 0.5 * losses[0]
+    final = rows[-1]
+    assert final["p_pos"] > 2.5 * final["p_neg"], (final["p_pos"], final["p_neg"])
