@@ -1431,6 +1431,95 @@ def train_embed_lr(
         ex.unpersist()
 
 
+_PCA_COMPONENTS = 2
+_PCA_ITERS = 20  # λ2/λ1 ≈ 0.93 on the test cloud → <1% eigenvalue error
+
+
+def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k principal components of the embedding cloud by distributed
+    power iteration with deflation — the spectral little sibling of the
+    k-means and LR loops: each iteration is ONE aggregate job computing
+    s = Σ (x·w)·x as dim plain JVM sum aggregates (`sum(dot * x[j])`),
+    with the current direction shipped as a constant-folded literal
+    array.  Deflation (orthogonalize against found components) and
+    normalization are driver-side on dim-sized vectors.
+
+    Returns one row per component: the Rayleigh-quotient eigenvalue and
+    its explained-variance share.  Rows-only gate (iterative +
+    sqrt-normalized); pinned against numpy.linalg.eigh in pytest.
+
+    Scale: dim+1 doubles cross the shuffle per partition and the driver
+    per iteration; the centered projection is persisted once.  The
+    centering aggregate is the same posexplode (dim)-keyed pass as
+    train_embed_lr's standardization.
+    """
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("x0")
+    )
+    dim = len(e.select("x0").first()["x0"])
+    stats = {
+        r["pos"]: (r["m"], r["var"])
+        for r in e.select(F.posexplode("x0").alias("pos", "xv"))
+        .groupBy("pos")
+        .agg(F.avg("xv").alias("m"), F.var_pop("xv").alias("var"))
+        .collect()
+    }
+    mu = [stats[j][0] for j in range(dim)]
+    total_var = sum(stats[j][1] for j in range(dim))
+    ex = e.select(
+        F.expr(f"zip_with(x0, {_sql_darray(mu)}, (a, m) -> a - m)").alias("x")
+    ).persist()
+    try:
+        n = ex.count()
+        comps: list[list[float]] = []
+        out = []
+        for c in range(_PCA_COMPONENTS):
+            # deterministic start: LCG Rademacher signs (the sign-LSH trick),
+            # then deflate so the start is already orthogonal to found comps
+            state = 0x9E3779B9 * (c + 1) & 0xFFFFFFFF
+            w = []
+            for _ in range(dim):
+                state = (1664525 * state + 1013904223) & 0xFFFFFFFF
+                w.append(1.0 if state & 0x80000000 else -1.0)
+            lam = 0.0
+            for _ in range(_PCA_ITERS):
+                for prev in comps:
+                    d = sum(a * b for a, b in zip(w, prev))
+                    w = [a - d * b for a, b in zip(w, prev)]
+                nrm = sum(a * a for a in w) ** 0.5
+                w = [a / nrm for a in w]
+                dot = F.expr(
+                    f"aggregate(zip_with(x, {_sql_darray(w)}, (a, b) -> a * b), "
+                    "0D, (acc, v) -> acc + v)"
+                )
+                row = (
+                    ex.select("x", dot.alias("d"))
+                    .agg(
+                        F.sum(F.col("d") * F.col("d")).alias("ray"),
+                        *[
+                            F.sum(F.expr(f"d * x[{j}]")).alias(f"s{j}")
+                            for j in range(dim)
+                        ],
+                    )
+                    .collect()[0]
+                )
+                lam = row["ray"] / n
+                w = [row[f"s{j}"] for j in range(dim)]
+            # final orthonormalize for the report
+            for prev in comps:
+                d = sum(a * b for a, b in zip(w, prev))
+                w = [a - d * b for a, b in zip(w, prev)]
+            nrm = sum(a * a for a in w) ** 0.5
+            w = [a / nrm for a in w]
+            comps.append(w)
+            out.append((c, round(lam, 6), round(lam / total_var, 6)))
+        return spark.createDataFrame(
+            out, "component: int, eigenvalue: double, explained_frac: double"
+        )
+    finally:
+        ex.unpersist()
+
+
 _PPS_TARGET = 50  # expected sample size (docs with p clipped at 1 shrink it)
 
 

@@ -581,3 +581,26 @@ def test_train_embed_lr_converges(spark):
     assert losses[-1] < 0.5 * losses[0]
     final = rows[-1]
     assert final["p_pos"] > 2.5 * final["p_neg"], (final["p_pos"], final["p_neg"])
+
+
+def test_embed_pca_matches_eigh(spark):
+    """Power-iteration PCA must agree with numpy.linalg.eigh on the exact
+    covariance matrix: top-2 eigenvalues within 1%, components ordered,
+    explained fractions consistent."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pdfparse_spark.pipeline.textops import embed_pca
+
+    rows = sorted(embed_pca(spark, SF).collect(), key=lambda r: r["component"])
+    X = np.vstack(
+        pq.read_table(f"{SF}/embeddings.parquet").to_pandas()["embedding"].to_numpy()
+    ).astype(np.float64)
+    Xc = X - X.mean(0)
+    cov = Xc.T @ Xc / len(Xc)
+    ev = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    assert len(rows) == 2
+    assert rows[0]["eigenvalue"] >= rows[1]["eigenvalue"] > 0
+    for r, want in zip(rows, ev[:2]):
+        assert abs(r["eigenvalue"] - want) / want < 0.01, (r, want)
+        assert abs(r["explained_frac"] - want / ev.sum()) < 0.005
