@@ -318,16 +318,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the flagship) they sit at 51+, pinned by pytest + the committed
     # tools/check_oracle.py sweep.  The simplest relational scaffolding
     # ops sit at the very end, where they lose the least.
-    rows_only_textops = [
-        "dedup_simhash",
-        "dedup_minhash_clusters",
-        "embed_kmeans",
-        "text_length_stats_approx",
-    ]
+    rows_only_textops = sorted(textops.ROWS_ONLY - {"dedup_minhash_lsh"})
     for k, v in textops.QUERIES.items():
-        if k not in rows_only_textops:
+        if k not in textops.ROWS_ONLY or k == "dedup_minhash_lsh":
             q[k] = v
-    rows_only_relational = ["events_approx_users", "docs_stratified_sample"]
+    rows_only_relational = sorted(relational.ROWS_ONLY)
     tail = [
         "text_ngrams",
         "r6_order_window",

@@ -520,7 +520,13 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("u").alias("s1"),
         F.sum(F.col("u") * F.col("u")).alias("s2"),
     )
-    j = ev.join(F.broadcast(stats), "event_type")
+    # a singleton or constant-valued type has n·S2 − S1² = 0 → z = 0/0 = NaN,
+    # and Spark orders NaN above every number, so abs(z) ≥ 3 would flag the
+    # WHOLE degenerate group: zero-variance types carry no anomaly signal
+    # and are excluded up front (mirrored in the oracle)
+    j = ev.join(F.broadcast(stats), "event_type").where(
+        F.col("n") * F.col("s2") - F.col("s1") * F.col("s1") > 0
+    )
     num = (F.col("n") * F.col("u") - F.col("s1")).cast("double")
     den = F.sqrt((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double"))
     z = num / den
@@ -786,6 +792,7 @@ ORACLES: dict[str, str] = {
                    CAST(n * u - s1 AS DOUBLE)
                        / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) AS zz
             FROM ev JOIN st USING (event_type)
+            WHERE n * s2 - s1 * s1 > 0  -- zero-variance types: no signal
         )
         SELECT event_id, event_type, value, round(zz, 4) AS z_score
         FROM z WHERE abs(zz) >= {_ANOM_Z}
@@ -835,3 +842,7 @@ QUERIES = {
     "text_ngrams": text_ngrams,
     "events_funnel": events_funnel,
 }
+
+# Queries with no ORACLES entry (physical/sketch/RNG ops) — see the
+# matching note in textops.ROWS_ONLY.
+ROWS_ONLY = frozenset(QUERIES) - frozenset(ORACLES)

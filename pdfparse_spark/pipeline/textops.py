@@ -677,11 +677,15 @@ def boilerplate_strip(
     swap F.broadcast for a plain equality join — the plan stays keyed,
     never cartesian.
     """
+    # posexplode_outer: a NULL-text row must survive as an empty document,
+    # not vanish from the output.  Split on \r?\n and trim space/tab/CR so
+    # CRLF documents and tab-indented variants of the same template line
+    # share one df key (the rebuilt text is normalized to \n endings).
     lines = df.select(
         *key_cols,
         F.col(corpus_col).alias("_corpus"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    ).withColumn("norm", F.trim(F.col("line")))
+        F.posexplode_outer(F.split(F.col(text_col), "\r?\n")).alias("pos", "line"),
+    ).withColumn("norm", F.expr("trim(BOTH ' \t\r' FROM line)"))
     bp = (
         lines.where(F.col("norm") != "")
         .groupBy("norm")
@@ -1338,6 +1342,33 @@ def _sql_darray(vals) -> str:
     return "array(%s)" % ", ".join("%rD" % float(v) for v in vals)
 
 
+def _embed_centered_stats(spark: SparkSession, sf_dir: str):
+    """Shared prep for the iterative embedding loops (LR standardization,
+    PCA centering): the cast projection plus per-dimension mean /
+    population variance and the row count — all from ONE posexplode
+    aggregate job (dim rows cross the driver).  A single definition so a
+    fix to NULL/ragged handling cannot desynchronize the two consumers."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("x0"),
+    )
+    rows = (
+        e.select(F.posexplode("x0").alias("pos", "xv"))
+        .groupBy("pos")
+        .agg(
+            F.avg("xv").alias("m"),
+            F.var_pop("xv").alias("var"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    dim = len(rows)
+    stats = {r["pos"]: (r["m"], r["var"]) for r in rows}
+    n = rows[0]["n"] if rows else 0
+    return e, dim, stats, n
+
+
 def train_embed_lr(
     spark: SparkSession,
     sf_dir: str,
@@ -1365,23 +1396,14 @@ def train_embed_lr(
     mini-batch by sampling a deterministic doc_id slice per iteration —
     the job shape is unchanged.
     """
-    e = _emb(spark, sf_dir).select(
-        "vec_id",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("x0"),
-        (F.col("label") == _LR_LABEL).cast("double").alias("y"),
-    )
-    dim = len(e.select("x0").first()["x0"])
-    stats = {
-        r["pos"]: (r["m"], r["s"])
-        for r in e.select(F.posexplode("x0").alias("pos", "xv"))
-        .groupBy("pos")
-        .agg(F.avg("xv").alias("m"), F.stddev_pop("xv").alias("s"))
-        .collect()
-    }
+    e, dim, stats, _n = _embed_centered_stats(spark, sf_dir)
     mu = [stats[j][0] for j in range(dim)]
-    sd = [s if s and s > 1e-12 else 1.0 for _, s in (stats[j] for j in range(dim))]
+    sd = [
+        v ** 0.5 if v is not None and v > 1e-24 else 1.0
+        for v in (stats[j][1] for j in range(dim))
+    ]
     ex = e.select(
-        "y",
+        (F.col("label") == _LR_LABEL).cast("double").alias("y"),
         F.expr(
             f"zip_with(zip_with(x0, {_sql_darray(mu)}, (a, m) -> a - m), "
             f"{_sql_darray(sd)}, (c, s) -> c / s)"
@@ -1453,24 +1475,13 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     centering aggregate is the same posexplode (dim)-keyed pass as
     train_embed_lr's standardization.
     """
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("x0")
-    )
-    dim = len(e.select("x0").first()["x0"])
-    stats = {
-        r["pos"]: (r["m"], r["var"])
-        for r in e.select(F.posexplode("x0").alias("pos", "xv"))
-        .groupBy("pos")
-        .agg(F.avg("xv").alias("m"), F.var_pop("xv").alias("var"))
-        .collect()
-    }
+    e, dim, stats, n = _embed_centered_stats(spark, sf_dir)
     mu = [stats[j][0] for j in range(dim)]
     total_var = sum(stats[j][1] for j in range(dim))
     ex = e.select(
         F.expr(f"zip_with(x0, {_sql_darray(mu)}, (a, m) -> a - m)").alias("x")
     ).persist()
     try:
-        n = ex.count()
         comps: list[list[float]] = []
         out = []
         for c in range(_PCA_COMPONENTS):
@@ -2224,3 +2235,9 @@ QUERIES = {
     "text_length_stats_approx": text_length_stats_approx,  # rows-only (sketch)
     "corpus_curate": corpus_curate,
 }
+
+# Queries with no ORACLES entry (sketch hash families / iterative loops).
+# __spark_entry__ consumes this to keep every hash-verifiable query inside
+# the driver's 50-slot budget; test_entry_contract pins the invariant so a
+# new rows-only op can't silently displace an oracled one.
+ROWS_ONLY = frozenset(QUERIES) - frozenset(ORACLES)

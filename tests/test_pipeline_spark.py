@@ -184,6 +184,16 @@ def test_entry_contract(spark):
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 20
+    # the driver checks only the first 50 queries: every slot from 11-50
+    # must be hash-verifiable (the 6 extraction gates — the north-rule
+    # invariant — and the flagship minhash sketch are the only rows-only
+    # entries allowed in budget); a new rows-only op must register at 51+
+    names = list(qs)
+    allowed_rows_only = set(names[:6]) | {"dedup_minhash_lsh"}
+    for k in names[:50]:
+        assert k in os_ or k in allowed_rows_only, (
+            f"rows-only query {k!r} inside the driver's 50-slot budget"
+        )
 
 
 def test_plan_hygiene_pushdown_and_broadcast(spark):

@@ -523,6 +523,10 @@ def test_boilerplate_strip_known_template(spark):
         ("c3", 0, f"  {nav}  \nThird body line.\n{foot}"),
         ("c3", 1, f"{nav}\n{foot}"),
         ("c4", 0, "No template at all here."),
+        # CRLF endings + tab indentation still count toward the same df key
+        ("c5", 0, f"\t{nav}\r\nBody under CRLF.\r\n{foot}\r"),
+        # NULL text must survive as an empty document, not vanish
+        ("c6", 0, None),
     ]
     df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
     got = {
@@ -540,6 +544,10 @@ def test_boilerplate_strip_known_template(spark):
     assert got[("c3", 1)]["n_removed"] == 2
     assert got[("c4", 0)]["clean_text"] == "No template at all here."
     assert got[("c4", 0)]["n_removed"] == 0
+    assert got[("c5", 0)]["clean_text"] == "Body under CRLF."
+    assert got[("c5", 0)]["n_removed"] == 2
+    assert got[("c6", 0)]["clean_text"] == ""
+    assert got[("c6", 0)]["n_removed"] == 0
     # membership join must be a broadcast equality join, never cartesian
     plan = (
         boilerplate_strip(df, ["conv_id", "turn_idx"], "conv_id", "text", 3)
@@ -577,7 +585,8 @@ def test_train_embed_lr_converges(spark):
     assert len(rows) == 25
     losses = [r["loss"] for r in rows]
     assert losses[0] > 0.69  # ln 2: the all-zero-weights starting point
-    assert all(a >= b - 1e-9 for a, b in zip(losses, losses[1:])), losses
+    # tolerance ≥ the 1e-6 quantization the trace applies to each loss
+    assert all(a >= b - 1.5e-6 for a, b in zip(losses, losses[1:])), losses
     assert losses[-1] < 0.5 * losses[0]
     final = rows[-1]
     assert final["p_pos"] > 2.5 * final["p_neg"], (final["p_pos"], final["p_neg"])
