@@ -7,3 +7,4 @@ from .neardup import (  # noqa: F401
     read_neardup_verdicts,
     start_stream_neardup,
 )
+from .anomaly import start_anomaly_stream, with_anomaly_units  # noqa: F401

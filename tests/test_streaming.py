@@ -372,3 +372,63 @@ def test_stream_neardup_matches_batch_simulation(spark, tmp_path):
     n05 = sum(1 for v in exp05.values() if v[0])
     n025 = sum(1 for v in exp025.values() if v[0])
     assert n025 >= n05
+
+
+def test_stream_anomaly_moments_match_batch(spark, tmp_path):
+    """Replaying the events table through the streaming moment tracker in
+    multi-file micro-batches must finish with per-type (n, S1, S2) that
+    are BIT-IDENTICAL to the batch aggregate (exact integers — no
+    summation-order drift), and scoring against the final moments must
+    reproduce the batch events_anomaly set row-for-row."""
+    from pdfparse_spark.pipeline.relational import events_anomaly
+    from pdfparse_spark.streaming.anomaly import (
+        start_anomaly_stream,
+        with_anomaly_units,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    in_dir = str(tmp_path / "in")
+    events.repartition(5).write.parquet(in_dir)
+
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = start_anomaly_stream(spark, in_dir, out_dir, ck, max_files_per_trigger=2)
+    q.awaitTermination(120)
+
+    sink = spark.read.parquet(out_dir)
+    final = {
+        r["event_type"]: ((r["s2_hi"] << 62) + r["s2_lo"], r["s1"], r["n"])
+        for r in sink.orderBy("n").collect()  # last write per type wins
+    }
+    # exact batch moments over the identical Spark-side u column
+    batch = {
+        r["event_type"]: (int(r["s2"]), int(r["s1"]), r["n"])
+        for r in with_anomaly_units(events)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("u").alias("s1"),
+            F.sum(F.col("u").cast("decimal(38,0)") * F.col("u")).alias("s2"),
+        )
+        .collect()
+    }
+    assert final == batch
+    # stateless z scoring against the final streaming moments == batch op
+    want = {r["event_id"] for r in events_anomaly(spark, sf).collect()}
+    got = set()
+    import math
+
+    uu = {
+        r["event_id"]: (r["event_type"], r["u"])
+        for r in events.select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 1_000_000, 0).cast("long").alias("u"),
+        ).collect()
+    }
+    for eid, (etype, u) in uu.items():
+        s2, s1, n = final[etype]
+        var = n * s2 - s1 * s1
+        if var > 0 and abs((n * u - s1) / math.sqrt(var)) >= 3.0:
+            got.add(eid)
+    assert got == want
