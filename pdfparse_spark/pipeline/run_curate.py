@@ -1,0 +1,124 @@
+"""spark-submit entry point for corpus curation over a documents table.
+
+The operational face of the ``corpus_curate`` gate query: run the
+repetition-quality filter and near-dup cluster survivorship over a
+documents parquet dir, assign the deterministic training order, and write
+the curated corpus (WITH text) as parquet range-clustered on
+``shuffle_rank`` — so a training loader reading chunk k's rank range
+touches one file, the same zone-map argument as the extraction sink —
+plus one JSON metrics line with the per-stage drop breakdown.
+
+Local smoke:
+    python -m pdfparse_spark.pipeline.run_curate \\
+        --sf-dir /root/testdata/sf0.001 --out /tmp/curated
+
+Cluster shape (spark-submit takes a script, not -m):
+    zip -r pdfparse_spark.zip pdfparse_spark
+    spark-submit --py-files pdfparse_spark.zip scripts/submit_curate.py \\
+        --sf-dir <dir with documents.parquet> --out <dir> --pairs minhash
+
+``--pairs exact`` (default) builds the near-dup graph from the exact
+df-capped all-shingle join — oracle-grade, quadratic in candidate pairs;
+``--pairs minhash`` uses MinHash-LSH band candidates (verified by exact
+Jaccard on candidates only) — the 100 TB path.  Both feed ONE shared
+connected-components fixpoint (the corpus_curate lesson: never run CC
+twice).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from .session import get_spark
+from .textops import (
+    _docs,
+    _md5_shuffle_rank,
+    dedup_cluster_keep_best,
+    dedup_clusters,
+    dedup_minhash_clusters,
+    text_gopher_quality,
+)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--sf-dir", required=True, help="dir holding documents.parquet")
+    p.add_argument("--out", required=True, help="output dir for curated parquet")
+    p.add_argument("--master", default=None)
+    p.add_argument(
+        "--pairs",
+        choices=["exact", "minhash"],
+        default="exact",
+        help="near-dup pair source: exact shingle join (oracle-grade) or "
+        "MinHash-LSH candidates (the 100 TB path)",
+    )
+    p.add_argument("--num-files", type=int, default=16)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    # only stop the session on exit if this run created it — get_spark
+    # reuses an active session (e.g. pytest's), and stopping a borrowed
+    # one kills the caller's context
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark(master=args.master, app_name="pdfparse_curate")
+    t0 = time.monotonic()
+
+    d = _docs(spark, args.sf_dir)
+    n_in = d.count()
+
+    passed = (
+        text_gopher_quality(spark, args.sf_dir)
+        .filter(F.col("gopher_pass") == 1)
+        .select("doc_id", "n_tokens")
+    )
+    cluster_fn = dedup_minhash_clusters if args.pairs == "minhash" else dedup_clusters
+    clusters = cluster_fn(spark, args.sf_dir).select("doc_id", "cluster_id")
+    keepers = dedup_cluster_keep_best(spark, args.sf_dir, clusters=clusters).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    dropped_dup = clusters.join(keepers, "doc_id", "left_anti").select("doc_id")
+
+    n_quality_fail = n_in - passed.count()
+    # count duplicate-drops among QUALITY-PASSERS so the stages sum:
+    # docs_in = dropped_quality + dropped_near_dup + docs_curated
+    n_dup_dropped = passed.join(dropped_dup, "doc_id", "inner").count()
+
+    curated = passed.join(dropped_dup, "doc_id", "left_anti")
+    ranked = _md5_shuffle_rank(curated, "n_tokens")
+    out = ranked.join(
+        d.select("doc_id", "lang", "source", "n_chars", "text"), "doc_id"
+    ).select(
+        "shuffle_rank", "doc_id", "n_tokens", "lang", "source", "n_chars", "text"
+    )
+    (
+        out.repartitionByRange(args.num_files, "shuffle_rank")
+        .sortWithinPartitions("shuffle_rank")
+        .write.mode("overwrite")
+        .parquet(args.out)
+    )
+    n_curated = spark.read.parquet(args.out).count()
+    wall = time.monotonic() - t0
+    print(
+        json.dumps(
+            {
+                "docs_in": n_in,
+                "docs_curated": n_curated,
+                "dropped_quality": n_quality_fail,
+                "dropped_near_dup": n_dup_dropped,
+                "pairs": args.pairs,
+                "wall_sec": round(wall, 3),
+            }
+        )
+    )
+    if owns_session:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

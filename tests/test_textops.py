@@ -613,3 +613,42 @@ def test_embed_pca_matches_eigh(spark):
     for r, want in zip(rows, ev[:2]):
         assert abs(r["eigenvalue"] - want) / want < 0.01, (r, want)
         assert abs(r["explained_frac"] - want / ev.sum()) < 0.005
+
+
+def test_run_curate_cli(spark, tmp_path):
+    """The curation runner writes exactly corpus_curate's doc set (same
+    composition, ONE CC fixpoint), stage counts sum to docs_in, and the
+    output is range-clustered on shuffle_rank (disjoint per-file rank
+    ranges — the zone-map layout a chunk loader needs)."""
+    import json
+
+    from pdfparse_spark.pipeline.run_curate import main
+    from pdfparse_spark.pipeline.textops import corpus_curate
+
+    out = str(tmp_path / "curated")
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(["--sf-dir", SF, "--out", out, "--master", "local[8]", "--num-files", "4"])
+    m = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert m["docs_in"] == m["dropped_quality"] + m["dropped_near_dup"] + m["docs_curated"]
+
+    got = spark.read.parquet(out)
+    want = corpus_curate(spark, SF)
+    assert got.count() == m["docs_curated"] == want.count()
+    assert {r["doc_id"] for r in got.select("doc_id").collect()} == {
+        r["doc_id"] for r in want.select("doc_id").collect()
+    }
+    # disjoint per-file shuffle_rank ranges
+    import pyspark.sql.functions as F
+
+    files = (
+        got.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("shuffle_rank").alias("lo"), F.max("shuffle_rank").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    for a, b in zip(files, files[1:]):
+        assert a["hi"] < b["lo"]
