@@ -15,10 +15,11 @@ expression the batch op uses (F.round(value·10⁶) — HALF_UP), BEFORE the
 rows reach pandas; the Python side only does arbitrary-precision integer
 sums, so no NumPy banker's-rounding or float-summation drift can enter.
 
-State size: S2 reaches ~10²⁷ long before any int64 overflows, so it is
-held as two 62-bit limbs in the state store and recombined with Python
-bigints.  One state row per event_type — a small, naturally-bounded key
-domain (unlike conv_id, no TTL is needed).
+State size: S2 reaches ~10²⁷ (and S1 ~10¹⁹) long before int64 tops out,
+so both travel as decimal strings in the state store and the sink —
+arbitrary precision with zero encoding tricks, the streaming analogue of
+the batch op's DECIMAL(38,0) accumulators.  One state row per event_type —
+a small, naturally-bounded key domain (unlike conv_id, no TTL is needed).
 """
 
 from __future__ import annotations
@@ -34,8 +35,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 __all__ = ["EVENTS_SCHEMA", "MOMENTS_SCHEMA", "with_anomaly_units", "start_anomaly_stream"]
 
-_SCALE = 1_000_000  # keep in lockstep with pipeline.relational._ANOM_SCALE
-_LIMB = 62  # S2 limb width: hi·2⁶² + lo, both non-negative int64
+from ..pipeline.relational import _ANOM_SCALE as _SCALE  # one rounding scale, no drift
 
 EVENTS_SCHEMA = T.StructType(
     [
@@ -48,22 +48,25 @@ EVENTS_SCHEMA = T.StructType(
     ]
 )
 
+# S1 and S2 travel as decimal strings: S2 passes int64 within ~40 rows of
+# squared units and S1 passes it around 10¹⁹ accumulated units — the batch
+# op holds both as DECIMAL(38,0) for the same reason.  Strings keep the
+# state/sink arbitrary-precision with zero encoding tricks; consumers
+# apply int(s) (or CAST AS DECIMAL(38,0)) to score against the moments.
 MOMENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_type", T.StringType(), False),
         T.StructField("n", T.LongType(), False),
-        T.StructField("s1", T.LongType(), False),
-        T.StructField("s2_hi", T.LongType(), False),
-        T.StructField("s2_lo", T.LongType(), False),
+        T.StructField("s1", T.StringType(), False),
+        T.StructField("s2", T.StringType(), False),
     ]
 )
 
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType(), False),
-        T.StructField("s1", T.LongType(), False),
-        T.StructField("s2_hi", T.LongType(), False),
-        T.StructField("s2_lo", T.LongType(), False),
+        T.StructField("s1", T.StringType(), False),
+        T.StructField("s2", T.StringType(), False),
     ]
 )
 
@@ -83,8 +86,8 @@ def _update(
 ) -> Iterator[pd.DataFrame]:
     (event_type,) = key
     if state.exists:
-        n, s1, s2_hi, s2_lo = state.get
-        s2 = (int(s2_hi) << _LIMB) + int(s2_lo)
+        n, s1s, s2s = state.get
+        s1, s2 = int(s1s), int(s2s)
     else:
         n, s1, s2 = 0, 0, 0
     for pdf in pdfs:
@@ -95,14 +98,13 @@ def _update(
         ints = [int(v) for v in u]
         s1 += sum(ints)
         s2 += sum(v * v for v in ints)
-    state.update((n, s1, s2 >> _LIMB, s2 & ((1 << _LIMB) - 1)))
+    state.update((n, str(s1), str(s2)))
     yield pd.DataFrame(
         {
             "event_type": [event_type],
             "n": [n],
-            "s1": [s1],
-            "s2_hi": [s2 >> _LIMB],
-            "s2_lo": [s2 & ((1 << _LIMB) - 1)],
+            "s1": [str(s1)],
+            "s2": [str(s2)],
         }
     )
 

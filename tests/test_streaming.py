@@ -397,7 +397,7 @@ def test_stream_anomaly_moments_match_batch(spark, tmp_path):
 
     sink = spark.read.parquet(out_dir)
     final = {
-        r["event_type"]: ((r["s2_hi"] << 62) + r["s2_lo"], r["s1"], r["n"])
+        r["event_type"]: (int(r["s2"]), int(r["s1"]), r["n"])
         for r in sink.orderBy("n").collect()  # last write per type wins
     }
     # exact batch moments over the identical Spark-side u column
@@ -418,12 +418,14 @@ def test_stream_anomaly_moments_match_batch(spark, tmp_path):
     got = set()
     import math
 
+    from pdfparse_spark.streaming.anomaly import _SCALE
+
     uu = {
         r["event_id"]: (r["event_type"], r["u"])
         for r in events.select(
             "event_id",
             "event_type",
-            F.round(F.col("value") * 1_000_000, 0).cast("long").alias("u"),
+            F.round(F.col("value") * _SCALE, 0).cast("long").alias("u"),
         ).collect()
     }
     for eid, (etype, u) in uu.items():
