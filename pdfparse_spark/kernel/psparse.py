@@ -122,12 +122,15 @@ _KW1 = [PSKeyword(chr(c)) for c in range(256)]
 #   int  "12", "+3", "-4" — not followed by '.' or another digit
 #   lit  /Name with no '#' escape ahead
 #   kw   letter-initial operator/keyword run
+#   str  (...) with no escape, nesting, or unbalanced paren inside —
+#        the inner bytes are the token verbatim (PDF 32000 7.3.4.2)
 _SIMPLE_TOKEN = re.compile(
     rb"\s*+(?:"
     rb"(?P<flt>[+-]?+[0-9]++\.[0-9]*+(?![0-9]))"
     rb"|(?P<int>[+-]?+[0-9]++(?![.0-9]))"
     rb"|(?P<lit>/[^#/%\[\]()<>{}\s]*+(?!\#))"
     rb"|(?P<kw>[A-Za-z][^#/%\[\]()<>{}\s]*+)"
+    rb"|\((?P<str>[^()\\]*+)\)"  # escape-free string
     rb"|(?P<d2><<|>>)"  # dict delimiters
     rb"|(?P<d1>[\[\]{}])"  # array/proc delimiters
     rb")"
@@ -217,7 +220,8 @@ class PSBaseParser:
 
         Fast path: one fused regex match covers the overwhelmingly common
         token shapes in content streams (numbers, escape-free names,
-        keywords, collection delimiters); everything else — strings,
+        keywords, escape-free flat strings, collection delimiters);
+        everything else — escaped/nested strings,
         hexstrings, comments, '#' escapes, malformed numbers, EOF — falls
         through to the full scanner, which remains the semantic authority
         (the differential fuzz test pins fast == slow on arbitrary soup).
@@ -244,6 +248,8 @@ class PSBaseParser:
                     if len(_KW_CACHE) < _TOKEN_CACHE_MAX:
                         _KW_CACHE[tok] = val
                 return start, val
+            if g == "str":
+                return start - 1, tok  # start - 1: the opening '('
             if g == "lit":
                 raw = tok[1:]
                 lit = _LIT_CACHE.get(raw)
