@@ -1328,6 +1328,66 @@ def embed_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- model-based quality scoring (applying a trained classifier) -----------
+
+_QS_SEED = 0x0C1A55
+
+
+def _quality_classifier_weights(dim: int = 64, seed: int = _QS_SEED):
+    """Deterministic stand-in for a trained linear quality classifier:
+    (bias, weights), each an exact thousandth in [-1, 1].  In production
+    these literals are the artifact ``train_embed_lr`` emits; the
+    engine-side plan — literal weight array, one JVM projection pass,
+    zero UDFs — is identical whatever the values, so the gate pins the
+    full scoring path with values both engines can reproduce."""
+    x = seed & 0x7FFFFFFF
+    out = []
+    for _ in range(dim + 1):
+        x = (1103515245 * x + 12345) & 0x7FFFFFFF
+        out.append((((x >> 8) % 2001) - 1000) / 1000.0)
+    return out[0], out[1:]
+
+
+def embed_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide model-based quality filter: score every embedding
+    against a trained linear classifier (dot + bias → sigmoid) and flag
+    keeps — the stage that applies ``train_embed_lr``'s artifact to the
+    whole corpus (CCNet/RefinedWeb-style model-based filtering).
+
+    Parity: the margin folds left-to-right from 0D (the proven
+    _DOT/_SQL_DOT pattern), so it is bit-identical in DuckDB; the
+    transcendental sigmoid is fed the margin ROUNDED to 6 decimals so
+    both engines call exp() on identical doubles; ``keep`` decides on the
+    unrounded margin's sign (an exact comparison of bit-identical
+    values — no rounding-boundary risk).
+
+    Scale: one scan, one JVM projection — the dim-sized weight vector
+    constant-folds to a single array Literal (never a per-dim expression
+    chain; see _sql_darray) — no shuffle, no UDF, embarrassingly parallel
+    at 10^12 rows."""
+    b, w = _quality_classifier_weights()
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    margin = (
+        F.expr(
+            f"aggregate(zip_with(v, {_sql_darray(w)}, (x, y) -> x * y), "
+            "0D, (acc, v) -> acc + v)"
+        )
+        + F.lit(float(b))
+    )
+    e = e.withColumn("margin", margin)
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.round(F.col("margin"), 6)))
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(score, 4).alias("quality_score"),
+        (F.col("margin") >= 0).cast("int").alias("keep"),
+    )
+
+
 _LR_ITERS = 25
 _LR_RATE = 5.0
 _LR_LABEL = 0  # one-vs-rest target class
@@ -1987,6 +2047,27 @@ ORACLES: dict[str, str] = {
         SELECT label, count(*) AS n_vecs, round(avg(nrm), 4) AS avg_norm
         FROM ({_SQL_EMB_NORM}) GROUP BY label
     """,
+    # same LCG weight literals as the Spark side; the dot folds
+    # left-to-right from 0 (the _DOT/_SQL_DOT pattern) so the margin is
+    # bit-identical, and exp() sees the 6-decimal-rounded margin in both
+    # engines (see embed_quality_score)
+    "embed_quality_score": f"""
+        WITH e AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), m AS (
+            SELECT vec_id, label,
+                   list_sum(list_transform(range(1, 65),
+                       i -> v[i] * ([{", ".join("%r" % c for c in _quality_classifier_weights()[1])}])[i]))
+                   + {_quality_classifier_weights()[0]!r} AS margin
+            FROM e
+        )
+        SELECT vec_id, label,
+               round(1.0 / (1.0 + exp(-round(margin, 6))), 4) AS quality_score,
+               CAST(margin >= 0 AS INT) AS keep
+        FROM m
+    """,
     "text_gopher_quality": f"""
         WITH {_SQL_GOPHER_CTES}
         SELECT doc_id, n_tokens,
@@ -2225,6 +2306,7 @@ QUERIES = {
     "sim_ann_ivf": sim_ann_ivf,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "embed_label_stats": embed_label_stats,
+    "embed_quality_score": embed_quality_score,
     "embed_kmeans": embed_kmeans,  # rows-only (iterative; invariants in pytest)
     "text_gopher_quality": text_gopher_quality,
     "decontaminate_ngram": decontaminate_ngram,

@@ -573,6 +573,34 @@ def test_extract_line_dedup_gate(spark):
     assert rows["html"]["n_removed"] > 0
 
 
+def test_embed_quality_score_matches_python(spark):
+    """Scoring must equal a pure-Python reference (dot + bias → sigmoid)
+    for every row, and keep must be exactly sign(margin)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from pdfparse_spark.pipeline.textops import (
+        _quality_classifier_weights,
+        embed_quality_score,
+    )
+
+    got = {r["vec_id"]: r for r in embed_quality_score(spark, SF).collect()}
+    b, w = _quality_classifier_weights()
+    tbl = pq.read_table(f"{SF}/embeddings.parquet").to_pylist()
+    assert len(got) == len(tbl)
+    for row in tbl:
+        m = 0.0
+        for x, c in zip(row["embedding"], w):
+            m += float(x) * c  # same left-to-right double fold as both engines
+        m += b
+        g = got[row["vec_id"]]
+        assert g["keep"] == (1 if m >= 0 else 0)
+        p = 1.0 / (1.0 + math.exp(-round(m, 6)))
+        assert abs(g["quality_score"] - p) <= 5.1e-5, (row["vec_id"], g, p)
+        assert g["label"] == row["label"]
+
+
 def test_train_embed_lr_converges(spark):
     """Distributed LR training must actually learn: cross-entropy loss is
     non-increasing over the full-batch GD trace and the trained model
