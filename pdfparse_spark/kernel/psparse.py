@@ -123,7 +123,9 @@ _KW1 = [PSKeyword(chr(c)) for c in range(256)]
 #   lit  /Name with no '#' escape ahead
 #   kw   letter-initial operator/keyword run
 #   str  (...) with no escape, nesting, or unbalanced paren inside —
-#        the inner bytes are the token verbatim (PDF 32000 7.3.4.2)
+#        inner bytes returned as-is, exactly matching _parse_string (the
+#        authority here): like the reference, neither scanner normalizes
+#        raw CR/CRLF to LF inside literals as PDF 32000 7.3.4.2 mandates
 _SIMPLE_TOKEN = re.compile(
     rb"\s*+(?:"
     rb"(?P<flt>[+-]?+[0-9]++\.[0-9]*+(?![0-9]))"

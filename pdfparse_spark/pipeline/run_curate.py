@@ -31,17 +31,8 @@ import argparse
 import json
 import time
 
-from pyspark.sql import functions as F
-
 from .session import get_spark
-from .textops import (
-    _docs,
-    _md5_shuffle_rank,
-    dedup_cluster_keep_best,
-    dedup_clusters,
-    dedup_minhash_clusters,
-    text_gopher_quality,
-)
+from .textops import _curate_parts, _docs, dedup_minhash_clusters
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -71,25 +62,25 @@ def main(argv: list[str] | None = None) -> int:
     d = _docs(spark, args.sf_dir)
     n_in = d.count()
 
-    passed = (
-        text_gopher_quality(spark, args.sf_dir)
-        .filter(F.col("gopher_pass") == 1)
-        .select("doc_id", "n_tokens")
+    # the exact-pairs default is the gate query's own composition
+    # (_curate_parts IS corpus_curate); --pairs minhash swaps only the
+    # near-dup pair source, so the CLI can never drift from the oracle
+    clusters = (
+        dedup_minhash_clusters(spark, args.sf_dir).select("doc_id", "cluster_id")
+        if args.pairs == "minhash"
+        else None
     )
-    cluster_fn = dedup_minhash_clusters if args.pairs == "minhash" else dedup_clusters
-    clusters = cluster_fn(spark, args.sf_dir).select("doc_id", "cluster_id")
-    keepers = dedup_cluster_keep_best(spark, args.sf_dir, clusters=clusters).select(
-        F.col("keep_doc_id").alias("doc_id")
-    )
-    dropped_dup = clusters.join(keepers, "doc_id", "left_anti").select("doc_id")
+    passed, dropped_dup, ranked = _curate_parts(spark, args.sf_dir, clusters=clusters)
+    # each leg is an expensive corpus-wide aggregation consumed 2-3×
+    # below (metrics counts + the final write) — persist, not recompute
+    passed = passed.persist()
+    dropped_dup = dropped_dup.persist()
 
     n_quality_fail = n_in - passed.count()
     # count duplicate-drops among QUALITY-PASSERS so the stages sum:
     # docs_in = dropped_quality + dropped_near_dup + docs_curated
     n_dup_dropped = passed.join(dropped_dup, "doc_id", "inner").count()
 
-    curated = passed.join(dropped_dup, "doc_id", "left_anti")
-    ranked = _md5_shuffle_rank(curated, "n_tokens")
     out = ranked.join(
         d.select("doc_id", "lang", "source", "n_chars", "text"), "doc_id"
     ).select(
@@ -102,6 +93,8 @@ def main(argv: list[str] | None = None) -> int:
         .parquet(args.out)
     )
     n_curated = spark.read.parquet(args.out).count()
+    passed.unpersist()
+    dropped_dup.unpersist()
     wall = time.monotonic() - t0
     print(
         json.dumps(

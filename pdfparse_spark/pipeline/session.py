@@ -42,6 +42,13 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     _ensure_pythonpath()
+    # a live session (pytest's fixture, a notebook) is BORROWED: going
+    # through builder.getOrCreate() would silently apply this call's
+    # runtime confs (shuffle partitions, arrow batch size) to the owner's
+    # session — return it untouched and let the owner's tuning stand
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
     if master is None:
         master = "local[%s]" % os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:

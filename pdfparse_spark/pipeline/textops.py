@@ -859,6 +859,23 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id only — the fat text column is consumed inside each leg and
     never crosses a join.
     """
+    _passed, _dropped, ranked = _curate_parts(spark, sf_dir)
+    return ranked
+
+
+def _curate_parts(
+    spark: SparkSession, sf_dir: str, clusters: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The single definition of the curation composition, shared by
+    ``corpus_curate`` (the gate query) and the ``run_curate`` CLI so the
+    operational path can never drift from the oracled one.  Returns
+    ``(passed, dropped_dup, ranked)`` so the CLI can persist + count the
+    intermediate stages for its metrics line.
+
+    ``clusters`` overrides the near-dup pair source (e.g. MinHash-LSH
+    candidates from ``dedup_minhash_clusters``); default is the exact
+    df-capped shingle join via ``dedup_clusters``.
+    """
     passed = text_gopher_quality(spark, sf_dir).filter(
         F.col("gopher_pass") == 1
     ).select("doc_id", "n_tokens")
@@ -866,14 +883,15 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the survivor choice: the CC driver loop is the most expensive stage
     # here, and dedup_cluster_keep_best would otherwise re-run it from
     # scratch (the labels frame is localCheckpointed, so reuse is free)
-    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    if clusters is None:
+        clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
     keepers = dedup_cluster_keep_best(spark, sf_dir, clusters=clusters).select(
         F.col("keep_doc_id").alias("doc_id")
     )
     # clustered docs that are NOT their cluster's survivor get dropped
     dropped = clusters.join(keepers, "doc_id", "left_anti").select("doc_id")
     curated = passed.join(dropped, "doc_id", "left_anti")
-    return _md5_shuffle_rank(curated, "n_tokens")
+    return passed, dropped, _md5_shuffle_rank(curated, "n_tokens")
 
 
 def text_length_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
