@@ -773,7 +773,12 @@ def _connected_components(
     ``max_rounds`` (tests only) raises if convergence takes longer —
     the guard that the jump is actually doing its job.
     """
-    pairs = pairs.select("doc_a", "doc_b")
+    # persist the DIRECTED pairs before symmetrizing: the two union
+    # branches below are otherwise two independent scans of the pair
+    # subtree, i.e. the whole candidate-generation pipeline (LSH bands +
+    # verify join, or the exact shingle self-join) would run twice just
+    # to build the edge list
+    pairs = pairs.select("doc_a", "doc_b").persist()
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
@@ -841,6 +846,7 @@ def _connected_components(
     edges.unpersist()  # the symmetrized pair graph is the largest cached
     # intermediate here — without this every CC invocation leaks it for
     # the session lifetime (4+ invocations per full gate run)
+    pairs.unpersist()
     w = Window.partitionBy("label")
     return labels.select(
         "doc_id",
@@ -1158,10 +1164,16 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     on cell id, never a cross join against the corpus.
     """
     e = _emb_norm(spark, sf_dir)
-    cent = e.filter(F.col("vec_id") < _N_CELLS).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+    # the stand-in codebook is 16 corpus vectors: collect them (k x dim
+    # floats — the same driver crossing the trained path's k-means loop
+    # makes) so the search can fold them into literal arrays.  nrm is
+    # collected too, not recomputed, so cell cosines are bit-identical
+    # to the corpus-side nrm the oracle computes.
+    rows = (
+        e.filter(F.col("vec_id") < _N_CELLS).select("vec_id", "v", "nrm").collect()
     )
-    return _ivf_search(e, cent)
+    cents = [(int(r["vec_id"]), list(r["v"]), float(r["nrm"])) for r in rows]
+    return _ivf_search(e, cents)
 
 
 def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1174,40 +1186,67 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-keyed joins.  Pytest-pinned: the trained codebook's inertia
     beats the stand-in's on the test corpus, and recall vs the exact
     brute-force top-k does not regress."""
+    import math
+
     e = _emb_norm(spark, sf_dir)
     cents = train_kmeans_centroids(
         e.select("vec_id", "v"), k=_N_CELLS, iters=3, seed_mod=7
     )
-    # the search re-scans e once more; training already persisted its own
-    # projection, so only the (v, nrm) recompute is saved here
-    cent = spark.createDataFrame(
-        [(cid, [float(x) for x in vec]) for cid, vec in cents],
-        "cent_id: int, cv: array<double>",
-    ).withColumn(
-        "cnrm",
-        F.sqrt(F.expr("aggregate(transform(cv, x -> x * x), 0D, (acc, x) -> acc + x)")),
-    )
-    return _ivf_search(e, cent)
+    # centroid norms computed driver-side with the same left-fold add
+    # order as the JVM aggregate — IEEE-double identical (Python floats
+    # ARE IEEE doubles, and sum over the generator folds left)
+    def _nrm(vec: list[float]) -> float:
+        acc = 0.0
+        for x in vec:
+            acc += x * x
+        return math.sqrt(acc)
+
+    return _ivf_search(e, [(cid, vec, _nrm(vec)) for cid, vec in cents])
 
 
-def _ivf_search(e: DataFrame, cent: DataFrame) -> DataFrame:
-    """Shared IVF search body: broadcast the (cent_id, cv, cnrm) codebook,
-    assign every vector to its max-cosine cell, probe _N_PROBE cells per
-    query, rank candidates by exact cosine within the probed cells."""
-    cdot = "aggregate(zip_with(v, cv, (x, y) -> x * y), 0D, (acc, w) -> acc + w)"
-    scored = e.crossJoin(F.broadcast(cent)).withColumn(
-        "ccos", F.round(F.expr(cdot) / (F.col("nrm") * F.col("cnrm")), 4)
+def _ivf_search(e: DataFrame, cents: list[tuple[int, list[float], float]]) -> DataFrame:
+    """Shared IVF search body.  The codebook — k x dim floats, driver-side
+    by construction in both callers — folds into literal arrays, so
+    per-row cell assignment AND probe selection are pure array-HOF
+    expressions over ONE corpus scan: no n x k candidate crossJoin, and
+    no Window.partitionBy(vec_id) pass that would shuffle the n x k
+    scored rows (vectors included) just to rank 16 candidates per row.
+    Candidates still come from the cell-keyed equality join — the
+    inverted-file structure that survives 100 TB.  Ordering parity with
+    the former window plan: sort_array over struct(-ccos, cent_id)
+    ascending == (ccos desc, cent_id asc), the same tie-break."""
+    order = sorted(cents)
+    cvs = F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for _, cv, _ in order])
+    cnrms = F.array(*[F.lit(float(cn)) for _, _, cn in order])
+    cids = F.array(*[F.lit(int(cid)) for cid, _, _ in order])
+    dots = F.transform(
+        cvs,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("v"), c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, w: acc + w,
+        ),
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
-    ranked = scored.withColumn("crank", F.row_number().over(w_assign))
-    assigned = ranked.filter(F.col("crank") == 1).select(
-        "vec_id", F.col("cent_id").alias("cell"), "v", "nrm"
+    ccos = F.zip_with(dots, cnrms, lambda d, cn: F.round(d / (F.col("nrm") * cn), 4))
+    entries = F.zip_with(
+        ccos, cids, lambda c, i: F.struct((-c).alias("negc"), i.alias("cid"))
     )
-    probes = ranked.filter((F.col("crank") <= _N_PROBE) & (F.col("vec_id") % 50 == 0)).select(
+    # two-step select: the scoring chain is non-cheap and multi-use, so
+    # CollapseProject keeps it computed once per row (SPARK-36718)
+    staged = e.select(
+        "vec_id", "v", "nrm", F.slice(F.sort_array(entries), 1, _N_PROBE).alias("top")
+    )
+    assigned = staged.select(
+        "vec_id",
+        F.element_at(F.col("top"), 1).getField("cid").alias("cell"),
+        "v",
+        "nrm",
+    )
+    probes = staged.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"),
-        F.col("cent_id").alias("cell"),
+        F.explode(F.expr("transform(top, x -> x.cid)")).alias("cell"),
     )
     n = assigned.select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), F.col("nrm").alias("nnrm"), "cell"
@@ -1227,24 +1266,40 @@ _KMEANS_ITERS = 3
 
 
 def _kmeans_assign(e: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
-    """Assign each vector to its nearest centroid.  Centroids are a
-    driver-side list (k x dim floats — a few KB at any corpus size), shipped
-    as a broadcast-joined literal DataFrame; min_by picks the argmin
-    cluster in one aggregation."""
-    spark = e.sparkSession
-    cdf = spark.createDataFrame(
-        [(cid, [float(x) for x in vec]) for cid, vec in cents], "cid: int, cv: array<double>"
+    """Assign each vector to its nearest centroid with ZERO shuffle.
+
+    Centroids are a driver-side list (k x dim floats — a few KB at any
+    corpus size) folded into one literal array-of-arrays (Catalyst
+    constant-folds it to a single Literal), so the per-row argmin is a
+    pure array-HOF expression: no n x k crossJoin, no groupBy(vec_id)
+    shuffle of n x k candidate rows — assignment is embarrassingly
+    parallel and only the centroid-UPDATE aggregation in the training
+    loop ever shuffles.  Values are bit-identical to the former
+    broadcast-join + min_by plan: same left-fold squared distance per
+    candidate, and array_position's first-match rule reproduces the
+    smallest-cid tie-break (centroids are laid out in ascending cid
+    order)."""
+    order = sorted(cents)
+    cvs = F.array(*[F.array(*[F.lit(float(x)) for x in vec]) for _, vec in order])
+    cids = F.array(*[F.lit(int(cid)) for cid, _ in order])
+    d2s = F.transform(
+        cvs,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("v"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
     )
-    d2 = F.expr("aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")
-    return (
-        e.crossJoin(F.broadcast(cdf))
-        .select("vec_id", "v", "cid", d2.alias("d2"))
-        .groupBy("vec_id")
-        .agg(
-            F.min_by("cid", F.struct("d2", "cid")).alias("cid"),
-            F.min("d2").alias("d2"),
-            F.first("v").alias("v"),
-        )
+    # two-step select: d2s is a non-cheap HOF chain referenced three
+    # times below — CollapseProject declines to inline non-cheap multi-use
+    # aliases (SPARK-36718), so it is computed once per row
+    staged = e.select("vec_id", "v", d2s.alias("d2s"))
+    pos = F.array_position(F.col("d2s"), F.array_min("d2s")).cast("int")
+    return staged.select(
+        "vec_id",
+        F.element_at(cids, pos).alias("cid"),
+        F.array_min("d2s").alias("d2"),
+        "v",
     )
 
 

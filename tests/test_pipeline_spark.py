@@ -278,16 +278,17 @@ def test_plan_hygiene_all_queries(spark):
     """Sweep EVERY driver-contract query's physical plan: no accidental
     CartesianProduct / BroadcastNestedLoopJoin anywhere except the ops
     whose semantics genuinely are all-pairs against a tiny broadcast side:
-    the brute-force cosine top-k oracle and its embedding near-dup twin,
-    and the nearest-centroid assignments (n x k fixed centroids, k=8/16 —
-    O(n·k) with constant k is the right plan at any scale: IVF, k-means)."""
+    the brute-force cosine top-k oracle and the one-row-aggregate
+    cross joins."""
     import __spark_entry__ as e
 
     # dedup_embedding_cosine is NOT exempt: since the multi-band sign-LSH
     # rework its candidates come from band-key equality joins, so a BNLJ
-    # there would be a genuine O(n^2) regression
+    # there would be a genuine O(n^2) regression.  Nor are the IVF /
+    # k-means ops: since the literal-codebook HOF rework the centroid
+    # argmin is a per-row expression, so no join of any kind remains.
     allowed_all_pairs = {
-        "sim_cosine_topk", "sim_ann_ivf", "sim_ann_ivf_trained", "embed_kmeans",
+        "sim_cosine_topk",
         # tfidf / pps / mix-rebalance cross-join a ONE-row broadcast
         # aggregate (corpus doc count / total weight) into every row —
         # O(n·1), the right plan at any scale
