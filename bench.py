@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "docs_mix_rebalance",
     "events_anomaly",
     "train_embed_lr",
+    "dedup_semantic",
+    "text_bpe_pairs",
 ]
 
 

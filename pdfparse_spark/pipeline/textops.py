@@ -524,6 +524,42 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_TOPK = 32
+
+
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training corpus statistics: adjacent character-pair
+    frequencies weighted by word frequency — the exact counts a BPE
+    trainer's first merge step ranks (Sennrich et al. 2016, the
+    vocabulary-driven formulation every fast trainer uses).
+
+    Scale: stage 1 hash-aggregates the token stream into a (word, wc)
+    vocabulary — the only corpus-sized shuffle, with map-side combine
+    and a vocabulary-sized output; stage 2 explodes character pairs of
+    the DISTINCT vocabulary only (|vocab| << corpus tokens at any
+    corpus size — Heaps' law), so per-word pair extraction never touches
+    duplicate words.  Pairs carry in-word multiplicity ('aaa' yields
+    'aa' twice).  Top-32 merge candidates under the total
+    (freq desc, pair asc) order."""
+    d = _docs(spark, sf_dir).select(F.explode(F.expr(_TOKS)).alias("w"))
+    vocab = d.groupBy("w").agg(F.count("*").alias("wc"))
+    pairs = vocab.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("bigint").alias("freq"))
+        .orderBy(F.col("freq").desc(), "pair")
+        .limit(_BPE_TOPK)
+        .select("pair", "freq")
+    )
+
+
 _DECON_BENCH_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark set
 
 
@@ -1204,17 +1240,17 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_search(e, [(cid, vec, _nrm(vec)) for cid, vec in cents])
 
 
-def _ivf_search(e: DataFrame, cents: list[tuple[int, list[float], float]]) -> DataFrame:
-    """Shared IVF search body.  The codebook — k x dim floats, driver-side
-    by construction in both callers — folds into literal arrays, so
-    per-row cell assignment AND probe selection are pure array-HOF
-    expressions over ONE corpus scan: no n x k candidate crossJoin, and
-    no Window.partitionBy(vec_id) pass that would shuffle the n x k
-    scored rows (vectors included) just to rank 16 candidates per row.
-    Candidates still come from the cell-keyed equality join — the
-    inverted-file structure that survives 100 TB.  Ordering parity with
-    the former window plan: sort_array over struct(-ccos, cent_id)
-    ascending == (ccos desc, cent_id asc), the same tie-break."""
+def _cell_top(
+    e: DataFrame, cents: list[tuple[int, list[float], float]], n_top: int
+) -> DataFrame:
+    """Max-cosine cell assignment against a driver-side codebook, as one
+    pure array-HOF projection: the codebook (k x dim floats) folds into
+    literal arrays, so per-row scoring is no n x k crossJoin and no
+    groupBy(vec_id) shuffle — assignment is embarrassingly parallel.
+    Returns (vec_id, v, nrm, top) where ``top`` holds the ``n_top``
+    best cells as struct(-ccos, cid); sort_array over that struct
+    ascending == (ccos desc, cent_id asc), the window-plan tie-break.
+    Shared by _ivf_search (n_top = nprobe) and dedup_semantic (n_top=1)."""
     order = sorted(cents)
     cvs = F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for _, cv, _ in order])
     cnrms = F.array(*[F.lit(float(cn)) for _, _, cn in order])
@@ -1233,9 +1269,19 @@ def _ivf_search(e: DataFrame, cents: list[tuple[int, list[float], float]]) -> Da
     )
     # two-step select: the scoring chain is non-cheap and multi-use, so
     # CollapseProject keeps it computed once per row (SPARK-36718)
-    staged = e.select(
-        "vec_id", "v", "nrm", F.slice(F.sort_array(entries), 1, _N_PROBE).alias("top")
+    return e.select(
+        "vec_id", "v", "nrm", F.slice(F.sort_array(entries), 1, n_top).alias("top")
     )
+
+
+def _ivf_search(e: DataFrame, cents: list[tuple[int, list[float], float]]) -> DataFrame:
+    """Shared IVF search body.  Cell assignment AND probe selection are
+    pure array-HOF expressions over ONE corpus scan (_cell_top); no
+    Window.partitionBy(vec_id) pass that would shuffle the n x k
+    scored rows (vectors included) just to rank 16 candidates per row.
+    Candidates still come from the cell-keyed equality join — the
+    inverted-file structure that survives 100 TB."""
+    staged = _cell_top(e, cents, _N_PROBE)
     assigned = staged.select(
         "vec_id",
         F.element_at(F.col("top"), 1).getField("cid").alias("cell"),
@@ -1391,6 +1437,73 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = cand.join(av, "vec_a").join(bv, "vec_b")
     j = j.withColumn("cos_sim", F.round(F.expr(_DOT) / (F.col("qnrm") * F.col("nnrm")), 4))
     return j.filter(F.col("cos_sim") >= 0.3).select("vec_a", "vec_b", "cos_sim")
+
+
+_SEMDEDUP_TAU = 0.3
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    assign every embedding to its max-cosine coarse cell, then look for
+    near-duplicates ONLY within a cell — a vector is dropped when a
+    higher-priority (smaller vec_id) cell-mate sits at cos >= tau.
+    Output (vec_id, cell, n_dups, keep) — the per-vector keep decision a
+    curation pipeline applies, not just the pair list.
+
+    Scale: assignment is a literal-codebook HOF projection (_cell_top —
+    zero shuffle, no n x k crossJoin); the only shuffle keys on cell, and
+    the pair join is cell-bucketed, so per-reducer work is O(cell_size²),
+    never O(n²).  In production k grows with the corpus (k ~ n /
+    target_cell_size, codebook from train_kmeans_centroids exactly as
+    sim_ann_ivf_trained composes it), which bounds cell_size — the same
+    knob the SemDeDup paper turns.  The gate uses the first-16-vector
+    stand-in codebook so the oracle can re-derive it in SQL; tau=0.3
+    because the driver's synthetic embeddings hold no true near-dups
+    (max pairwise cos ~0.45) — production runs tau~0.95+ unchanged."""
+    e = _emb_norm(spark, sf_dir)
+    rows = (
+        e.filter(F.col("vec_id") < _N_CELLS).select("vec_id", "v", "nrm").collect()
+    )
+    cents = [(int(r["vec_id"]), list(r["v"]), float(r["nrm"])) for r in rows]
+    assigned = _cell_top(e, cents, 1).select(
+        "vec_id",
+        F.element_at(F.col("top"), 1).getField("cid").alias("cell"),
+        "v",
+        "nrm",
+    )
+    # LEFT join + null-skipping count(vec_b): every vector survives into
+    # the aggregate, so `assigned` is consumed exactly twice (the two
+    # inherent self-join legs) — no third scan/recompute for a final
+    # "join the counts back" pass
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("cell").alias("cell_a"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("cell").alias("cell_b"),
+        F.col("v").alias("nv"),
+        F.col("nrm").alias("nnrm"),
+    )
+    cos = F.round(F.expr(_DOT) / (F.col("qnrm") * F.col("nnrm")), 4)
+    cond = (
+        (F.col("cell_a") == F.col("cell_b"))
+        & (F.col("vec_b") < F.col("vec_a"))
+        & (cos >= F.lit(_SEMDEDUP_TAU))
+    )
+    return (
+        a.join(b, cond, "left")
+        .groupBy(F.col("vec_a").alias("vec_id"), F.col("cell_a").alias("cell"))
+        .agg(F.count("vec_b").cast("bigint").alias("n_dups"))
+        .select(
+            "vec_id",
+            "cell",
+            "n_dups",
+            (F.col("n_dups") == 0).cast("int").alias("keep"),
+        )
+    )
 
 
 def embed_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2116,6 +2229,49 @@ ORACLES: dict[str, str] = {
         ) WHERE rank <= 3
     """,
     "dedup_embedding_cosine": _SQL_DEDUP_EMB_COSINE,
+    # same first-16 stand-in codebook + round-to-4 assignment CTEs as the
+    # proven sim_ann_ivf oracle; MATERIALIZED pins assigned to compute once
+    # (DuckDB re-inlines plain CTEs per reference)
+    "dedup_semantic": f"""
+        WITH e AS ({_SQL_EMB_NORM}),
+        cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+        scored AS (
+            SELECT e.vec_id, e.v, e.nrm, cent.cent_id,
+                   round(list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * cent.cv[i]))
+                         / (e.nrm * cent.cnrm), 4) AS ccos
+            FROM e, cent
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crank
+            FROM scored
+        ),
+        assigned AS MATERIALIZED (SELECT vec_id, cent_id AS cell, v, nrm FROM ranked WHERE crank = 1),
+        p AS (
+            SELECT a.vec_id AS vec_a,
+                   round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+                         / (a.nrm * b.nrm), 4) AS cos_sim
+            FROM assigned a JOIN assigned b ON a.cell = b.cell AND b.vec_id < a.vec_id
+        ),
+        d AS (
+            SELECT vec_a AS vec_id, count(*) AS n_dups FROM p
+            WHERE cos_sim >= {_SEMDEDUP_TAU} GROUP BY vec_a
+        )
+        SELECT a.vec_id, a.cell,
+               CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups,
+               CAST(d.n_dups IS NULL AS INT) AS keep
+        FROM assigned a LEFT JOIN d USING (vec_id)
+    """,
+    "text_bpe_pairs": f"""
+        WITH toks AS (SELECT unnest({_SQL_TOKS}) AS w FROM documents),
+        vocab AS (SELECT w, count(*) AS wc FROM toks GROUP BY w),
+        pairs AS (
+            SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair, wc
+            FROM vocab WHERE len(w) >= 2
+        )
+        SELECT pair, CAST(sum(wc) AS BIGINT) AS freq
+        FROM pairs GROUP BY pair
+        ORDER BY freq DESC, pair LIMIT {_BPE_TOPK}
+    """,
     "embed_label_stats": f"""
         SELECT label, count(*) AS n_vecs, round(avg(nrm), 4) AS avg_norm
         FROM ({_SQL_EMB_NORM}) GROUP BY label
@@ -2378,6 +2534,8 @@ QUERIES = {
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_semantic": dedup_semantic,
+    "text_bpe_pairs": text_bpe_pairs,
     "embed_label_stats": embed_label_stats,
     "embed_quality_score": embed_quality_score,
     "embed_kmeans": embed_kmeans,  # rows-only (iterative; invariants in pytest)

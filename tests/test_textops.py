@@ -680,3 +680,56 @@ def test_run_curate_cli(spark, tmp_path):
     )
     for a, b in zip(files, files[1:]):
         assert a["hi"] < b["lo"]
+
+
+def test_dedup_semantic_flags_planted_dup(spark, tmp_path):
+    """SemDeDup keep rule: a planted near-identical pair loses its larger
+    vec_id (the smaller keeps), vectors orthogonal to everything keep with
+    n_dups=0, and every input vector appears exactly once in the output."""
+    import pandas as pd
+    import numpy as np
+
+    dim, n = 32, 20
+    vecs = []
+    for i in range(n):
+        v = np.zeros(dim, dtype=np.float32)
+        v[min(i, 18)] = 1.0  # vec 19 shares axis 18 with vec 18 → cos = 1
+        vecs.append(v.tolist())
+    pdf = pd.DataFrame(
+        {"vec_id": list(range(n)), "embedding": vecs, "label": [0] * n}
+    )
+    d = str(tmp_path)
+    pdf.to_parquet(d + "/embeddings.parquet")
+    from pdfparse_spark.pipeline.textops import dedup_semantic
+
+    rows = {r["vec_id"]: r for r in dedup_semantic(spark, d).collect()}
+    assert set(rows) == set(range(n))
+    assert rows[19]["keep"] == 0 and rows[19]["n_dups"] == 1
+    assert rows[18]["keep"] == 1  # the smaller id of the pair survives
+    for i in range(18):
+        assert rows[i]["keep"] == 1 and rows[i]["n_dups"] == 0
+    # the pair can only have met inside one cell
+    assert rows[18]["cell"] == rows[19]["cell"]
+
+
+def test_bpe_pairs_vocab_weighted_multiplicity(spark, tmp_path):
+    """BPE pair counts weight by word frequency AND in-word multiplicity:
+    'aaa' x2 contributes 'aa' four times; a word shorter than 2 chars
+    contributes nothing."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["aaa x aaa", "ab"],
+            "lang": ["en"] * 2,
+            "source": ["t"] * 2,
+            "n_chars": [9, 2],
+        }
+    )
+    d = str(tmp_path)
+    pdf.to_parquet(d + "/documents.parquet")
+    from pdfparse_spark.pipeline.textops import text_bpe_pairs
+
+    got = {r["pair"]: r["freq"] for r in text_bpe_pairs(spark, d).collect()}
+    assert got == {"aa": 4, "ab": 1}
