@@ -229,6 +229,61 @@ def _extract_split_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _extract_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: content-addressed extraction (run_extraction_dedup —
+    kernel once per DISTINCT payload, joined back by sha2-256) must equal
+    per-turn extraction row-for-row on a corpus where the same payloads
+    recur across conversations (the metric's own 'fixture corpus
+    replicated' shape).  Includes a NULL-text turn to pin the sentinel
+    key (sha2(NULL) IS NULL would silently drop the turn in the join)."""
+    import base64
+    import datetime as dt
+
+    from pdfparse_spark.fixtures.pdf_gen import build_pdf_fixtures
+    from pdfparse_spark.fixtures.html_gen import build_html_fixtures
+    from pdfparse_spark.pipeline.extract import run_extraction, run_extraction_dedup
+    from pdfparse_spark.pipeline.transcripts import transcripts_df
+
+    _ensure_workers_can_import(spark)
+    payloads = (
+        ["pdfb64:" + base64.b64encode(fx.data).decode() for fx in build_pdf_fixtures()[:4]]
+        + [fx.html for fx in build_html_fixtures()[:2]]
+        + ["a plain text turn", None]
+    )
+    ts = dt.datetime(2026, 1, 1)
+    rows = [
+        ("dd%02d" % c, i, "user", p, "", ts)
+        for c in range(6)
+        for i, p in enumerate(payloads)  # every conversation repeats them
+    ]
+    df = transcripts_df(spark, rows, partitions=4)
+    per_turn = run_extraction(df, num_partitions=8).select(
+        "conv_id", "turn_idx", "extracted_text", "spans", "parse_status"
+    )
+    dedup = run_extraction_dedup(df, num_partitions=8).select(
+        "conv_id",
+        "turn_idx",
+        F.col("extracted_text").alias("d_text"),
+        F.col("spans").alias("d_spans"),
+        F.col("parse_status").alias("d_status"),
+    )
+    j = per_turn.join(dedup, ["conv_id", "turn_idx"], "full_outer")
+    eq = (
+        (F.col("extracted_text").eqNullSafe(F.col("d_text")))
+        & (F.col("spans").eqNullSafe(F.col("d_spans")))
+        & (F.col("parse_status").eqNullSafe(F.col("d_status")))
+    )
+    n_distinct = df.select(
+        F.countDistinct(F.coalesce(F.sha2(F.col("text"), 256), F.lit("null"))).alias(
+            "n_distinct_payloads"
+        )
+    )
+    return j.agg(
+        F.count("*").alias("n_turns"),
+        F.sum(eq.cast("long")).alias("n_identical"),
+    ).crossJoin(n_distinct)
+
+
 def _extract_device_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the three layout devices over the fixture corpus in one
     mapInPandas pass — golden (content-stream order), advance-width
@@ -351,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q[k] = relational.QUERIES[k]
     q["sim_ann_ivf_trained"] = textops.sim_ann_ivf_trained
     q["extract_line_dedup"] = _extract_line_dedup
+    q["extract_dedup_parity"] = _extract_dedup_parity
     q["train_embed_lr"] = textops.train_embed_lr
     q["embed_pca"] = textops.embed_pca
     for k in tail:

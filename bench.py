@@ -101,11 +101,29 @@ def bench_extraction(spark, n_convs: int) -> dict:
     ).collect()[0]
     wall = time.monotonic() - t0
     assert row["ok"] > 0.8 * row["n"], "extraction mostly failing — bench invalid"
+    # content-addressed path over the SAME corpus — the replicated shape
+    # the metric names (kernel once per distinct payload, joined back).
+    # Reported alongside, never as the headline: extract_sec above stays
+    # the per-turn-kernel number comparable across rounds.
+    from pdfparse_spark.pipeline.extract import run_extraction_dedup
+
+    t1 = time.monotonic()
+    out2 = run_extraction_dedup(df, num_partitions=PARTITIONS)
+    row2 = out2.agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("chars"),
+    ).collect()[0]
+    wall2 = time.monotonic() - t1
+    assert row2["n"] == row["n"] and int(row2["chars"]) == int(row["chars"]), (
+        "dedup path diverged from per-turn extraction — bench invalid"
+    )
     return {
         "turns": row["n"],
         "chars": int(row["chars"]),
         "extract_sec": round(wall, 3),
         "turns_per_sec": round(row["n"] / wall, 1),
+        "extract_dedup_sec": round(wall2, 3),
+        "dedup_turns_per_sec": round(row["n"] / wall2, 1),
     }
 
 
@@ -150,7 +168,11 @@ def main() -> int:
         "cpus": args.cpus,
         "turns": ext["turns"],
         "extract_sec": ext["extract_sec"],
-        "queries": {"extract": ext["extract_sec"]},
+        "dedup_turns_per_sec": ext["dedup_turns_per_sec"],
+        "queries": {
+            "extract": ext["extract_sec"],
+            "extract_dedup": ext["extract_dedup_sec"],
+        },
     }
     if not args.extract_only:
         result["queries"].update(bench_queries(spark))

@@ -34,6 +34,7 @@ __all__ = [
     "extract_batch",
     "extract_batch_telemetry",
     "run_extraction",
+    "run_extraction_dedup",
     "salt_repartition",
 ]
 
@@ -70,12 +71,21 @@ TELEMETRY_SCHEMA = T.StructType(
 )
 
 
-def make_extract_batch(device: str = "simple", telemetry: bool = False):
+_TURN_KEY_COLS = ("conv_id", "turn_idx", "role", "tool", "ts")
+
+
+def make_extract_batch(
+    device: str = "simple",
+    telemetry: bool = False,
+    key_cols: tuple[str, ...] = _TURN_KEY_COLS,
+):
     """mapInPandas body factory: one parameterized implementation for every
-    (layout device, telemetry) combination — the column-assembly dict lives
-    in exactly one place.  The kernel is imported lazily inside the body so
-    the module object is constructed once per (reused) Python worker and
-    the glyph/AFM tables stay warm.
+    (layout device, telemetry, key-column) combination — the column-assembly
+    dict lives in exactly one place.  ``key_cols`` are the pass-through
+    identity columns (turn keys for the per-turn path, the content hash for
+    the distinct-payload path).  The kernel is imported lazily inside the
+    body so the module object is constructed once per (reused) Python worker
+    and the glyph/AFM tables stay warm.
 
     ``telemetry=True`` also emits ``kernel_us`` — wall microseconds spent
     in the kernel per turn, measured at the call site inside the worker.
@@ -107,18 +117,16 @@ def make_extract_batch(device: str = "simple", telemetry: bool = False):
                 )
                 statuses.append(status)
                 nchars.append(len(extracted))
-            cols = {
-                "conv_id": pdf["conv_id"],
-                "turn_idx": pdf["turn_idx"],
-                "role": pdf["role"],
-                "tool": pdf["tool"],
-                "ts": pdf["ts"],
-                "content_type": ctypes,
-                "extracted_text": texts,
-                "spans": spans_col,
-                "parse_status": statuses,
-                "n_chars": nchars,
-            }
+            cols = {k: pdf[k] for k in key_cols}
+            cols.update(
+                {
+                    "content_type": ctypes,
+                    "extracted_text": texts,
+                    "spans": spans_col,
+                    "parse_status": statuses,
+                    "n_chars": nchars,
+                }
+            )
             if telemetry:
                 cols["kernel_us"] = pd.array(micros, dtype="int64")
             yield pd.DataFrame(cols)
@@ -170,3 +178,55 @@ def run_extraction(
     if device != "simple":
         return df.mapInPandas(make_extract_batch(device), schema=OUTPUT_SCHEMA)
     return df.mapInPandas(extract_batch, schema=OUTPUT_SCHEMA)
+
+
+# distinct-payload batch body: input (payload_sha, text) → kernel columns
+_DEDUP_KERNEL_SCHEMA = T.StructType(
+    [T.StructField("payload_sha", T.StringType(), False)]
+    + [f for f in OUTPUT_SCHEMA.fields if f.name in
+       ("content_type", "extracted_text", "spans", "parse_status", "n_chars")]
+)
+
+
+_extract_batch_dedup = make_extract_batch(key_cols=("payload_sha",))
+
+
+def run_extraction_dedup(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Content-addressed extraction: run the kernel ONCE per distinct
+    payload and join the result back to every turn carrying it.  Output
+    rows are identical to :func:`run_extraction` (ordering aside) — the
+    kernel is a pure function of the payload bytes, so extraction is
+    memoizable by content hash.
+
+    This is the right shape for the corpus the metric names — a fixture
+    corpus REPLICATED to 10^9+ turns — and for any production transcript
+    store where the same attachment/document recurs across conversations:
+    kernel cost drops from O(turns) to O(distinct payloads).
+
+    Shuffle accounting vs the plain path (which shuffles the fat text once
+    for salting, then runs the kernel on every row):
+      1. dropDuplicates(payload_sha) — the ONE fat-text shuffle, with
+         map-side partial aggregation shrinking it wherever duplicates
+         co-locate in the scan;
+      2. the kernel runs over distinct payloads only (repartitioned by
+         content hash — unique by construction, so no salt is needed; the
+         per-page split path remains the heavy-single-doc defense);
+      3. the join back moves only skinny turn keys + extracted output —
+         comparable to the stage's output size, never the input payloads.
+    On a fully-unique corpus the overhead is one no-op dedup pass; on a
+    duplicated one the kernel saving is 1 - distinct_ratio of total work.
+    sha2-256 content addressing (not a 64-bit hash: at 10^12 turns a
+    64-bit birthday bound makes collisions — i.e. silently WRONG text on
+    some turns — expected; 256-bit makes them impossible in practice).
+    NULL payloads map to the 'null' sentinel key (sha2 of NULL is NULL,
+    which would silently drop those turns in the equi-join)."""
+    cols = ["conv_id", "turn_idx", "role", "tool", "ts", "text"]
+    df = df.select(*cols)
+    key = F.coalesce(F.sha2(F.col("text"), 256), F.lit("null"))
+    keyed = df.withColumn("payload_sha", key)
+    uniq = keyed.select("payload_sha", "text").dropDuplicates(["payload_sha"])
+    if num_partitions:
+        uniq = uniq.repartition(num_partitions, F.col("payload_sha"))
+    extracted = uniq.mapInPandas(_extract_batch_dedup, schema=_DEDUP_KERNEL_SCHEMA)
+    out = keyed.drop("text").join(extracted, "payload_sha", "left")
+    return out.select(*[f.name for f in OUTPUT_SCHEMA.fields])

@@ -293,6 +293,8 @@ def test_plan_hygiene_all_queries(spark):
         # aggregate (corpus doc count / total weight) into every row —
         # O(n·1), the right plan at any scale
         "text_tfidf_topk", "docs_pps_sample", "docs_mix_rebalance",
+        # parity gate: ONE-row agg × ONE-row distinct-count — O(1·1)
+        "extract_dedup_parity",
     }
     for name, fn in e.queries().items():
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
@@ -595,3 +597,15 @@ def test_events_anomaly_matches_numpy(spark):
     assert set(got) == set(want)
     for eid, zr in got.items():
         assert abs(zr - want[eid]) < 5e-4, (eid, zr, want[eid])
+
+
+def test_extract_dedup_parity_gate(spark):
+    """Content-addressed extraction == per-turn extraction row-for-row on a
+    corpus with cross-conversation duplicate payloads (incl. a NULL turn),
+    and it genuinely deduplicates (distinct payloads << turns)."""
+    import __spark_entry__ as e
+
+    row = e._extract_dedup_parity(spark, SF).collect()[0]
+    assert row["n_turns"] > 0
+    assert row["n_identical"] == row["n_turns"]
+    assert row["n_distinct_payloads"] * 6 == row["n_turns"]
