@@ -489,16 +489,18 @@ class PDFPageInterpreter:
             return
         self.device.render_string(self.textstate, seq)
 
+    # Tj/'/" wrap their operand into a TJ-style one-element sequence.  The
+    # hot paths hand that list to render_string directly instead of the
+    # push-then-do_TJ round trip (pop + push + pop + _first per Tj); the
+    # rendered call is identical in every case — including an empty arg
+    # stack, where pop(1) yields [] and render_string([]) still applies
+    # the Δy newline policy exactly as the wrapped path did.
     def do_Tj(self):
-        vals = self.pop(1)
-        self.push(vals)  # TJ wants a list
-        self.do_TJ()
+        self.device.render_string(self.textstate, self.pop(1))
 
     def do_quote(self):
         self.do_T_star()
-        vals = self.pop(1)
-        self.push(vals)
-        self.do_TJ()
+        self.device.render_string(self.textstate, self.pop(1))
 
     def do_dquote(self):
         vals = self.pop(3)
@@ -509,8 +511,7 @@ class PDFPageInterpreter:
         self.do_Tw()
         self.push(ac)
         self.do_Tc()
-        self.push([s])
-        self.do_TJ()
+        self.device.render_string(self.textstate, [s])
 
     # inline images
     def do_BI(self):
