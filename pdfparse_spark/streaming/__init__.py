@@ -8,3 +8,4 @@ from .neardup import (  # noqa: F401
     start_stream_neardup,
 )
 from .anomaly import start_anomaly_stream, with_anomaly_units  # noqa: F401
+from .stream_extract import start_stream_extraction_dedup  # noqa: F401

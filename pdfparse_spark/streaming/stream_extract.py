@@ -18,13 +18,19 @@ the way wave bucketing bounds it in batch mode.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from ..pipeline.extract import run_extraction
+from ..pipeline.extract import (
+    OUTPUT_SCHEMA,
+    _DEDUP_KERNEL_SCHEMA,
+    _extract_batch_dedup,
+    run_extraction,
+)
 from ..pipeline.transcripts import INPUT_SCHEMA
 
-__all__ = ["start_stream_extraction"]
+__all__ = ["start_stream_extraction", "start_stream_extraction_dedup"]
 
 
 def start_stream_extraction(
@@ -53,6 +59,88 @@ def start_stream_extraction(
 
     def _process_batch(batch_df, batch_id: int) -> None:
         out = run_extraction(batch_df, num_partitions=num_partitions, salt=salt)
+        out.withColumn("batch_id", F.lit(batch_id)).write.mode("overwrite").parquet(
+            "%s/batch=%d" % (out_dir, batch_id)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_stream_extraction_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    cache_dir: str,
+    checkpoint_dir: str,
+    num_partitions: int | None = None,
+    max_files_per_trigger: int = 8,
+    available_now: bool = True,
+):
+    """Streaming content-addressed extraction: a persistent payload cache
+    under ``cache_dir`` makes re-seen payloads free ACROSS micro-batches
+    and across restarts — the kernel runs exactly once per distinct
+    payload over the stream's whole lifetime (the extract-once invariant
+    the batch ``run_extraction_dedup`` gives within one job).
+
+    Per micro-batch:
+      1. sha2-256 payload keys (NULL → ``'null'`` sentinel, as in batch);
+      2. probe = cache batch dirs EXCLUDING this batch id — so a replayed
+         batch recomputes exactly its original "new payloads" set and the
+         ``overwrite`` of ``cache_dir/batch=<id>`` is byte-stable (probing
+         ALL dirs would make a replay see its own prior write, extract
+         nothing, and overwrite the dir with an EMPTY frame — erasing
+         cached results other batches' outputs already joined against);
+      3. the kernel runs over genuinely new payloads only; results append
+         to the cache as ``batch=<id>`` (idempotent overwrite);
+      4. every turn joins against the full cache (dropDuplicates on the
+         hash guards against torn multi-writer dirs) and lands in
+         ``out_dir/batch=<id>`` exactly as the plain streaming path.
+
+    State lives in storage, not executor memory: the cache is a plain
+    (payload_sha → extraction) parquet table, so it is unbounded-corpus
+    safe, shareable between jobs, and equally valid as an Iceberg table
+    on a real cluster.
+    """
+    stream = (
+        spark.readStream.schema(INPUT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    out_fields = [f.name for f in OUTPUT_SCHEMA.fields]
+
+    def _process_batch(batch_df, batch_id: int) -> None:
+        key = F.coalesce(F.sha2(F.col("text"), 256), F.lit("null"))
+        keyed = batch_df.select(
+            "conv_id", "turn_idx", "role", "tool", "ts", "text"
+        ).withColumn("payload_sha", key)
+        uniq = keyed.select("payload_sha", "text").dropDuplicates(["payload_sha"])
+        try:
+            prior = (
+                spark.read.option("basePath", cache_dir)
+                .parquet(cache_dir + "/batch=*")
+                .filter(F.col("batch") != batch_id)  # replay-stable probe
+            )
+            new = uniq.join(prior.select("payload_sha"), "payload_sha", "left_anti")
+        except AnalysisException:  # first batch: no cache dir yet
+            new = uniq
+        if num_partitions:
+            new = new.repartition(num_partitions, F.col("payload_sha"))
+        fresh = new.mapInPandas(_extract_batch_dedup, schema=_DEDUP_KERNEL_SCHEMA)
+        fresh.write.mode("overwrite").parquet("%s/batch=%d" % (cache_dir, batch_id))
+        cache = (
+            spark.read.option("basePath", cache_dir)
+            .parquet(cache_dir + "/batch=*")
+            .drop("batch")
+            .dropDuplicates(["payload_sha"])
+        )
+        out = keyed.drop("text").join(cache, "payload_sha", "left").select(*out_fields)
         out.withColumn("batch_id", F.lit(batch_id)).write.mode("overwrite").parquet(
             "%s/batch=%d" % (out_dir, batch_id)
         )

@@ -434,3 +434,63 @@ def test_stream_anomaly_moments_match_batch(spark, tmp_path):
         if var > 0 and abs((n * u - s1) / math.sqrt(var)) >= 3.0:
             got.add(eid)
     assert got == want
+
+
+def test_stream_extract_dedup_cache_across_batches(spark, tmp_path):
+    """Content-addressed streaming extraction: the kernel runs exactly once
+    per distinct payload over the stream's lifetime (cache rows across all
+    batch dirs == distinct payloads ever seen), outputs are byte-identical
+    to the batch path, and a checkpoint restart with a second drop reuses
+    the cache instead of re-extracting shared payloads."""
+    from pdfparse_spark.pipeline.extract import run_extraction
+    from pdfparse_spark.streaming import start_stream_extraction_dedup
+
+    df, _ = synthesize(spark, n_convs=6, turns_per_conv=5, seed=11)
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    cache_dir = str(tmp_path / "cache")
+    ck = str(tmp_path / "ck")
+
+    half1 = df.filter(F.col("turn_idx") < 3)
+    half2 = df.filter(F.col("turn_idx") >= 3)
+    half1.coalesce(1).write.mode("append").parquet(in_dir)
+    q = start_stream_extraction_dedup(
+        spark, in_dir, out_dir, cache_dir, ck, num_partitions=4
+    )
+    q.awaitTermination(120)
+
+    key = F.coalesce(F.sha2(F.col("text"), 256), F.lit("null"))
+    n_distinct_1 = half1.select(key.alias("k")).distinct().count()
+    cache1 = spark.read.option("basePath", cache_dir).parquet(cache_dir + "/batch=*")
+    assert cache1.count() == n_distinct_1  # extract-once, wave 1
+
+    half2.coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = start_stream_extraction_dedup(
+        spark, in_dir, out_dir, cache_dir, ck, num_partitions=4
+    )
+    q2.awaitTermination(120)
+
+    n_distinct_all = df.select(key.alias("k")).distinct().count()
+    cache2 = spark.read.option("basePath", cache_dir).parquet(cache_dir + "/batch=*")
+    # lifetime extract-once invariant: every cache row is a distinct payload
+    assert cache2.count() == n_distinct_all
+    assert cache2.select("payload_sha").distinct().count() == n_distinct_all
+
+    got = spark.read.option("basePath", out_dir).parquet(out_dir + "/batch=*")
+    assert got.count() == df.count()
+    expected = run_extraction(spark.read.parquet(in_dir), num_partitions=4)
+    j = got.select(
+        "conv_id", "turn_idx", "extracted_text", "parse_status"
+    ).join(
+        expected.select(
+            "conv_id",
+            "turn_idx",
+            F.col("extracted_text").alias("x"),
+            F.col("parse_status").alias("s"),
+        ),
+        ["conv_id", "turn_idx"],
+    )
+    mismatches = j.filter(
+        ~F.col("extracted_text").eqNullSafe(F.col("x")) | (F.col("parse_status") != F.col("s"))
+    ).count()
+    assert mismatches == 0
