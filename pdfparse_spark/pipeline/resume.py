@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .extract import run_extraction
+from .extract import run_extraction, run_extraction_dedup
 
 __all__ = ["bucket_of", "run_resumable", "read_output", "read_ledger"]
 
@@ -137,6 +137,7 @@ def run_resumable(
     telemetry: bool = False,
     split_pages: bool = False,
     device: str = "simple",
+    dedup_payloads: bool = False,
 ) -> dict:
     """Run the extraction resumably.  ``fail_after_waves`` injects a crash
     after k committed waves (test hook for the kill/rerun invariant).
@@ -147,6 +148,10 @@ def run_resumable(
     output rows, no single-task straggler on a huge PDF.  Mutually
     exclusive with ``telemetry`` (the split path has no per-turn timing
     column).
+
+    ``dedup_payloads=True`` routes each wave through the content-addressed
+    extractor (extract.run_extraction_dedup) — kernel once per distinct
+    payload within the wave, identical output rows; plain golden path only.
 
     ``telemetry=True`` runs the kernel with per-turn timing: wave output
     gains ``kernel_us``/``part_id`` columns and each ledger row records the
@@ -161,6 +166,12 @@ def run_resumable(
         raise ValueError(
             "alternative layout devices run only on the plain path "
             "(the split merge and telemetry are defined for the golden policy)"
+        )
+    if dedup_payloads and (telemetry or split_pages or device != "simple"):
+        raise ValueError(
+            "dedup_payloads runs only on the plain golden path (the "
+            "distinct-payload kernel has no per-turn timing, no split "
+            "merge, and only the golden device)"
         )
     bdf = bucket_of(df, n_buckets)
     ledger = read_ledger(spark, ledger_dir)
@@ -201,6 +212,13 @@ def run_resumable(
 
             extracted = run_extraction_split(
                 subset.drop("bucket"), num_partitions=num_partitions, salt=salt
+            )
+        elif dedup_payloads:
+            # content-addressed per wave: the kernel runs once per distinct
+            # payload WITHIN the wave (identical output rows; cross-wave /
+            # cross-job caching is the streaming path's persistent cache)
+            extracted = run_extraction_dedup(
+                subset.drop("bucket"), num_partitions=num_partitions
             )
         else:
             extracted = run_extraction(

@@ -57,6 +57,13 @@ def main(argv: list[str] | None = None) -> int:
         "straggler on a huge document); identical output rows",
     )
     p.add_argument(
+        "--dedup-payloads",
+        action="store_true",
+        help="content-addressed extraction: run the kernel once per "
+        "distinct payload within each wave and join results back "
+        "(identical output rows; wins on duplicate-heavy corpora)",
+    )
+    p.add_argument(
         "--telemetry",
         action="store_true",
         help="run the kernel with per-turn timing: wave output carries "
@@ -90,6 +97,7 @@ def main(argv: list[str] | None = None) -> int:
         telemetry=args.telemetry,
         split_pages=args.split_pages,
         device=args.device,
+        dedup_payloads=args.dedup_payloads,
     )
     wall = time.monotonic() - t0
     out = read_output(spark, args.out + "/extracted", args.out + "/ledger")

@@ -609,3 +609,43 @@ def test_extract_dedup_parity_gate(spark):
     assert row["n_turns"] > 0
     assert row["n_identical"] == row["n_turns"]
     assert row["n_distinct_payloads"] * 6 == row["n_turns"]
+
+
+def test_resumable_dedup_payloads_matches_plain(spark, tmp_path):
+    """run_resumable(dedup_payloads=True) commits the same rows as the
+    plain path (wave/ledger mechanics unchanged), and the exclusivity
+    guard rejects telemetry composition."""
+    import pytest
+
+    from pdfparse_spark.pipeline.resume import read_output, run_resumable
+    from pdfparse_spark.pipeline.transcripts import synthesize
+
+    df, _ = synthesize(spark, n_convs=4, turns_per_conv=5, seed=3)
+    a, b = str(tmp_path / "plain"), str(tmp_path / "dedup")
+    for out_dir, dd in ((a, False), (b, True)):
+        run_resumable(
+            spark, df,
+            out_dir=out_dir + "/extracted", ledger_dir=out_dir + "/ledger",
+            n_buckets=4, buckets_per_wave=2, num_partitions=4,
+            dedup_payloads=dd,
+        )
+    key = ["conv_id", "turn_idx"]
+    pa = read_output(spark, a + "/extracted", a + "/ledger").select(
+        *key, "extracted_text", "parse_status"
+    )
+    pb = read_output(spark, b + "/extracted", b + "/ledger").select(
+        *key,
+        F.col("extracted_text").alias("x"),
+        F.col("parse_status").alias("s"),
+    )
+    j = pa.join(pb, key, "full_outer")
+    assert pa.count() == df.count() == pb.count()
+    assert j.filter(
+        ~F.col("extracted_text").eqNullSafe(F.col("x"))
+        | ~F.col("parse_status").eqNullSafe(F.col("s"))
+    ).count() == 0
+    with pytest.raises(ValueError):
+        run_resumable(
+            spark, df, out_dir=str(tmp_path / "x"), ledger_dir=str(tmp_path / "y"),
+            dedup_payloads=True, telemetry=True,
+        )
