@@ -241,7 +241,7 @@ def _extract_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pdfparse_spark.fixtures.pdf_gen import build_pdf_fixtures
     from pdfparse_spark.fixtures.html_gen import build_html_fixtures
-    from pdfparse_spark.pipeline.extract import run_extraction, run_extraction_dedup
+    from pdfparse_spark.pipeline.extract import payload_key, run_extraction, run_extraction_dedup
     from pdfparse_spark.pipeline.transcripts import transcripts_df
 
     _ensure_workers_can_import(spark)
@@ -274,9 +274,7 @@ def _extract_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("parse_status").eqNullSafe(F.col("d_status")))
     )
     n_distinct = df.select(
-        F.countDistinct(F.coalesce(F.sha2(F.col("text"), 256), F.lit("null"))).alias(
-            "n_distinct_payloads"
-        )
+        F.countDistinct(payload_key()).alias("n_distinct_payloads")
     )
     return j.agg(
         F.count("*").alias("n_turns"),

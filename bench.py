@@ -82,7 +82,7 @@ def _n_convs(sf: float) -> int:
     return max(80, int(210000 * sf))
 
 
-def bench_extraction(spark, n_convs: int) -> dict:
+def bench_extraction(spark, n_convs: int, dedup_leg: bool = True) -> dict:
     from pyspark.sql import functions as F
 
     from pdfparse_spark.pipeline.bench_corpus import ensure_bench_corpus
@@ -101,6 +101,14 @@ def bench_extraction(spark, n_convs: int) -> dict:
     ).collect()[0]
     wall = time.monotonic() - t0
     assert row["ok"] > 0.8 * row["n"], "extraction mostly failing — bench invalid"
+    out_stats = {
+        "turns": row["n"],
+        "chars": int(row["chars"]),
+        "extract_sec": round(wall, 3),
+        "turns_per_sec": round(row["n"] / wall, 1),
+    }
+    if not dedup_leg:
+        return out_stats
     # content-addressed path over the SAME corpus — the replicated shape
     # the metric names (kernel once per distinct payload, joined back).
     # Reported alongside, never as the headline: extract_sec above stays
@@ -117,14 +125,9 @@ def bench_extraction(spark, n_convs: int) -> dict:
     assert row2["n"] == row["n"] and int(row2["chars"]) == int(row["chars"]), (
         "dedup path diverged from per-turn extraction — bench invalid"
     )
-    return {
-        "turns": row["n"],
-        "chars": int(row["chars"]),
-        "extract_sec": round(wall, 3),
-        "turns_per_sec": round(row["n"] / wall, 1),
-        "extract_dedup_sec": round(wall2, 3),
-        "dedup_turns_per_sec": round(row["n"] / wall2, 1),
-    }
+    out_stats["extract_dedup_sec"] = round(wall2, 3)
+    out_stats["dedup_turns_per_sec"] = round(row["n"] / wall2, 1)
+    return out_stats
 
 
 def bench_queries(spark) -> dict[str, float]:
@@ -159,7 +162,10 @@ def main() -> int:
     # overhead. Production default stays 512 (fat PDF rows — session.py).
     spark = get_spark(master="local[%d]" % args.cpus, app_name="bench", arrow_batch=2048)
     spark.sparkContext.setLogLevel("ERROR")
-    ext = bench_extraction(spark, _n_convs(sf))
+    # scaling legs (--extract-only) skip the dedup leg: scaling_mode only
+    # reads value/extract_sec, and the extra pass would just add host load
+    # noise to the comparison the mode exists to measure
+    ext = bench_extraction(spark, _n_convs(sf), dedup_leg=not args.extract_only)
     result = {
         "metric": "extraction_throughput",
         "value": ext["turns_per_sec"],
@@ -168,12 +174,11 @@ def main() -> int:
         "cpus": args.cpus,
         "turns": ext["turns"],
         "extract_sec": ext["extract_sec"],
-        "dedup_turns_per_sec": ext["dedup_turns_per_sec"],
-        "queries": {
-            "extract": ext["extract_sec"],
-            "extract_dedup": ext["extract_dedup_sec"],
-        },
+        "queries": {"extract": ext["extract_sec"]},
     }
+    if "extract_dedup_sec" in ext:
+        result["dedup_turns_per_sec"] = ext["dedup_turns_per_sec"]
+        result["queries"]["extract_dedup"] = ext["extract_dedup_sec"]
     if not args.extract_only:
         result["queries"].update(bench_queries(spark))
     spark.stop()

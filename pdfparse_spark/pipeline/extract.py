@@ -29,10 +29,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = [
+    "DEDUP_KERNEL_SCHEMA",
     "OUTPUT_SCHEMA",
     "TELEMETRY_SCHEMA",
     "extract_batch",
+    "extract_batch_dedup",
     "extract_batch_telemetry",
+    "payload_key",
     "run_extraction",
     "run_extraction_dedup",
     "salt_repartition",
@@ -180,18 +183,33 @@ def run_extraction(
     return df.mapInPandas(extract_batch, schema=OUTPUT_SCHEMA)
 
 
+def payload_key():
+    """THE content-address expression — the single definition every path
+    (batch dedup, streaming cache probe, parity gates, tests) must share:
+    any divergence between producer and prober keys silently splits the
+    cache.  sha2-256 of the payload (64-bit hashes collide at 10^12-turn
+    birthday bounds); NULL text takes the 'null' sentinel (4 chars — can
+    never collide with 64-hex-char sha output) because sha2(NULL) IS NULL
+    would drop those turns from any equi-join."""
+    return F.coalesce(F.sha2(F.col("text"), 256), F.lit("null"))
+
+
 # distinct-payload batch body: input (payload_sha, text) → kernel columns
-_DEDUP_KERNEL_SCHEMA = T.StructType(
+DEDUP_KERNEL_SCHEMA = T.StructType(
     [T.StructField("payload_sha", T.StringType(), False)]
     + [f for f in OUTPUT_SCHEMA.fields if f.name in
        ("content_type", "extracted_text", "spans", "parse_status", "n_chars")]
 )
 
 
-_extract_batch_dedup = make_extract_batch(key_cols=("payload_sha",))
+extract_batch_dedup = make_extract_batch(key_cols=("payload_sha",))
 
 
-def run_extraction_dedup(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def run_extraction_dedup(
+    df: DataFrame,
+    num_partitions: int | None = None,
+    split_pages: bool = False,
+) -> DataFrame:
     """Content-addressed extraction: run the kernel ONCE per distinct
     payload and join the result back to every turn carrying it.  Output
     rows are identical to :func:`run_extraction` (ordering aside) — the
@@ -219,14 +237,39 @@ def run_extraction_dedup(df: DataFrame, num_partitions: int | None = None) -> Da
     64-bit birthday bound makes collisions — i.e. silently WRONG text on
     some turns — expected; 256-bit makes them impossible in practice).
     NULL payloads map to the 'null' sentinel key (sha2 of NULL is NULL,
-    which would silently drop those turns in the equi-join)."""
+    which would silently drop those turns in the equi-join).
+
+    ``split_pages=True`` composes the heavy-single-doc defense: the
+    distinct payloads run through the per-page-parallel extractor
+    (split_extract) under pseudo turn keys (conv_id = content hash), so
+    one huge DISTINCT document — which content-hash partitioning alone
+    can never split — still fans out into page-range segments."""
     cols = ["conv_id", "turn_idx", "role", "tool", "ts", "text"]
     df = df.select(*cols)
-    key = F.coalesce(F.sha2(F.col("text"), 256), F.lit("null"))
-    keyed = df.withColumn("payload_sha", key)
+    keyed = df.withColumn("payload_sha", payload_key())
     uniq = keyed.select("payload_sha", "text").dropDuplicates(["payload_sha"])
-    if num_partitions:
-        uniq = uniq.repartition(num_partitions, F.col("payload_sha"))
-    extracted = uniq.mapInPandas(_extract_batch_dedup, schema=_DEDUP_KERNEL_SCHEMA)
+    if split_pages:
+        from .split_extract import run_extraction_split
+
+        pseudo = uniq.select(
+            F.col("payload_sha").alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.lit(None).cast("string").alias("role"),
+            F.lit(None).cast("string").alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"),
+            "text",
+        )
+        extracted = run_extraction_split(pseudo, num_partitions=num_partitions).select(
+            F.col("conv_id").alias("payload_sha"),
+            "content_type",
+            "extracted_text",
+            "spans",
+            "parse_status",
+            "n_chars",
+        )
+    else:
+        if num_partitions:
+            uniq = uniq.repartition(num_partitions, F.col("payload_sha"))
+        extracted = uniq.mapInPandas(extract_batch_dedup, schema=DEDUP_KERNEL_SCHEMA)
     out = keyed.drop("text").join(extracted, "payload_sha", "left")
     return out.select(*[f.name for f in OUTPUT_SCHEMA.fields])

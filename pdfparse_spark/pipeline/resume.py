@@ -151,7 +151,9 @@ def run_resumable(
 
     ``dedup_payloads=True`` routes each wave through the content-addressed
     extractor (extract.run_extraction_dedup) — kernel once per distinct
-    payload within the wave, identical output rows; plain golden path only.
+    payload within the wave, identical output rows; composes with
+    ``split_pages`` (huge distinct docs still fan out per page), golden
+    device only, no telemetry.
 
     ``telemetry=True`` runs the kernel with per-turn timing: wave output
     gains ``kernel_us``/``part_id`` columns and each ledger row records the
@@ -167,11 +169,11 @@ def run_resumable(
             "alternative layout devices run only on the plain path "
             "(the split merge and telemetry are defined for the golden policy)"
         )
-    if dedup_payloads and (telemetry or split_pages or device != "simple"):
+    if dedup_payloads and (telemetry or device != "simple"):
         raise ValueError(
-            "dedup_payloads runs only on the plain golden path (the "
-            "distinct-payload kernel has no per-turn timing, no split "
-            "merge, and only the golden device)"
+            "dedup_payloads runs only on the golden device without "
+            "telemetry (the distinct-payload kernel has no per-turn "
+            "timing); split_pages COMPOSES with it"
         )
     bdf = bucket_of(df, n_buckets)
     ledger = read_ledger(spark, ledger_dir)
@@ -207,18 +209,21 @@ def run_resumable(
         wave_path = "%s/wave=%s" % (out_dir, wave_str)
         subset = bdf.filter(F.col("bucket").isin([int(b) for b in wave_buckets]))
         t0 = time.monotonic()
-        if split_pages:
+        if dedup_payloads:
+            # content-addressed per wave: the kernel runs once per distinct
+            # payload WITHIN the wave (identical output rows; cross-wave /
+            # cross-job caching is the streaming path's persistent cache);
+            # split_pages composes — huge DISTINCT docs still fan out
+            extracted = run_extraction_dedup(
+                subset.drop("bucket"),
+                num_partitions=num_partitions,
+                split_pages=split_pages,
+            )
+        elif split_pages:
             from .split_extract import run_extraction_split
 
             extracted = run_extraction_split(
                 subset.drop("bucket"), num_partitions=num_partitions, salt=salt
-            )
-        elif dedup_payloads:
-            # content-addressed per wave: the kernel runs once per distinct
-            # payload WITHIN the wave (identical output rows; cross-wave /
-            # cross-job caching is the streaming path's persistent cache)
-            extracted = run_extraction_dedup(
-                subset.drop("bucket"), num_partitions=num_partitions
             )
         else:
             extracted = run_extraction(

@@ -24,8 +24,9 @@ from pyspark.sql import functions as F
 
 from ..pipeline.extract import (
     OUTPUT_SCHEMA,
-    _DEDUP_KERNEL_SCHEMA,
-    _extract_batch_dedup,
+    DEDUP_KERNEL_SCHEMA,
+    extract_batch_dedup,
+    payload_key,
     run_extraction,
 )
 from ..pipeline.transcripts import INPUT_SCHEMA
@@ -99,32 +100,45 @@ def start_stream_extraction_dedup(
          cached results other batches' outputs already joined against);
       3. the kernel runs over genuinely new payloads only; results append
          to the cache as ``batch=<id>`` (idempotent overwrite);
-      4. every turn joins against the full cache (dropDuplicates on the
-         hash guards against torn multi-writer dirs) and lands in
-         ``out_dir/batch=<id>`` exactly as the plain streaming path.
+      4. every turn joins against the cache SEMI-JOINED down to the
+         batch's own keys first — the join input stays proportional to
+         the batch, not to every payload the stream has ever seen (the
+         probe leg reads only the pruned ``payload_sha`` column) — and
+         lands in ``out_dir/batch=<id>`` exactly as the plain path.
 
     State lives in storage, not executor memory: the cache is a plain
-    (payload_sha → extraction) parquet table, so it is unbounded-corpus
-    safe, shareable between jobs, and equally valid as an Iceberg table
-    on a real cluster.
+    (payload_sha → extraction) parquet table, unbounded-corpus safe (an
+    Iceberg table fills the same role on a real cluster).  Batch dirs
+    are scoped under ``ck=<sha of checkpoint_dir>``: batch ids only mean
+    something within one checkpoint lineage, so two pipelines pointed at
+    one cache_dir with different checkpoints would otherwise collide on
+    ``batch=<id>`` and the overwrite would silently ERASE each other's
+    cached extractions (turns would then left-join to NULL output rows).
+    Scoping trades cross-job sharing for correctness; sharing needs a
+    coordinated append-only store, not this overwrite protocol.
     """
+    import hashlib
+
     stream = (
         spark.readStream.schema(INPUT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
     out_fields = [f.name for f in OUTPUT_SCHEMA.fields]
+    cache_root = "%s/ck=%s" % (
+        cache_dir,
+        hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12],
+    )
 
     def _process_batch(batch_df, batch_id: int) -> None:
-        key = F.coalesce(F.sha2(F.col("text"), 256), F.lit("null"))
         keyed = batch_df.select(
             "conv_id", "turn_idx", "role", "tool", "ts", "text"
-        ).withColumn("payload_sha", key)
+        ).withColumn("payload_sha", payload_key())
         uniq = keyed.select("payload_sha", "text").dropDuplicates(["payload_sha"])
         try:
             prior = (
-                spark.read.option("basePath", cache_dir)
-                .parquet(cache_dir + "/batch=*")
+                spark.read.option("basePath", cache_root)
+                .parquet(cache_root + "/batch=*")
                 .filter(F.col("batch") != batch_id)  # replay-stable probe
             )
             new = uniq.join(prior.select("payload_sha"), "payload_sha", "left_anti")
@@ -132,12 +146,15 @@ def start_stream_extraction_dedup(
             new = uniq
         if num_partitions:
             new = new.repartition(num_partitions, F.col("payload_sha"))
-        fresh = new.mapInPandas(_extract_batch_dedup, schema=_DEDUP_KERNEL_SCHEMA)
-        fresh.write.mode("overwrite").parquet("%s/batch=%d" % (cache_dir, batch_id))
+        fresh = new.mapInPandas(extract_batch_dedup, schema=DEDUP_KERNEL_SCHEMA)
+        fresh.write.mode("overwrite").parquet("%s/batch=%d" % (cache_root, batch_id))
         cache = (
-            spark.read.option("basePath", cache_dir)
-            .parquet(cache_dir + "/batch=*")
+            spark.read.option("basePath", cache_root)
+            .parquet(cache_root + "/batch=*")
             .drop("batch")
+            # batch-relevant rows only, THEN dedup: the shuffle stays
+            # proportional to this batch, not to the lifetime cache
+            .join(uniq.select("payload_sha"), "payload_sha", "left_semi")
             .dropDuplicates(["payload_sha"])
         )
         out = keyed.drop("text").join(cache, "payload_sha", "left").select(*out_fields)

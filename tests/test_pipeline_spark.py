@@ -649,3 +649,42 @@ def test_resumable_dedup_payloads_matches_plain(spark, tmp_path):
             spark, df, out_dir=str(tmp_path / "x"), ledger_dir=str(tmp_path / "y"),
             dedup_payloads=True, telemetry=True,
         )
+
+
+def test_extract_dedup_composes_with_split(spark, tmp_path):
+    """dedup + split: a huge DISTINCT document duplicated across turns is
+    extracted once AND page-split, with output identical to the plain
+    per-turn path."""
+    import base64
+    import datetime as dt
+
+    from pdfparse_spark.fixtures.pdf_gen import build_pdf_fixtures, make_big_pdf
+    from pdfparse_spark.pipeline.extract import run_extraction, run_extraction_dedup
+    from pdfparse_spark.pipeline.transcripts import transcripts_df
+
+    big = "pdfb64:" + base64.b64encode(make_big_pdf(24, 8, seed=11).data).decode()
+    small = "pdfb64:" + base64.b64encode(build_pdf_fixtures()[0].data).decode()
+    ts = dt.datetime(2026, 1, 1)
+    rows = [
+        ("ds%02d" % c, i, "user", p, "", ts)
+        for c in range(3)
+        for i, p in enumerate([big, small, "plain text", None])
+    ]
+    df = transcripts_df(spark, rows, partitions=4)
+    plain = run_extraction(df, num_partitions=8).select(
+        "conv_id", "turn_idx", "extracted_text", "spans", "parse_status"
+    )
+    dd = run_extraction_dedup(df, num_partitions=8, split_pages=True).select(
+        "conv_id",
+        "turn_idx",
+        F.col("extracted_text").alias("x"),
+        F.col("spans").alias("sp"),
+        F.col("parse_status").alias("s"),
+    )
+    j = plain.join(dd, ["conv_id", "turn_idx"], "full_outer")
+    assert plain.count() == dd.count() == len(rows)
+    assert j.filter(
+        ~F.col("extracted_text").eqNullSafe(F.col("x"))
+        | ~F.col("spans").eqNullSafe(F.col("sp"))
+        | ~F.col("parse_status").eqNullSafe(F.col("s"))
+    ).count() == 0

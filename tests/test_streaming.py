@@ -459,9 +459,11 @@ def test_stream_extract_dedup_cache_across_batches(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    key = F.coalesce(F.sha2(F.col("text"), 256), F.lit("null"))
+    from pdfparse_spark.pipeline.extract import payload_key
+
+    key = payload_key()
     n_distinct_1 = half1.select(key.alias("k")).distinct().count()
-    cache1 = spark.read.option("basePath", cache_dir).parquet(cache_dir + "/batch=*")
+    cache1 = spark.read.option("basePath", cache_dir).parquet(cache_dir + "/ck=*/batch=*")
     assert cache1.count() == n_distinct_1  # extract-once, wave 1
 
     half2.coalesce(1).write.mode("append").parquet(in_dir)
@@ -471,7 +473,7 @@ def test_stream_extract_dedup_cache_across_batches(spark, tmp_path):
     q2.awaitTermination(120)
 
     n_distinct_all = df.select(key.alias("k")).distinct().count()
-    cache2 = spark.read.option("basePath", cache_dir).parquet(cache_dir + "/batch=*")
+    cache2 = spark.read.option("basePath", cache_dir).parquet(cache_dir + "/ck=*/batch=*")
     # lifetime extract-once invariant: every cache row is a distinct payload
     assert cache2.count() == n_distinct_all
     assert cache2.select("payload_sha").distinct().count() == n_distinct_all
