@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "train_embed_lr",
     "dedup_semantic",
     "text_bpe_pairs",
+    "text_perplexity",
 ]
 
 

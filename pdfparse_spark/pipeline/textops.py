@@ -524,6 +524,75 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PPL_THRESHOLD = 7.0  # nats/token; corpus-tuned in production
+
+
+def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter (Wenzek et al. 2020): score every
+    document by the mean negative log-probability of its tokens under an
+    add-one-smoothed unigram LM trained on the corpus itself, and flag
+    keeps under a perplexity threshold.  (CCNet uses a KenLM 5-gram; the
+    unigram variant keeps the engine-side plan identical — swap the
+    probability table, nothing else changes.)
+
+    Scale: two (key-grouped, map-side-combined) hash aggregates — (doc, w)
+    term counts and the corpus vocabulary — then a w-keyed equality join
+    over DISTINCT (doc, w) pairs (never the raw token stream, so a
+    stopword repeated 10^4 times in one doc is ONE join row) and a one-row
+    broadcast of (N, V).  No UDFs, no driver loops; the LM 'training' is
+    the vocab aggregate itself.
+
+    Parity: p(w) = (c_w + 1) / (N + V) is an exact-integer ratio evaluated
+    in one double division — bit-identical across engines — so ln() sees
+    identical doubles (the proven embed_quality_score exp() pattern);
+    the per-doc mean is rounded to 4 decimals (double-sum order drift
+    ~1e-12 against a 5e-5 rounding margin); ``lm_keep`` decides on the
+    unrounded mean's comparison, as embed_quality_score does."""
+    d = _docs(spark, sf_dir).select("doc_id", F.explode(F.expr(_TOKS)).alias("w"))
+    dw = d.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    vocab = d.groupBy("w").agg(F.count("*").alias("cw"))
+    tot = vocab.agg(
+        F.sum("cw").alias("n_total"), F.count("*").alias("v_size")
+    )
+    j = dw.join(vocab, "w").crossJoin(F.broadcast(tot))
+    ll = -F.log(
+        (F.col("cw") + 1).cast("double")
+        / (F.col("n_total") + F.col("v_size")).cast("double")
+    )
+    per_doc = j.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        (F.sum(F.col("c") * ll) / F.sum("c")).alias("avg"),
+    )
+    scored = per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round("avg", 4).alias("avg_logloss"),
+        (F.col("avg") <= _PPL_THRESHOLD).cast("int").alias("lm_keep"),
+    )
+    # CCNet's actual selection mechanism: head/middle/tail perplexity
+    # terciles.  NOT a global ntile (that is a SinglePartition sort of the
+    # whole corpus) — compute the two tercile cutoffs as a one-row agg and
+    # broadcast them back, so assignment is embarrassingly parallel.
+    # Cutoffs come from the ROUNDED score (bit-identical across engines;
+    # the unrounded double's ~1e-12 summation drift could flip a doc
+    # sitting exactly on a cutoff); percentile() ↔ quantile_cont()
+    # interpolation parity is the proven text_length_stats pattern.
+    cuts = scored.agg(
+        F.expr("percentile(avg_logloss, 1.0D / 3)").alias("p33"),
+        F.expr("percentile(avg_logloss, 2.0D / 3)").alias("p66"),
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_tokens",
+        "avg_logloss",
+        "lm_keep",
+        F.when(F.col("avg_logloss") <= F.col("p33"), "head")
+        .when(F.col("avg_logloss") <= F.col("p66"), "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )
+
+
 _BPE_TOPK = 32
 
 
@@ -2261,6 +2330,35 @@ ORACLES: dict[str, str] = {
                CAST(d.n_dups IS NULL AS INT) AS keep
         FROM assigned a LEFT JOIN d USING (vec_id)
     """,
+    "text_perplexity": f"""
+        WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents),
+        dw AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+        vocab AS (SELECT w, count(*) AS cw FROM toks GROUP BY w),
+        tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n_total, count(*) AS v_size FROM vocab),
+        j AS (
+            SELECT dw.doc_id, dw.c,
+                   -ln(CAST(vocab.cw + 1 AS DOUBLE)
+                       / CAST(tot.n_total + tot.v_size AS DOUBLE)) AS ll
+            FROM dw JOIN vocab USING (w), tot
+        ),
+        scored AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   round(sum(c * ll) / sum(c), 4) AS avg_logloss,
+                   CAST(sum(c * ll) / sum(c) <= {_PPL_THRESHOLD} AS INT) AS lm_keep
+            FROM j GROUP BY doc_id
+        ),
+        cuts AS (
+            SELECT quantile_cont(avg_logloss, 1.0 / 3) AS p33,
+                   quantile_cont(avg_logloss, 2.0 / 3) AS p66
+            FROM scored
+        )
+        SELECT doc_id, n_tokens, avg_logloss, lm_keep,
+               CASE WHEN avg_logloss <= p33 THEN 'head'
+                    WHEN avg_logloss <= p66 THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM scored, cuts
+    """,
     "text_bpe_pairs": f"""
         WITH toks AS (SELECT unnest({_SQL_TOKS}) AS w FROM documents),
         vocab AS (SELECT w, count(*) AS wc FROM toks GROUP BY w),
@@ -2536,6 +2634,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_semantic": dedup_semantic,
     "text_bpe_pairs": text_bpe_pairs,
+    "text_perplexity": text_perplexity,
     "embed_label_stats": embed_label_stats,
     "embed_quality_score": embed_quality_score,
     "embed_kmeans": embed_kmeans,  # rows-only (iterative; invariants in pytest)

@@ -733,3 +733,33 @@ def test_bpe_pairs_vocab_weighted_multiplicity(spark, tmp_path):
 
     got = {r["pair"]: r["freq"] for r in text_bpe_pairs(spark, d).collect()}
     assert got == {"aa": 4, "ab": 1}
+
+
+def test_perplexity_ranks_rare_token_doc_worst(spark, tmp_path):
+    """The unigram-LM filter must score a gibberish doc (tokens that occur
+    nowhere else) strictly worse than docs built from corpus-common words,
+    and land it in the 'tail' bucket; every doc gets exactly one row."""
+    import pandas as pd
+
+    common = "the quick brown fox jumps over the lazy dog"
+    texts = [common] * 9 + ["zxqv wkjp qqfl mmzr ttgb"]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(10)),
+            "text": texts,
+            "lang": ["en"] * 10,
+            "source": ["t"] * 10,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = str(tmp_path)
+    pdf.to_parquet(d + "/documents.parquet")
+    from pdfparse_spark.pipeline.textops import text_perplexity
+
+    rows = {r["doc_id"]: r for r in text_perplexity(spark, d).collect()}
+    assert set(rows) == set(range(10))
+    gib = rows[9]
+    assert gib["ppl_bucket"] == "tail"
+    assert all(gib["avg_logloss"] > rows[i]["avg_logloss"] for i in range(9))
+    assert gib["n_tokens"] == 5 and rows[0]["n_tokens"] == 9
+    assert {rows[i]["ppl_bucket"] for i in range(9)} <= {"head", "middle"}
