@@ -9,6 +9,9 @@ Modes:
     python bench.py --scaling        # run extraction at local[8] and local[32]
                                      # in subprocesses, report scaling efficiency
                                      # and rewrite BENCH/BASELINE.md
+    python bench.py --executor-scaling  # TRUE multi-executor legs: 1 vs 4
+                                     # separate executor JVMs (local-cluster),
+                                     # rewrite BENCH/EXECUTORS.md
 
 The extraction corpus is the fixture corpus replicated Spark-side
 (pipeline/bench_corpus.py), cached under /tmp/pdfparse_bench; both scaling
@@ -147,10 +150,16 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--extract-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--executor-scaling", action="store_true")
+    ap.add_argument("--executor-leg", type=int, default=None)
     ap.add_argument("--skew", action="store_true")
     ap.add_argument("--cpus", type=int, default=CPUS)
     args = ap.parse_args()
 
+    if args.executor_leg is not None:
+        return executor_leg(args.executor_leg)
+    if args.executor_scaling:
+        return executor_scaling_mode()
     if args.scaling:
         return scaling_mode()
     if args.skew:
@@ -184,6 +193,105 @@ def main() -> int:
         result["queries"].update(bench_queries(spark))
     spark.stop()
     print(json.dumps(result))
+    return 0
+
+
+def executor_leg(n_executors: int) -> int:
+    """One true-executor scaling leg: local-cluster[N,4,6144] — SEPARATE
+    executor JVMs with real inter-process shuffle service, not local[N]
+    threads.  Prints one JSON line; used by --executor-scaling."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local-cluster[%d,4,6144]" % n_executors)
+        .appName("executor-scaling")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # executor JVMs spawn their own Python workers: ship the package as a
+    # zip via addPyFile — the same mechanism as spark-submit --py-files
+    import __spark_entry__ as e
+
+    e._ensure_workers_can_import(spark)
+    from pdfparse_spark.pipeline.bench_corpus import ensure_bench_corpus
+    from pdfparse_spark.pipeline.extract import run_extraction
+
+    path = ensure_bench_corpus(spark, CACHE, _n_convs(_sf_of(SF_DIR)))
+    df = spark.read.parquet(path)
+    run_extraction(df.limit(64), num_partitions=8).agg(F.count("*")).collect()
+    t0 = time.monotonic()
+    n = run_extraction(df, num_partitions=PARTITIONS).agg(F.count("*")).collect()[0][0]
+    w = time.monotonic() - t0
+    print(json.dumps({
+        "executors": n_executors, "cores_each": 4, "turns": n,
+        "extract_sec": round(w, 3), "value": round(n / w, 1),
+    }))
+    spark.stop()
+    return 0
+
+
+def executor_scaling_mode() -> int:
+    """The north rule's two-cluster-size criterion in its LITERAL form:
+    the same extraction job at N and 4N EXECUTORS (separate JVMs,
+    real executor-to-executor shuffle) via Spark local-cluster mode —
+    one step closer to a real cluster than the local[N] thread legs
+    (BENCH/BASELINE.md).  Rewrites BENCH/EXECUTORS.md."""
+    legs = {}
+    for ex in (1, 4):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--executor-leg", str(ex)],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+        if proc.returncode != 0 or not lines:
+            sys.stderr.write(
+                "executor leg %d failed (rc=%d)\n--- child stderr ---\n%s\n"
+                % (ex, proc.returncode, proc.stderr[-4000:])
+            )
+            raise SystemExit(1)
+        legs[ex] = json.loads(lines[-1])
+    eff = round(legs[4]["value"] / (4 * legs[1]["value"]), 4)
+    md = """# BENCH/EXECUTORS.md — true multi-executor N -> 4N scaling
+
+The north rule asks for the job at two cluster sizes (N and 4N
+executors).  The sandbox has one machine, but Spark's local-cluster
+mode launches genuinely SEPARATE executor JVMs with the real
+inter-process shuffle path — unlike local[N], where "executors" are
+threads sharing one JVM heap and no shuffle ever crosses a process
+boundary.  Same corpus, same 128 salted partitions, one clean JVM
+per leg, 4 cores per executor (the regime the box serves without
+hitting its memory-bandwidth ceiling; see BENCH/BASELINE.md for the
+thread-leg analysis of that ceiling).
+
+| executors x cores | turns | wall s | turns/s |
+|---|---|---|---|
+| 1 x 4 | {t1} | {s1} | {v1} |
+| 4 x 4 | {t4} | {s4} | {v4} |
+
+**Scaling efficiency 1 -> 4 executors: {eff}** (target >= 0.8).
+
+Regenerate: `python bench.py --executor-scaling` (~4 min at sf0.1).
+""".format(
+        t1=legs[1]["turns"], s1=legs[1]["extract_sec"], v1=legs[1]["value"],
+        t4=legs[4]["turns"], s4=legs[4]["extract_sec"], v4=legs[4]["value"],
+        eff=eff,
+    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH", "EXECUTORS.md"), "w") as fh:
+        fh.write(md)
+    print(json.dumps({
+        "metric": "executor_scaling_1_to_4", "value": eff, "unit": "ratio",
+        "turns_per_sec": {"1x4": legs[1]["value"], "4x4": legs[4]["value"]},
+    }))
     return 0
 
 
