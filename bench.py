@@ -200,11 +200,7 @@ def executor_leg(n_executors: int) -> int:
     """One true-executor scaling leg: local-cluster[N,4,6144] — SEPARATE
     executor JVMs with real inter-process shuffle service, not local[N]
     threads.  Prints one JSON line; used by --executor-scaling."""
-    import sys as _sys
-
-    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
 
     spark = (
         SparkSession.builder.master("local-cluster[%d,4,6144]" % n_executors)
@@ -221,18 +217,14 @@ def executor_leg(n_executors: int) -> int:
     import __spark_entry__ as e
 
     e._ensure_workers_can_import(spark)
-    from pdfparse_spark.pipeline.bench_corpus import ensure_bench_corpus
-    from pdfparse_spark.pipeline.extract import run_extraction
-
-    path = ensure_bench_corpus(spark, CACHE, _n_convs(_sf_of(SF_DIR)))
-    df = spark.read.parquet(path)
-    run_extraction(df.limit(64), num_partitions=8).agg(F.count("*")).collect()
-    t0 = time.monotonic()
-    n = run_extraction(df, num_partitions=PARTITIONS).agg(F.count("*")).collect()[0][0]
-    w = time.monotonic() - t0
+    # bench_extraction, not a bare count: it keeps the ok > 0.8*n
+    # extraction-validity assert (a partially-failing kernel on the new
+    # executor import path would otherwise publish a scaling number over
+    # error rows) and the shared corpus/warmup/timing logic
+    ext = bench_extraction(spark, _n_convs(_sf_of(SF_DIR)), dedup_leg=False)
     print(json.dumps({
-        "executors": n_executors, "cores_each": 4, "turns": n,
-        "extract_sec": round(w, 3), "value": round(n / w, 1),
+        "executors": n_executors, "cores_each": 4, "turns": ext["turns"],
+        "extract_sec": ext["extract_sec"], "value": ext["turns_per_sec"],
     }))
     spark.stop()
     return 0

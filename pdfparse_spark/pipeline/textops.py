@@ -550,7 +550,11 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrounded mean's comparison, as embed_quality_score does."""
     d = _docs(spark, sf_dir).select("doc_id", F.explode(F.expr(_TOKS)).alias("w"))
     dw = d.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
-    vocab = d.groupBy("w").agg(F.count("*").alias("cw"))
+    # vocab from the aggregated (doc, w) pairs, NOT from d: re-exploding
+    # the corpus would run the tokenize+explode scan twice (two
+    # differently-keyed aggregates can't share an exchange); sum(c) over
+    # distinct pairs is the identical integer count
+    vocab = dw.groupBy("w").agg(F.sum("c").alias("cw"))
     tot = vocab.agg(
         F.sum("cw").alias("n_total"), F.count("*").alias("v_size")
     )
