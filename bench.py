@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "dedup_semantic",
     "text_bpe_pairs",
     "text_perplexity",
+    "text_bpe_encode",
 ]
 
 

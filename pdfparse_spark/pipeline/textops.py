@@ -633,6 +633,79 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_apply_len(word: str, ranks: dict[str, int]) -> int:
+    """Greedy rank-ordered BPE apply (the classic algorithm): start from
+    characters, repeatedly merge the adjacent pair with the best (lowest)
+    rank until no ranked pair remains; return the subword count.  Ranks
+    key on the CONCATENATION of the two adjacent tokens, so later lookups
+    on multi-char tokens simply miss (first-order merge table — see
+    text_bpe_encode)."""
+    toks = list(word)
+    while len(toks) > 1:
+        best = None
+        bi = -1
+        for i in range(len(toks) - 1):
+            r = ranks.get(toks[i] + toks[i + 1])
+            if r is not None and (best is None or r < best):
+                best, bi = r, i
+        if best is None:
+            break
+        toks[bi : bi + 2] = [toks[bi] + toks[bi + 1]]
+    return len(toks)
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY step (pairs with text_bpe_pairs' training counts):
+    encode every document with a greedy BPE merge table and report
+    per-doc subword statistics.  The merge table is the corpus' top-32
+    character-pair merges (first-order — a production table comes from
+    iterative retraining, and only the dict literal changes).
+
+    Scale: the expensive per-word merge loop runs over the DISTINCT
+    vocabulary only — one vocab-sized Arrow crossing (|vocab| << corpus
+    tokens, Heaps' law), exactly the content-addressing trick the
+    extraction dedup path uses at payload level — then a w-keyed join
+    against the (doc, w, c) counts and a doc-keyed agg.  The corpus
+    token stream itself never crosses into Python.
+
+    Rows-only (greedy iterative merging is not SQL-expressible); pinned
+    by a hand-computed pytest plus the invariant n_chars - n_bpe_tokens
+    == total merges applied."""
+    ranks = {
+        r["pair"]: i for i, r in enumerate(text_bpe_pairs(spark, sf_dir).collect())
+    }
+
+    def _encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ws = pdf["w"]
+            yield pd.DataFrame(
+                {"w": ws, "n_sub": [_bpe_apply_len(w, ranks) for w in ws]}
+            )
+
+    d = _docs(spark, sf_dir).select("doc_id", F.explode(F.expr(_TOKS)).alias("w"))
+    dw = d.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    vocab = dw.select("w").distinct()
+    encoded = vocab.mapInPandas(_encode, schema="w string, n_sub int")
+    per_doc = (
+        dw.join(encoded, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.sum(F.col("c") * F.length("w")).alias("n_chars"),
+            F.sum(F.col("c") * F.col("n_sub")).alias("n_bpe_tokens"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_chars",
+        "n_bpe_tokens",
+        F.round(F.col("n_chars") / F.col("n_bpe_tokens"), 4).alias("chars_per_token"),
+    )
+
+
 _DECON_BENCH_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark set
 
 
@@ -2638,6 +2711,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_semantic": dedup_semantic,
     "text_bpe_pairs": text_bpe_pairs,
+    "text_bpe_encode": text_bpe_encode,  # rows-only (greedy merge loop)
     "text_perplexity": text_perplexity,
     "embed_label_stats": embed_label_stats,
     "embed_quality_score": embed_quality_score,

@@ -293,6 +293,9 @@ def test_plan_hygiene_all_queries(spark):
         # aggregate (corpus doc count / total weight) into every row —
         # O(n·1), the right plan at any scale
         "text_tfidf_topk", "docs_pps_sample", "docs_mix_rebalance",
+        # perplexity cross-joins TWO one-row broadcast aggregates ((N, V)
+        # scalars, tercile cutoffs) into every row — O(n·1)
+        "text_perplexity",
         # parity gate: ONE-row agg × ONE-row distinct-count — O(1·1)
         "extract_dedup_parity",
     }

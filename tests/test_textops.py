@@ -763,3 +763,30 @@ def test_perplexity_ranks_rare_token_doc_worst(spark, tmp_path):
     assert all(gib["avg_logloss"] > rows[i]["avg_logloss"] for i in range(9))
     assert gib["n_tokens"] == 5 and rows[0]["n_tokens"] == 9
     assert {rows[i]["ppl_bucket"] for i in range(9)} <= {"head", "middle"}
+
+
+def test_bpe_encode_hand_computed(spark, tmp_path):
+    """Greedy rank-ordered apply on a corpus whose merge table is knowable
+    by hand: vocab {aaab:2, ab:1} gives pair counts aa:4, ab:3 → ranks
+    aa=0, ab=1.  'aaab' encodes a,a,a,b → [aa,a,b] → [aa,ab] = 2 subwords;
+    'ab' → [ab] = 1.  Invariant: n_chars - n_bpe_tokens == merges applied."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["aaab aaab", "ab"],
+            "lang": ["en"] * 2,
+            "source": ["t"] * 2,
+            "n_chars": [9, 2],
+        }
+    )
+    d = str(tmp_path)
+    pdf.to_parquet(d + "/documents.parquet")
+    from pdfparse_spark.pipeline.textops import text_bpe_encode
+
+    rows = {r["doc_id"]: r for r in text_bpe_encode(spark, d).collect()}
+    assert rows[1]["n_words"] == 2 and rows[1]["n_chars"] == 8
+    assert rows[1]["n_bpe_tokens"] == 4  # two 'aaab' x 2 subwords each
+    assert rows[2]["n_bpe_tokens"] == 1 and rows[2]["n_chars"] == 2
+    assert rows[1]["chars_per_token"] == 2.0
