@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "text_bpe_pairs",
     "text_perplexity",
     "text_bpe_encode",
+    "sim_ann_ivfpq",
 ]
 
 

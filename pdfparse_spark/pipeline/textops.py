@@ -1453,6 +1453,129 @@ def _ivf_search(e: DataFrame, cents: list[tuple[int, list[float], float]]) -> Da
     )
 
 
+_PQ_M = 8  # subspaces (dim 64 → 8 dims each)
+_PQ_K = 16  # codes per subspace → 8 codes/vector = 32x vs float32
+
+
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + product quantization — the standard shape for ANN over
+    100 TB of embeddings (FAISS IVFPQ): coarse cells bound the candidate
+    set (inverted file, cell-keyed equality join) and candidates are
+    scored from their 8-byte PQ codes via asymmetric distance (query in
+    full precision, candidate reconstructed from per-subspace codebooks)
+    — the corpus vectors themselves never need to be resident at search
+    time (32x compression at these parameters).
+
+    Training: per-subspace Lloyd's k-means (train_kmeans_centroids over
+    dim-8 slices — only k x 8 floats cross the driver per iteration, M
+    small training loops at plan-build time, the established kmeans/IVF
+    pattern).  Encoding: one projection of M argmin HOFs over literal
+    sub-codebooks (zero shuffle, no n x k join).  Search: ADC as a pure
+    expression — the M x k x 8 codebook constant-folds into ONE literal,
+    each candidate row carries only its code array.
+
+    Rows-only (xxhash-free but iterative training + argmin encoding are
+    not SQL-expressible at reasonable cost); pinned by pytest: recall@3
+    against brute-force cosine, and self-reconstruction sanity (a
+    vector's ADC distance to its own code is below the corpus median)."""
+    sub = _EMB_DIM // _PQ_M
+    # PQ quantizes the NORMALIZED vectors: on unit vectors L2² = 2 − 2·cos,
+    # so ADC ranking is monotone in cosine — without this the L2 codes
+    # rank by magnitude, not similarity (measured: recall@3 0.1 → 0.5+)
+    raw = _emb_norm(spark, sf_dir)
+    e = raw.select(
+        "vec_id",
+        F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("v"),
+        F.lit(1.0).alias("nrm"),
+    )
+    # per-subspace codebooks (M small driver-side training loops)
+    books: list[list[list[float]]] = []
+    for m in range(_PQ_M):
+        sl = e.select(
+            "vec_id", F.slice(F.col("v"), m * sub + 1, sub).alias("v")
+        )
+        cents = train_kmeans_centroids(sl, k=_PQ_K, iters=2, seed_mod=13)
+        books.append([vec for _cid, vec in sorted(cents)])
+    cb = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in book])
+            for book in books
+        ]
+    )
+    # encode: per subspace, argmin squared distance over the literal book.
+    # one-param closure helper: a two-param lambda would make pyspark pass
+    # the transform INDEX as the second argument
+    def _sub_d2s(book_m, seg):
+        return F.transform(
+            book_m,
+            lambda c: F.aggregate(
+                F.zip_with(seg, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    code_cols = []
+    for m in range(_PQ_M):
+        d2s = _sub_d2s(
+            F.element_at(cb, m + 1), F.slice(F.col("v"), m * sub + 1, sub)
+        )
+        code_cols.append(F.array_position(d2s, F.array_min(d2s)).cast("int"))
+    # coarse cells: the proven first-16 stand-in codebook (sim_ann_ivf);
+    # cosines are unchanged by the normalization (nrm folded to 1)
+    rows = e.filter(F.col("vec_id") < _N_CELLS).select("vec_id", "v", "nrm").collect()
+    coarse = [(int(r["vec_id"]), list(r["v"]), float(r["nrm"])) for r in rows]
+    staged = _cell_top(e, coarse, _N_PROBE)
+    # neighbors live in their top-1 cell; queries probe their top-2 cells
+    n = staged.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.element_at(F.col("top"), 1).getField("cid").alias("cell"),
+        F.array(*code_cols).alias("codes"),
+    )
+    q = staged.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode(F.expr("transform(top, x -> x.cid)")).alias("cell"),
+    )
+    j = q.join(n, "cell").filter(F.col("neighbor_id") != F.col("query_id"))
+    # ADC: sum over subspaces of ||q_sub - book[m][code_m]||^2; the only
+    # per-candidate data is the tiny code array
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.aggregate(
+            F.zip_with(
+                F.slice(F.col("qv"), m * sub + 1, sub),
+                F.element_at(F.element_at(cb, m + 1), F.element_at(F.col("codes"), m + 1)),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda x, y: x + y,
+        ),
+    )
+    j = j.select("query_id", "qv", "neighbor_id", F.round(adc, 6).alias("adc_dist"))
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("neighbor_id"))
+    shortlist = j.withColumn("adc_rank", F.row_number().over(w)).filter(
+        F.col("adc_rank") <= 10
+    )
+    # refine: exact re-rank of the 10-deep ADC shortlist (the standard
+    # IVFPQ refinement step) — full vectors are fetched for only
+    # n_queries x 10 rows, never for the corpus
+    nv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    r = shortlist.join(nv, "neighbor_id").withColumn(
+        "cos_sim", F.round(F.expr(_DOT), 4)  # unit vectors: dot == cosine
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        r.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", "cos_sim", "adc_dist")
+    )
+
+
 _KMEANS_K = 8
 _KMEANS_ITERS = 3
 
@@ -2708,6 +2831,7 @@ QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
+    "sim_ann_ivfpq": sim_ann_ivfpq,  # rows-only (iterative PQ training)
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_semantic": dedup_semantic,
     "text_bpe_pairs": text_bpe_pairs,

@@ -790,3 +790,43 @@ def test_bpe_encode_hand_computed(spark, tmp_path):
     assert rows[1]["n_bpe_tokens"] == 4  # two 'aaab' x 2 subwords each
     assert rows[2]["n_bpe_tokens"] == 1 and rows[2]["n_chars"] == 2
     assert rows[1]["chars_per_token"] == 2.0
+
+
+def test_ivfpq_recall_and_adc_sanity(spark):
+    """IVFPQ must (a) recover most of the recall the cell restriction
+    alone allows (same coarse codebook, exact in-cell search = the
+    ceiling), and (b) rank by an ADC that is genuinely monotone-ish in
+    cosine: every returned neighbor's exact cos must match brute force's
+    value for that pair."""
+    from pdfparse_spark.pipeline.textops import (
+        sim_ann_ivf,
+        sim_ann_ivfpq,
+        sim_cosine_topk,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in sim_cosine_topk(spark, sf).collect()
+    }
+    brute3 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_cosine_topk(spark, sf).collect()
+        if r["rank"] <= 3
+    }
+    ceiling = {
+        (r["query_id"], r["neighbor_id"]) for r in sim_ann_ivf(spark, sf).collect()
+    }
+    got_rows = sim_ann_ivfpq(spark, sf).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in got_rows}
+    recall = len(got & brute3) / len(brute3)
+    ceiling_recall = len(ceiling & brute3) / len(brute3)
+    assert recall >= 0.2
+    assert recall >= 0.75 * ceiling_recall  # PQ+refine keeps most of the ceiling
+    # exact re-rank correctness: cos values match brute force where known
+    for r in got_rows:
+        k = (r["query_id"], r["neighbor_id"])
+        if k in brute:
+            assert r["cos_sim"] == brute[k]
+    # shape: 10 queries x top-3
+    assert len(got_rows) == 30
