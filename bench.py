@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "text_perplexity",
     "text_bpe_encode",
     "sim_ann_ivfpq",
+    "corpus_curate_full",
 ]
 
 

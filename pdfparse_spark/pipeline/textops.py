@@ -597,6 +597,33 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# perplexity CTE fragment, ppl_-prefixed so it composes into larger oracle
+# chains (corpus_curate_full) without CTE-name collisions
+_SQL_PPL_CTES = f"""
+        ppl_toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents),
+        ppl_dw AS (SELECT doc_id, w, count(*) AS c FROM ppl_toks GROUP BY doc_id, w),
+        ppl_vocab AS (SELECT w, count(*) AS cw FROM ppl_toks GROUP BY w),
+        ppl_tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n_total, count(*) AS v_size FROM ppl_vocab),
+        ppl_j AS (
+            SELECT ppl_dw.doc_id, ppl_dw.c,
+                   -ln(CAST(ppl_vocab.cw + 1 AS DOUBLE)
+                       / CAST(ppl_tot.n_total + ppl_tot.v_size AS DOUBLE)) AS ll
+            FROM ppl_dw JOIN ppl_vocab USING (w), ppl_tot
+        ),
+        ppl_scored AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   round(sum(c * ll) / sum(c), 4) AS avg_logloss,
+                   CAST(sum(c * ll) / sum(c) <= {_PPL_THRESHOLD} AS INT) AS lm_keep
+            FROM ppl_j GROUP BY doc_id
+        ),
+        ppl_cuts AS (
+            SELECT quantile_cont(avg_logloss, 1.0 / 3) AS p33,
+                   quantile_cont(avg_logloss, 2.0 / 3) AS p66
+            FROM ppl_scored
+        )
+"""
+
 _BPE_TOPK = 32
 
 
@@ -1049,6 +1076,35 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _passed, _dropped, ranked = _curate_parts(spark, sf_dir)
     return ranked
+
+
+def corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation decision with EVERY batch filter family composed, as
+    one Catalyst plan: repetition quality (gopher_pass) ∧ LM perplexity
+    (drop the worst tercile — CCNet's head/middle selection) ∧ near-dup
+    cluster survivorship → deterministic training-order rank.  The
+    end-to-end CCNet/Gopher-style pipeline, value-verified against a
+    single DuckDB query.
+
+    Scale: the three filter legs are each doc_id-keyed aggregates over
+    their own scan (AQE reuses the shared tokenize exchanges where the
+    shapes coincide); the composition joins on doc_id only — fat text
+    never crosses a join."""
+    passed = text_gopher_quality(spark, sf_dir).filter(
+        F.col("gopher_pass") == 1
+    ).select("doc_id", "n_tokens")
+    lm_ok = text_perplexity(spark, sf_dir).filter(
+        F.col("ppl_bucket") != "tail"
+    ).select("doc_id")
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    keepers = dedup_cluster_keep_best(spark, sf_dir, clusters=clusters).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    dropped = clusters.join(keepers, "doc_id", "left_anti").select("doc_id")
+    curated = (
+        passed.join(lm_ok, "doc_id").join(dropped, "doc_id", "left_anti")
+    )
+    return _md5_shuffle_rank(curated, "n_tokens")
 
 
 def _curate_parts(
@@ -2531,33 +2587,12 @@ ORACLES: dict[str, str] = {
         FROM assigned a LEFT JOIN d USING (vec_id)
     """,
     "text_perplexity": f"""
-        WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents),
-        dw AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
-        vocab AS (SELECT w, count(*) AS cw FROM toks GROUP BY w),
-        tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n_total, count(*) AS v_size FROM vocab),
-        j AS (
-            SELECT dw.doc_id, dw.c,
-                   -ln(CAST(vocab.cw + 1 AS DOUBLE)
-                       / CAST(tot.n_total + tot.v_size AS DOUBLE)) AS ll
-            FROM dw JOIN vocab USING (w), tot
-        ),
-        scored AS (
-            SELECT doc_id,
-                   CAST(sum(c) AS BIGINT) AS n_tokens,
-                   round(sum(c * ll) / sum(c), 4) AS avg_logloss,
-                   CAST(sum(c * ll) / sum(c) <= {_PPL_THRESHOLD} AS INT) AS lm_keep
-            FROM j GROUP BY doc_id
-        ),
-        cuts AS (
-            SELECT quantile_cont(avg_logloss, 1.0 / 3) AS p33,
-                   quantile_cont(avg_logloss, 2.0 / 3) AS p66
-            FROM scored
-        )
+        WITH {_SQL_PPL_CTES}
         SELECT doc_id, n_tokens, avg_logloss, lm_keep,
                CASE WHEN avg_logloss <= p33 THEN 'head'
                     WHEN avg_logloss <= p66 THEN 'middle'
                     ELSE 'tail' END AS ppl_bucket
-        FROM scored, cuts
+        FROM ppl_scored, ppl_cuts
     """,
     "text_bpe_pairs": f"""
         WITH toks AS (SELECT unnest({_SQL_TOKS}) AS w FROM documents),
@@ -2794,6 +2829,57 @@ ORACLES: dict[str, str] = {
                    AS shuffle_rank
         FROM curated
     """,
+    # corpus_curate + the LM-perplexity tercile leg (drop 'tail', i.e.
+    # keep avg_logloss <= p66 on the ROUNDED score) — the full composed
+    # pipeline verified as ONE DuckDB query
+    "corpus_curate_full": f"""
+        WITH RECURSIVE {_SQL_JACCARD_PAIRS},
+        und AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION
+            SELECT doc_b AS a, doc_a AS b FROM pairs
+        ), nodes AS (
+            SELECT DISTINCT a AS doc_id FROM und
+        ), reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+        ), lab AS (
+            SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+        ), cscored AS (
+            SELECT doc_id,
+                   least(len({_SQL_TOKS}) / 64.0, 1.0)
+                   * (0.5 + 0.5 * (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                                   * 1.0 / greatest(length(text), 1)))
+                   * (1.0 - 0.5 * (len(list_filter({_SQL_TOKS},
+                                       w -> w IN ('the','a','and','of','to','in','is')))
+                                   * 1.0 / greatest(len({_SQL_TOKS}), 1))) AS q
+            FROM documents
+        ), cranked AS (
+            SELECT l.cluster_id, s.doc_id,
+                   row_number() OVER (PARTITION BY l.cluster_id
+                                      ORDER BY s.q DESC, s.doc_id) AS rn
+            FROM lab l JOIN cscored s USING (doc_id)
+        ), dropped AS (
+            SELECT doc_id FROM cranked WHERE rn > 1
+        ), {_SQL_GOPHER_CTES},
+        {_SQL_PPL_CTES},
+        ppl_ok AS (
+            SELECT s.doc_id FROM ppl_scored s, ppl_cuts
+            WHERE s.avg_logloss <= ppl_cuts.p66
+        ),
+        curated AS (
+            SELECT doc_id, n_tokens FROM gj
+            WHERE n_tokens >= 8 AND top_frac <= 0.2 AND dup_frac <= 0.3
+              AND doc_id IN (SELECT doc_id FROM ppl_ok)
+              AND doc_id NOT IN (SELECT doc_id FROM dropped)
+        )
+        SELECT doc_id, n_tokens,
+               md5('seed42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+               row_number() OVER (ORDER BY md5('seed42:' || CAST(doc_id AS VARCHAR)), doc_id)
+                   AS shuffle_rank
+        FROM curated
+    """,
     "dedup_clusters": f"""
         WITH RECURSIVE {_SQL_JACCARD_PAIRS},
         und AS (
@@ -2848,6 +2934,7 @@ QUERIES = {
     "dedup_cluster_keep_best": dedup_cluster_keep_best,
     "text_length_stats_approx": text_length_stats_approx,  # rows-only (sketch)
     "corpus_curate": corpus_curate,
+    "corpus_curate_full": corpus_curate_full,
 }
 
 # Queries with no ORACLES entry (sketch hash families / iterative loops).

@@ -830,3 +830,26 @@ def test_ivfpq_recall_and_adc_sanity(spark):
             assert r["cos_sim"] == brute[k]
     # shape: 10 queries x top-3
     assert len(got_rows) == 30
+
+
+def test_curate_full_is_subset_with_lm_leg(spark):
+    """corpus_curate_full = corpus_curate ∧ LM-tercile: its doc set must be
+    exactly corpus_curate's minus the perplexity 'tail' bucket, and ranks
+    must stay contiguous from 1."""
+    from pdfparse_spark.pipeline.textops import (
+        corpus_curate,
+        corpus_curate_full,
+        text_perplexity,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = {r["doc_id"] for r in corpus_curate(spark, sf).collect()}
+    tail = {
+        r["doc_id"]
+        for r in text_perplexity(spark, sf).collect()
+        if r["ppl_bucket"] == "tail"
+    }
+    rows = corpus_curate_full(spark, sf).collect()
+    full = {r["doc_id"] for r in rows}
+    assert full == base - tail
+    assert sorted(r["shuffle_rank"] for r in rows) == list(range(1, len(rows) + 1))
