@@ -624,6 +624,39 @@ _SQL_PPL_CTES = f"""
         )
 """
 
+# CC-closure + keep-best "dropped docs" CTE chain, shared by the
+# corpus_curate and corpus_curate_full oracles (assumes a preceding
+# WITH RECURSIVE {_SQL_JACCARD_PAIRS} CTE named `pairs`)
+_SQL_CURATE_DROP_CTES = f"""und AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION
+            SELECT doc_b AS a, doc_a AS b FROM pairs
+        ), nodes AS (
+            SELECT DISTINCT a AS doc_id FROM und
+        ), reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+        ), lab AS (
+            SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+        ), cscored AS (
+            SELECT doc_id,
+                   least(len({_SQL_TOKS}) / 64.0, 1.0)
+                   * (0.5 + 0.5 * (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                                   * 1.0 / greatest(length(text), 1)))
+                   * (1.0 - 0.5 * (len(list_filter({_SQL_TOKS},
+                                       w -> w IN ('the','a','and','of','to','in','is')))
+                                   * 1.0 / greatest(len({_SQL_TOKS}), 1))) AS q
+            FROM documents
+        ), cranked AS (
+            SELECT l.cluster_id, s.doc_id,
+                   row_number() OVER (PARTITION BY l.cluster_id
+                                      ORDER BY s.q DESC, s.doc_id) AS rn
+            FROM lab l JOIN cscored s USING (doc_id)
+        ), dropped AS (
+            SELECT doc_id FROM cranked WHERE rn > 1
+        )"""
+
 _BPE_TOPK = 32
 
 
@@ -1090,17 +1123,13 @@ def corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     their own scan (AQE reuses the shared tokenize exchanges where the
     shapes coincide); the composition joins on doc_id only — fat text
     never crosses a join."""
-    passed = text_gopher_quality(spark, sf_dir).filter(
-        F.col("gopher_pass") == 1
-    ).select("doc_id", "n_tokens")
+    # _curate_parts is THE single definition of the gopher ∧ survivor
+    # composition (shared with corpus_curate and the run_curate CLI) —
+    # this op only adds the LM leg on top
+    passed, dropped, _ranked = _curate_parts(spark, sf_dir)
     lm_ok = text_perplexity(spark, sf_dir).filter(
         F.col("ppl_bucket") != "tail"
     ).select("doc_id")
-    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
-    keepers = dedup_cluster_keep_best(spark, sf_dir, clusters=clusters).select(
-        F.col("keep_doc_id").alias("doc_id")
-    )
-    dropped = clusters.join(keepers, "doc_id", "left_anti").select("doc_id")
     curated = (
         passed.join(lm_ok, "doc_id").join(dropped, "doc_id", "left_anti")
     )
@@ -1513,6 +1542,33 @@ _PQ_M = 8  # subspaces (dim 64 → 8 dims each)
 _PQ_K = 16  # codes per subspace → 8 codes/vector = 32x vs float32
 
 
+def _pq_sub_d2s(book_col, seg_col):
+    """Squared distances from a sub-vector to every sub-centroid of one
+    book — THE single distance definition shared by PQ training and
+    encoding (divergent copies would corrupt codes with no test seam).
+    One-param inner lambda: a two-param lambda would make pyspark pass
+    the transform INDEX as the second argument."""
+    return F.transform(
+        book_col,
+        lambda c: F.aggregate(
+            F.zip_with(seg_col, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def _pq_books_literal(books: list[list[list[float]]]):
+    """The m_sub x k x sub codebook as ONE nested literal array (Catalyst
+    constant-folds it) — shared rendering for training and search."""
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in book])
+            for book in books
+        ]
+    )
+
+
 def _train_pq_codebooks(
     e: DataFrame, m_sub: int, k: int, sub: int, iters: int, seed_mod: int
 ) -> list[list[list[float]]]:
@@ -1521,9 +1577,10 @@ def _train_pq_codebooks(
     (persisted), and each iteration is ONE aggregate job grouped by
     (m, code) — sub per-dim sum aggs + a count — instead of m_sub
     independent training chains.  Only m_sub x k x sub floats cross the
-    driver per iteration.  Seeding matches train_kmeans_centroids (every
-    ``seed_mod``-th vector, first k) applied per subspace; a code that
-    loses all members keeps its previous centroid."""
+    driver per iteration.  Seeding matches train_kmeans_centroids (first
+    k of the every-``seed_mod``-th vectors in vec_id order — no density
+    assumption on the ids); a code that loses all members keeps its
+    previous centroid."""
     parts = F.array(
         *[
             F.struct(
@@ -1538,58 +1595,47 @@ def _train_pq_codebooks(
         .select("vec_id", F.col("p.m").alias("m"), F.col("p.sv").alias("sv"))
         .persist()
     )
-    seed_rows = (
-        ex.filter(F.col("vec_id") % seed_mod == 0)
-        .filter(F.col("vec_id") < k * seed_mod)
-        .collect()
-    )
-    books: list[list[list[float]]] = [[None] * k for _ in range(m_sub)]
-    for r in seed_rows:
-        cid = int(r["vec_id"]) // seed_mod
-        if cid < k:
-            books[int(r["m"])][cid] = [float(x) for x in r["sv"]]
-    # backstop for corpora smaller than k * seed_mod: fill from the zeros
-    for m in range(m_sub):
-        for cid in range(k):
-            if books[m][cid] is None:
-                books[m][cid] = [0.0] * sub
-
-    def _sub_d2s_over(book_col, seg_col):
-        return F.transform(
-            book_col,
-            lambda c: F.aggregate(
-                F.zip_with(seg_col, c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-
-    for _ in range(iters):
-        cb = F.array(
-            *[
-                F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in book])
-                for book in books
-            ]
-        )
-        d2s = _sub_d2s_over(F.element_at(cb, F.col("m") + 1), F.col("sv"))
-        code = F.array_position(d2s, F.array_min(d2s)).cast("int")
-        upd = (
-            ex.select("m", code.alias("code"), "sv")
-            .groupBy("m", "code")
-            .agg(
-                F.count("*").alias("n"),
-                *[
-                    F.sum(F.element_at("sv", j + 1)).alias("s%d" % j)
-                    for j in range(sub)
-                ],
-            )
+    try:
+        seed_ids = [
+            r["vec_id"]
+            for r in ex.filter((F.col("vec_id") % seed_mod == 0) & (F.col("m") == 0))
+            .select("vec_id")
+            .orderBy("vec_id")
+            .limit(k)
             .collect()
-        )
-        for r in upd:
-            m, cid, n = int(r["m"]), int(r["code"]) - 1, int(r["n"])
-            if n > 0:
-                books[m][cid] = [float(r["s%d" % j]) / n for j in range(sub)]
-    ex.unpersist()
+        ]
+        cid_of = {vid: i for i, vid in enumerate(seed_ids)}
+        seed_rows = ex.filter(F.col("vec_id").isin(seed_ids)).collect()
+        books: list[list[list[float]]] = [[None] * k for _ in range(m_sub)]
+        for r in seed_rows:
+            books[int(r["m"])][cid_of[r["vec_id"]]] = [float(x) for x in r["sv"]]
+        # backstop for corpora with fewer than k qualifying seeds
+        for m in range(m_sub):
+            for cid in range(k):
+                if books[m][cid] is None:
+                    books[m][cid] = [0.0] * sub
+        for _ in range(iters):
+            cb = _pq_books_literal(books)
+            d2s = _pq_sub_d2s(F.element_at(cb, F.col("m") + 1), F.col("sv"))
+            code = F.array_position(d2s, F.array_min(d2s)).cast("int")
+            upd = (
+                ex.select("m", code.alias("code"), "sv")
+                .groupBy("m", "code")
+                .agg(
+                    F.count("*").alias("n"),
+                    *[
+                        F.sum(F.element_at("sv", j + 1)).alias("s%d" % j)
+                        for j in range(sub)
+                    ],
+                )
+                .collect()
+            )
+            for r in upd:
+                m, cid, n = int(r["m"]), int(r["code"]) - 1, int(r["n"])
+                if n > 0:
+                    books[m][cid] = [float(r["s%d" % j]) / n for j in range(sub)]
+    finally:
+        ex.unpersist()
     return books
 
 
@@ -1602,69 +1648,60 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the corpus vectors themselves never need to be resident at search
     time (32x compression at these parameters).
 
-    Training: per-subspace Lloyd's k-means (train_kmeans_centroids over
-    dim-8 slices — only k x 8 floats cross the driver per iteration, M
-    small training loops at plan-build time, the established kmeans/IVF
-    pattern).  Encoding: one projection of M argmin HOFs over literal
-    sub-codebooks (zero shuffle, no n x k join).  Search: ADC as a pure
-    expression — the M x k x 8 codebook constant-folds into ONE literal,
-    each candidate row carries only its code array.
+    Training: Lloyd's k-means for ALL M subspaces in one exploded frame
+    (_train_pq_codebooks — one (m, code)-grouped aggregate job per
+    iteration; only M x k x 8 floats cross the driver; M serial chains
+    measured 32.6 s vs 6.5 s warm end-to-end for identical codebooks).
+    Encoding: one projection of M argmin HOFs over literal sub-codebooks
+    (zero shuffle, no n x k join).  Search: ADC as a pure expression —
+    the M x k x 8 codebook constant-folds into ONE literal, each
+    candidate row carries only its code array — then the standard
+    refinement re-ranks the 10-deep shortlist with exact cosine.
 
     Rows-only (xxhash-free but iterative training + argmin encoding are
     not SQL-expressible at reasonable cost); pinned by pytest: recall@3
-    against brute-force cosine, and self-reconstruction sanity (a
-    vector's ADC distance to its own code is below the corpus median)."""
+    is >= 0.75x the cell-restriction ceiling (sim_ann_ivf with the same
+    coarse codebook), and every returned pair's exact cosine agrees with
+    brute force to 1e-4 (normalized-dot vs raw-dot/nrm differ by ulps)."""
     sub = _EMB_DIM // _PQ_M
     # PQ quantizes the NORMALIZED vectors: on unit vectors L2² = 2 − 2·cos,
     # so ADC ranking is monotone in cosine — without this the L2 codes
-    # rank by magnitude, not similarity (measured: recall@3 0.1 → 0.5+)
+    # rank by magnitude, not similarity (measured: recall@3 0.1 → 0.23)
     raw = _emb_norm(spark, sf_dir)
     e = raw.select(
         "vec_id",
         F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("v"),
         F.lit(1.0).alias("nrm"),
-    )
-    # ALL M subquantizers train together — one exploded (m, subvec) frame,
-    # one aggregate job per Lloyd iteration for every subspace at once
-    # (training them serially is M independent job chains: measured 32s vs
-    # ~4s at sf0.1 for identical codebooks)
-    books = _train_pq_codebooks(e, _PQ_M, _PQ_K, sub, iters=2, seed_mod=13)
-    cb = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in book])
-            for book in books
-        ]
-    )
-    # encode: per subspace, argmin squared distance over the literal book.
-    # one-param closure helper: a two-param lambda would make pyspark pass
-    # the transform INDEX as the second argument
-    def _sub_d2s(book_m, seg):
-        return F.transform(
-            book_m,
-            lambda c: F.aggregate(
-                F.zip_with(seg, c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
+    ).persist()
+    try:
+        # ALL M subquantizers train together — one exploded (m, subvec)
+        # frame, one aggregate job per Lloyd iteration for every subspace
+        books = _train_pq_codebooks(e, _PQ_M, _PQ_K, sub, iters=2, seed_mod=13)
+        cb = _pq_books_literal(books)
+        # encode: per subspace, argmin squared distance over the literal
+        # book (the SAME _pq_sub_d2s distance the training loop used)
+        code_cols = []
+        for m in range(_PQ_M):
+            d2s = _pq_sub_d2s(
+                F.element_at(cb, m + 1), F.slice(F.col("v"), m * sub + 1, sub)
+            )
+            code_cols.append(F.array_position(d2s, F.array_min(d2s)).cast("int"))
+        # coarse cells: the proven first-16 stand-in codebook (sim_ann_ivf);
+        # cosines are unchanged by the normalization (nrm folded to 1)
+        rows = (
+            e.filter(F.col("vec_id") < _N_CELLS).select("vec_id", "v", "nrm").collect()
         )
-
-    code_cols = []
-    for m in range(_PQ_M):
-        d2s = _sub_d2s(
-            F.element_at(cb, m + 1), F.slice(F.col("v"), m * sub + 1, sub)
-        )
-        code_cols.append(F.array_position(d2s, F.array_min(d2s)).cast("int"))
-    # coarse cells: the proven first-16 stand-in codebook (sim_ann_ivf);
-    # cosines are unchanged by the normalization (nrm folded to 1)
-    rows = e.filter(F.col("vec_id") < _N_CELLS).select("vec_id", "v", "nrm").collect()
-    coarse = [(int(r["vec_id"]), list(r["v"]), float(r["nrm"])) for r in rows]
-    staged = _cell_top(e, coarse, _N_PROBE)
-    # eager localCheckpoint (the dedup_clusters pattern): normalize →
-    # cell-argmin runs ONCE.  Both search legs otherwise re-derive the
-    # whole chain, and the probe explode substitutes the giant
-    # literal-codebook expressions into every consumer (the Catalyst
-    # explode trap) — and Janino recompiles them per branch.
-    staged = staged.localCheckpoint(eager=True)
+        coarse = [(int(r["vec_id"]), list(r["v"]), float(r["nrm"])) for r in rows]
+        staged = _cell_top(e, coarse, _N_PROBE)
+        # eager localCheckpoint (the dedup_clusters pattern): normalize →
+        # cell-argmin runs ONCE.  Both search legs otherwise re-derive the
+        # whole chain, and the probe explode substitutes the giant
+        # literal-codebook expressions into every consumer (the Catalyst
+        # explode trap) — and Janino recompiles them per branch.
+        staged = staged.localCheckpoint(eager=True)
+    finally:
+        # every downstream consumer reads the checkpoint, not e's lineage
+        e.unpersist()
     # neighbors live in their top-1 cell; queries probe their top-2 cells
     n = staged.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -1700,8 +1737,9 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # refine: exact re-rank of the 10-deep ADC shortlist (the standard
     # IVFPQ refinement step) — full vectors are fetched for only
-    # n_queries x 10 rows, never for the corpus
-    nv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    # n_queries x 10 rows, never for the corpus; read from the
+    # checkpointed frame, not e's lineage (one source scan per run)
+    nv = staged.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
     r = shortlist.join(nv, "neighbor_id").withColumn(
         "cos_sim", F.round(F.expr(_DOT), 4)  # unit vectors: dot == cosine
     )
@@ -2872,35 +2910,7 @@ ORACLES: dict[str, str] = {
     """,
     "corpus_curate": f"""
         WITH RECURSIVE {_SQL_JACCARD_PAIRS},
-        und AS (
-            SELECT doc_a AS a, doc_b AS b FROM pairs
-            UNION
-            SELECT doc_b AS a, doc_a AS b FROM pairs
-        ), nodes AS (
-            SELECT DISTINCT a AS doc_id FROM und
-        ), reach(src, dst) AS (
-            SELECT doc_id, doc_id FROM nodes
-            UNION
-            SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
-        ), lab AS (
-            SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
-        ), cscored AS (
-            SELECT doc_id,
-                   least(len({_SQL_TOKS}) / 64.0, 1.0)
-                   * (0.5 + 0.5 * (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
-                                   * 1.0 / greatest(length(text), 1)))
-                   * (1.0 - 0.5 * (len(list_filter({_SQL_TOKS},
-                                       w -> w IN ('the','a','and','of','to','in','is')))
-                                   * 1.0 / greatest(len({_SQL_TOKS}), 1))) AS q
-            FROM documents
-        ), cranked AS (
-            SELECT l.cluster_id, s.doc_id,
-                   row_number() OVER (PARTITION BY l.cluster_id
-                                      ORDER BY s.q DESC, s.doc_id) AS rn
-            FROM lab l JOIN cscored s USING (doc_id)
-        ), dropped AS (
-            SELECT doc_id FROM cranked WHERE rn > 1
-        ), {_SQL_GOPHER_CTES},
+        {_SQL_CURATE_DROP_CTES}, {_SQL_GOPHER_CTES},
         curated AS (
             SELECT doc_id, n_tokens FROM gj
             WHERE n_tokens >= 8 AND top_frac <= 0.2 AND dup_frac <= 0.3
@@ -2917,35 +2927,7 @@ ORACLES: dict[str, str] = {
     # pipeline verified as ONE DuckDB query
     "corpus_curate_full": f"""
         WITH RECURSIVE {_SQL_JACCARD_PAIRS},
-        und AS (
-            SELECT doc_a AS a, doc_b AS b FROM pairs
-            UNION
-            SELECT doc_b AS a, doc_a AS b FROM pairs
-        ), nodes AS (
-            SELECT DISTINCT a AS doc_id FROM und
-        ), reach(src, dst) AS (
-            SELECT doc_id, doc_id FROM nodes
-            UNION
-            SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
-        ), lab AS (
-            SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
-        ), cscored AS (
-            SELECT doc_id,
-                   least(len({_SQL_TOKS}) / 64.0, 1.0)
-                   * (0.5 + 0.5 * (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
-                                   * 1.0 / greatest(length(text), 1)))
-                   * (1.0 - 0.5 * (len(list_filter({_SQL_TOKS},
-                                       w -> w IN ('the','a','and','of','to','in','is')))
-                                   * 1.0 / greatest(len({_SQL_TOKS}), 1))) AS q
-            FROM documents
-        ), cranked AS (
-            SELECT l.cluster_id, s.doc_id,
-                   row_number() OVER (PARTITION BY l.cluster_id
-                                      ORDER BY s.q DESC, s.doc_id) AS rn
-            FROM lab l JOIN cscored s USING (doc_id)
-        ), dropped AS (
-            SELECT doc_id FROM cranked WHERE rn > 1
-        ), {_SQL_GOPHER_CTES},
+        {_SQL_CURATE_DROP_CTES}, {_SQL_GOPHER_CTES},
         {_SQL_PPL_CTES},
         ppl_ok AS (
             SELECT s.doc_id FROM ppl_scored s, ppl_cuts

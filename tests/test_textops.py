@@ -805,14 +805,12 @@ def test_ivfpq_recall_and_adc_sanity(spark):
     )
 
     sf = "/root/testdata/sf0.01"
+    brute_rows = sim_cosine_topk(spark, sf).collect()  # ONE brute-force job
     brute = {
-        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
-        for r in sim_cosine_topk(spark, sf).collect()
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in brute_rows
     }
     brute3 = {
-        (r["query_id"], r["neighbor_id"])
-        for r in sim_cosine_topk(spark, sf).collect()
-        if r["rank"] <= 3
+        (r["query_id"], r["neighbor_id"]) for r in brute_rows if r["rank"] <= 3
     }
     ceiling = {
         (r["query_id"], r["neighbor_id"]) for r in sim_ann_ivf(spark, sf).collect()
@@ -823,11 +821,14 @@ def test_ivfpq_recall_and_adc_sanity(spark):
     ceiling_recall = len(ceiling & brute3) / len(brute3)
     assert recall >= 0.2
     assert recall >= 0.75 * ceiling_recall  # PQ+refine keeps most of the ceiling
-    # exact re-rank correctness: cos values match brute force where known
+    # exact re-rank correctness: cos values match brute force where known.
+    # Tolerance, not equality: ivfpq computes dot(v/||v||, u/||u||), brute
+    # computes dot(v,u)/(||v||·||u||) — the two float evaluation orders
+    # differ by ulps, so round(·, 4) may split on a 0.00005 boundary.
     for r in got_rows:
         k = (r["query_id"], r["neighbor_id"])
         if k in brute:
-            assert r["cos_sim"] == brute[k]
+            assert abs(r["cos_sim"] - brute[k]) <= 1e-4 + 1e-9
     # shape: 10 queries x top-3
     assert len(got_rows) == 30
 
