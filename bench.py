@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "text_bpe_encode",
     "sim_ann_ivfpq",
     "corpus_curate_full",
+    "train_bpe_merges",
 ]
 
 

@@ -693,19 +693,19 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_apply_len(word: str, ranks: dict[str, int]) -> int:
+def _bpe_apply_len(word: str, ranks: dict[tuple[str, str], int]) -> int:
     """Greedy rank-ordered BPE apply (the classic algorithm): start from
     characters, repeatedly merge the adjacent pair with the best (lowest)
     rank until no ranked pair remains; return the subword count.  Ranks
-    key on the CONCATENATION of the two adjacent tokens, so later lookups
-    on multi-char tokens simply miss (first-order merge table — see
-    text_bpe_encode)."""
+    key on the (left, right) TOKEN PAIR — concatenation keys would be
+    ambiguous once trained merges produce multi-char tokens
+    (('h','ug') and ('hu','g') both concatenate to 'hug')."""
     toks = list(word)
     while len(toks) > 1:
         best = None
         bi = -1
         for i in range(len(toks) - 1):
-            r = ranks.get(toks[i] + toks[i + 1])
+            r = ranks.get((toks[i], toks[i + 1]))
             if r is not None and (best is None or r < best):
                 best, bi = r, i
         if best is None:
@@ -714,27 +714,12 @@ def _bpe_apply_len(word: str, ranks: dict[str, int]) -> int:
     return len(toks)
 
 
-def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer APPLY step (pairs with text_bpe_pairs' training counts):
-    encode every document with a greedy BPE merge table and report
-    per-doc subword statistics.  The merge table is the corpus' top-32
-    character-pair merges (first-order — a production table comes from
-    iterative retraining, and only the dict literal changes).
-
-    Scale: the expensive per-word merge loop runs over the DISTINCT
-    vocabulary only — one vocab-sized Arrow crossing (|vocab| << corpus
-    tokens, Heaps' law), exactly the content-addressing trick the
-    extraction dedup path uses at payload level — then a w-keyed join
-    against the (doc, w, c) counts and a doc-keyed agg.  The corpus
-    token stream itself never crosses into Python.
-
-    Rows-only (greedy iterative merging is not SQL-expressible); pinned
-    by a hand-computed pytest plus the invariant n_chars - n_bpe_tokens
-    == total merges applied."""
-    ranks = {
-        r["pair"]: i for i, r in enumerate(text_bpe_pairs(spark, sf_dir).collect())
-    }
-
+def _bpe_encode_with(spark: SparkSession, sf_dir: str, ranks: dict) -> DataFrame:
+    """Shared encode body for the first-order and trained BPE apply ops:
+    the greedy merge loop runs over the DISTINCT vocabulary only (one
+    vocab-sized Arrow crossing), then a w-keyed join back to the
+    (doc, w, c) counts and a doc-keyed agg — the corpus token stream
+    never enters Python."""
     def _encode(batches):
         import pandas as pd
 
@@ -764,6 +749,121 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bpe_tokens",
         F.round(F.col("n_chars") / F.col("n_bpe_tokens"), 4).alias("chars_per_token"),
     )
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY step (pairs with text_bpe_pairs' training counts):
+    encode every document with a greedy BPE merge table and report
+    per-doc subword statistics.  The merge table is the corpus' top-32
+    character-pair merges (first-order — a production table comes from
+    iterative retraining, and only the dict literal changes).
+
+    Scale: the expensive per-word merge loop runs over the DISTINCT
+    vocabulary only — one vocab-sized Arrow crossing (|vocab| << corpus
+    tokens, Heaps' law), exactly the content-addressing trick the
+    extraction dedup path uses at payload level — then a w-keyed join
+    against the (doc, w, c) counts and a doc-keyed agg.  The corpus
+    token stream itself never crosses into Python.
+
+    Rows-only (greedy iterative merging is not SQL-expressible); pinned
+    by a hand-computed pytest plus the invariant n_chars - n_bpe_tokens
+    == total merges applied."""
+    ranks = {
+        (r["pair"][0], r["pair"][1]): i
+        for i, r in enumerate(text_bpe_pairs(spark, sf_dir).collect())
+    }
+    return _bpe_encode_with(spark, sf_dir, ranks)
+
+
+_BPE_TRAIN_MERGES = 8
+
+
+def _bpe_merge_once_expr(a: str, b: str):
+    """Apply the single merge (a, b) → ab to a ``seg`` token array,
+    left-to-right and non-overlapping (a freshly merged token does not
+    re-participate in this round), as one pure fold — no UDF.  The ''
+    sentinel is safe: tokens come from [a-z0-9]+ words, never empty."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"), F.lit("").alias("pend")
+    )
+    flush = lambda acc: F.when(  # noqa: E731 — local fold helper
+        acc["pend"] == "", acc["out"]
+    ).otherwise(F.concat(acc["out"], F.array(acc["pend"])))
+    step = lambda acc, t: F.when(  # noqa: E731
+        (acc["pend"] == F.lit(a)) & (t == F.lit(b)),
+        F.struct(
+            F.concat(acc["out"], F.array(F.lit(a + b))).alias("out"),
+            F.lit("").alias("pend"),
+        ),
+    ).otherwise(F.struct(flush(acc).alias("out"), t.alias("pend")))
+    return F.aggregate(F.col("seg"), init, step, flush)
+
+
+def train_bpe_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = _BPE_TRAIN_MERGES
+) -> DataFrame:
+    """FULL iterative BPE training (Sennrich et al. 2016), not just the
+    first-round counts: each round re-counts weighted adjacent-pair
+    frequencies over the CURRENT segmentation of the distinct vocabulary,
+    takes the (freq desc, pair asc) winner, and applies it left-to-right
+    non-overlapping via a pure array fold.  Output: the ranked merge
+    table (merge_rank, left, right, freq) — the artifact a tokenizer
+    ships; stops early when no pair remains.
+
+    Scale: ONE corpus-sized shuffle total (the initial vocab aggregate);
+    every training round is a vocab-sized pair count + a vocab-sized
+    projection (|vocab| << corpus tokens, Heaps' law), with the
+    segmentation frame eagerly localCheckpointed per round so lineage
+    never stacks across rounds.  Only one (pair, freq) row crosses the
+    driver per round.  Rows-only (argmax-per-round iteration is not
+    SQL-expressible); pinned by the classic hand-computable pytest."""
+    d = _docs(spark, sf_dir).select(F.explode(F.expr(_TOKS)).alias("w"))
+    vocab = d.groupBy("w").agg(F.count("*").alias("wc"))
+    segs = vocab.select(
+        "w",
+        "wc",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias(
+            "seg"
+        ),
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    pair_expr = (
+        "transform(sequence(1, size(seg) - 1), "
+        "i -> struct(element_at(seg, i) AS a, element_at(seg, i + 1) AS b))"
+    )
+    for rnd in range(n_merges):
+        top = (
+            segs.filter(F.size("seg") >= 2)
+            .select("wc", F.explode(F.expr(pair_expr)).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("wc").cast("bigint").alias("freq"))
+            .orderBy(F.col("freq").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, freq = top[0]["a"], top[0]["b"], int(top[0]["freq"])
+        merges.append((rnd + 1, a, b, freq))
+        segs = segs.select(
+            "w", "wc", _bpe_merge_once_expr(a, b).alias("seg")
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, freq bigint"
+    )
+
+
+def text_bpe_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_bpe_encode driven by the FULLY TRAINED merge table
+    (train_bpe_merges) instead of the first-order character-pair counts —
+    the production composition: train once, encode the corpus with the
+    shipped ranks.  Same vocab-sized Arrow crossing; multi-char merges
+    are unambiguous because ranks key on (left, right) token pairs."""
+    ranks = {
+        (r["left"], r["right"]): int(r["merge_rank"])
+        for r in train_bpe_merges(spark, sf_dir).collect()
+    }
+    return _bpe_encode_with(spark, sf_dir, ranks)
 
 
 _DECON_BENCH_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark set
@@ -2987,6 +3087,8 @@ QUERIES = {
     "dedup_semantic": dedup_semantic,
     "text_bpe_pairs": text_bpe_pairs,
     "text_bpe_encode": text_bpe_encode,  # rows-only (greedy merge loop)
+    "train_bpe_merges": train_bpe_merges,  # rows-only (argmax-per-round loop)
+    "text_bpe_encode_trained": text_bpe_encode_trained,  # rows-only
     "text_perplexity": text_perplexity,
     "embed_label_stats": embed_label_stats,
     "embed_quality_score": embed_quality_score,

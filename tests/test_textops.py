@@ -854,3 +854,36 @@ def test_curate_full_is_subset_with_lm_leg(spark):
     full = {r["doc_id"] for r in rows}
     assert full == base - tail
     assert sorted(r["shuffle_rank"] for r in rows) == list(range(1, len(rows) + 1))
+
+
+def test_bpe_trainer_classic_example(spark, tmp_path):
+    """Full iterative BPE on the classic hand-computable corpus
+    {hug:3, pug:2, hugs:1}: merges must be (u,g):6 → (h,ug):4 →
+    (p,ug):2 → (hug,s):1 and then STOP early (no pairs remain); the
+    trained encode collapses every word to its learned subwords."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["hug hug hug pug pug", "hugs"],
+            "lang": ["en"] * 2,
+            "source": ["t"] * 2,
+            "n_chars": [19, 4],
+        }
+    )
+    d = str(tmp_path)
+    pdf.to_parquet(d + "/documents.parquet")
+    from pdfparse_spark.pipeline.textops import (
+        text_bpe_encode_trained,
+        train_bpe_merges,
+    )
+
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["freq"])
+        for r in train_bpe_merges(spark, d).collect()
+    ]
+    assert got == [(1, "u", "g", 6), (2, "h", "ug", 4), (3, "p", "ug", 2), (4, "hug", "s", 1)]
+    rows = {r["doc_id"]: r for r in text_bpe_encode_trained(spark, d).collect()}
+    assert rows[1]["n_bpe_tokens"] == 5  # hug x3 + pug x2, one token each
+    assert rows[2]["n_bpe_tokens"] == 1  # hugs
