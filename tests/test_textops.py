@@ -887,3 +887,64 @@ def test_bpe_trainer_classic_example(spark, tmp_path):
     rows = {r["doc_id"]: r for r in text_bpe_encode_trained(spark, d).collect()}
     assert rows[1]["n_bpe_tokens"] == 5  # hug x3 + pug x2, one token each
     assert rows[2]["n_bpe_tokens"] == 1  # hugs
+
+
+def test_bpe_merge_fold_matches_python_reference(spark):
+    """The pure-SQL merge fold (_bpe_merge_once_expr) must agree with an
+    independent Python implementation of 'apply one merge left-to-right,
+    non-overlapping' on adversarial segmentations: overlapping runs
+    (aaa), back-to-back matches (abab), match at start/end, no match,
+    and single-token inputs."""
+    from pdfparse_spark.pipeline.textops import _bpe_merge_once_expr
+
+    def ref(seg, a, b):
+        out, i = [], 0
+        while i < len(seg):
+            if i + 1 < len(seg) and seg[i] == a and seg[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(seg[i])
+                i += 1
+        return out
+
+    cases = [
+        (["a", "a", "a"], "a", "a"),
+        (["a", "a", "a", "a"], "a", "a"),
+        (["a", "b", "a", "b"], "a", "b"),
+        (["x", "a", "b"], "a", "b"),
+        (["a", "b", "x"], "a", "b"),
+        (["a", "b"], "a", "b"),
+        (["b", "a"], "a", "b"),
+        (["z"], "a", "b"),
+        (["ab", "c", "ab", "c", "ab"], "ab", "c"),
+        (["q", "u", "g", "u", "g"], "u", "g"),
+    ]
+    # deterministic pseudo-random extras (no global random state)
+    toks = ["a", "b", "ab", "c"]
+    x = 12345
+    for _ in range(30):
+        seg = []
+        x = (1103515245 * x + 12345) & 0x7FFFFFFF
+        for j in range((x % 6) + 1):
+            x = (1103515245 * x + 12345) & 0x7FFFFFFF
+            seg.append(toks[x % len(toks)])
+        cases.append((seg, "a", "b"))
+        cases.append((seg, "ab", "c"))
+    df = spark.createDataFrame(
+        [(i, seg, a, b) for i, (seg, a, b) in enumerate(cases)],
+        "id int, seg array<string>, a string, b string",
+    )
+    import pyspark.sql.functions as F
+
+    rows = {}
+    for i, (seg, a, b) in enumerate(cases):
+        rows[i] = ref(seg, a, b)
+    # evaluate the fold per distinct (a, b) literal pair
+    got = {}
+    for pair in {(a, b) for _, a, b in cases}:
+        sub = df.filter((F.col("a") == pair[0]) & (F.col("b") == pair[1]))
+        out = sub.select("id", _bpe_merge_once_expr(*pair).alias("m")).collect()
+        for r in out:
+            got[r["id"]] = list(r["m"])
+    assert got == rows
