@@ -754,9 +754,10 @@ def _bpe_encode_with(spark: SparkSession, sf_dir: str, ranks: dict) -> DataFrame
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer APPLY step (pairs with text_bpe_pairs' training counts):
     encode every document with a greedy BPE merge table and report
-    per-doc subword statistics.  The merge table is the corpus' top-32
-    character-pair merges (first-order — a production table comes from
-    iterative retraining, and only the dict literal changes).
+    per-doc subword statistics.  The merge table here is the corpus'
+    top-32 character-pair merges (first-order); text_bpe_encode_trained
+    below is the production composition, driving the SAME encode body
+    with train_bpe_merges' iteratively retrained table.
 
     Scale: the expensive per-word merge loop runs over the DISTINCT
     vocabulary only — one vocab-sized Arrow crossing (|vocab| << corpus
@@ -819,13 +820,17 @@ def train_bpe_merges(
     SQL-expressible); pinned by the classic hand-computable pytest."""
     d = _docs(spark, sf_dir).select(F.explode(F.expr(_TOKS)).alias("w"))
     vocab = d.groupBy("w").agg(F.count("*").alias("wc"))
-    segs = vocab.select(
-        "w",
-        "wc",
-        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias(
-            "seg"
-        ),
-    ).localCheckpoint(eager=True)
+    segs = (
+        vocab.select(
+            "w",
+            "wc",
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ).alias("seg"),
+        )
+        .filter(F.size("seg") >= 2)  # single-char words can never pair
+        .localCheckpoint(eager=True)
+    )
     merges: list[tuple[int, str, str, int]] = []
     pair_expr = (
         "transform(sequence(1, size(seg) - 1), "
@@ -833,8 +838,7 @@ def train_bpe_merges(
     )
     for rnd in range(n_merges):
         top = (
-            segs.filter(F.size("seg") >= 2)
-            .select("wc", F.explode(F.expr(pair_expr)).alias("p"))
+            segs.select("wc", F.explode(F.expr(pair_expr)).alias("p"))
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("wc").cast("bigint").alias("freq"))
             .orderBy(F.col("freq").desc(), "a", "b")
@@ -845,9 +849,18 @@ def train_bpe_merges(
             break
         a, b, freq = top[0]["a"], top[0]["b"], int(top[0]["freq"])
         merges.append((rnd + 1, a, b, freq))
-        segs = segs.select(
-            "w", "wc", _bpe_merge_once_expr(a, b).alias("seg")
-        ).localCheckpoint(eager=True)
+        prev = segs
+        # fully-merged words (one token) can never pair again — drop them
+        # so the working set shrinks monotonically; the previous round's
+        # checkpoint is released (the dedup_clusters loop discipline:
+        # without unpersist each round leaks a cached frame for the
+        # session lifetime)
+        segs = (
+            prev.select("w", "wc", _bpe_merge_once_expr(a, b).alias("seg"))
+            .filter(F.size("seg") >= 2)
+            .localCheckpoint(eager=True)
+        )
+        prev.unpersist()
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, freq bigint"
     )
