@@ -31,8 +31,16 @@ import argparse
 import json
 import time
 
+from pyspark.sql import functions as F
+
 from .session import get_spark
-from .textops import _curate_parts, _docs, dedup_minhash_clusters
+from .textops import (
+    _curate_parts,
+    _docs,
+    _md5_shuffle_rank,
+    dedup_minhash_clusters,
+    text_perplexity,
+)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -46,6 +54,12 @@ def main(argv: list[str] | None = None) -> int:
         default="exact",
         help="near-dup pair source: exact shingle join (oracle-grade) or "
         "MinHash-LSH candidates (the 100 TB path)",
+    )
+    p.add_argument(
+        "--lm-filter",
+        action="store_true",
+        help="also drop the worst LM-perplexity tercile — the operational "
+        "face of corpus_curate_full's composition",
     )
     p.add_argument("--num-files", type=int, default=16)
     args = p.parse_args(argv)
@@ -78,8 +92,22 @@ def main(argv: list[str] | None = None) -> int:
 
     n_quality_fail = n_in - passed.count()
     # count duplicate-drops among QUALITY-PASSERS so the stages sum:
-    # docs_in = dropped_quality + dropped_near_dup + docs_curated
+    # docs_in = dropped_quality + dropped_near_dup [+ dropped_lm] + curated
     n_dup_dropped = passed.join(dropped_dup, "doc_id", "inner").count()
+
+    n_lm_dropped = 0
+    if args.lm_filter:
+        # corpus_curate_full's composition: the LM leg intersects the
+        # gopher-passers, then the rank is reassigned over the smaller set
+        lm_ok = (
+            text_perplexity(spark, args.sf_dir)
+            .filter(F.col("ppl_bucket") != "tail")
+            .select("doc_id")
+            .persist()
+        )
+        survivors = passed.join(dropped_dup, "doc_id", "left_anti")
+        n_lm_dropped = survivors.join(lm_ok, "doc_id", "left_anti").count()
+        ranked = _md5_shuffle_rank(survivors.join(lm_ok, "doc_id"), "n_tokens")
 
     out = ranked.join(
         d.select("doc_id", "lang", "source", "n_chars", "text"), "doc_id"
@@ -95,6 +123,8 @@ def main(argv: list[str] | None = None) -> int:
     n_curated = spark.read.parquet(args.out).count()
     passed.unpersist()
     dropped_dup.unpersist()
+    if args.lm_filter:
+        lm_ok.unpersist()  # consumed lazily by the ranked write above
     wall = time.monotonic() - t0
     print(
         json.dumps(
@@ -103,6 +133,7 @@ def main(argv: list[str] | None = None) -> int:
                 "docs_curated": n_curated,
                 "dropped_quality": n_quality_fail,
                 "dropped_near_dup": n_dup_dropped,
+                "dropped_lm": n_lm_dropped,
                 "pairs": args.pairs,
                 "wall_sec": round(wall, 3),
             }

@@ -948,3 +948,33 @@ def test_bpe_merge_fold_matches_python_reference(spark):
         for r in out:
             got[r["id"]] = list(r["m"])
     assert got == rows
+
+
+def test_run_curate_cli_lm_filter(spark, tmp_path):
+    """--lm-filter makes the CLI write exactly corpus_curate_full's doc
+    set, with the four-way stage breakdown summing to docs_in."""
+    import contextlib, io, json
+
+    from pdfparse_spark.pipeline.run_curate import main
+    from pdfparse_spark.pipeline.textops import corpus_curate_full
+
+    out = str(tmp_path / "curated_lm")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main([
+            "--sf-dir", SF, "--out", out, "--master", "local[8]",
+            "--num-files", "4", "--lm-filter",
+        ])
+    m = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert (
+        m["docs_in"]
+        == m["dropped_quality"] + m["dropped_near_dup"] + m["dropped_lm"]
+        + m["docs_curated"]
+    )
+    assert m["dropped_lm"] > 0  # the tercile leg genuinely drops docs
+    got = spark.read.parquet(out)
+    want = corpus_curate_full(spark, SF)
+    assert got.count() == m["docs_curated"] == want.count()
+    assert {r["doc_id"] for r in got.select("doc_id").collect()} == {
+        r["doc_id"] for r in want.select("doc_id").collect()
+    }
