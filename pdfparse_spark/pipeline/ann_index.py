@@ -1,0 +1,164 @@
+"""IVF+PQ index persistence: build once, search many.
+
+Production ANN is not one query composing training + search (that is
+``sim_ann_ivfpq``, the gate form) — it is an INDEX BUILD job that writes
+the quantized representation to storage, and search jobs that read the
+index without ever touching the corpus vectors except for the tiny
+refine shortlist.  This module provides exactly that split:
+
+- :func:`build_ivfpq_index` writes three parquet tables under ``out_dir``:
+  ``vectors``   (vec_id, cell, probe_cells, codes) — 8 int codes/vector,
+                the 32x-compressed searchable corpus;
+  ``codebook``  (m, code, centroid) — the trained PQ sub-codebooks;
+  ``coarse``    (cell, centroid, nrm) — the coarse quantizer, needed to
+                encode NEW vectors into an existing index.
+- :func:`search_ivfpq_index` reads the index, scores candidates by ADC
+  from their stored codes (cell-keyed equality join — the corpus's full
+  vectors are NOT resident), and refines the 10-deep shortlist with
+  exact cosine fetched from the embeddings table.
+
+The search body intentionally mirrors ``sim_ann_ivfpq``'s; the pytest
+pins row-for-row equality between the two paths, so they cannot drift
+silently.  Scale notes match the gate op: encoding and ADC are literal-
+codebook HOF expressions, candidates meet in one equality join on the
+cell id, and only queries x 10 full vectors are ever fetched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .textops import (
+    _DOT,
+    _EMB_DIM,
+    _N_CELLS,
+    _N_PROBE,
+    _PQ_K,
+    _PQ_M,
+    _cell_top,
+    _emb_norm,
+    _pq_books_literal,
+    _pq_sub_d2s,
+    _train_pq_codebooks,
+)
+
+__all__ = ["build_ivfpq_index", "search_ivfpq_index"]
+
+
+def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_norm(spark, sf_dir)
+    return e.select(
+        "vec_id",
+        F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("v"),
+        F.lit(1.0).alias("nrm"),
+    )
+
+
+def build_ivfpq_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+    """Train the PQ codebooks, encode every (normalized) vector, assign
+    coarse cells, and persist the index tables.  Returns build stats."""
+    sub = _EMB_DIM // _PQ_M
+    e = _normalized(spark, sf_dir).persist()
+    try:
+        books = _train_pq_codebooks(e, _PQ_M, _PQ_K, sub, iters=2, seed_mod=13)
+        cb = _pq_books_literal(books)
+        code_cols = []
+        for m in range(_PQ_M):
+            d2s = _pq_sub_d2s(
+                F.element_at(cb, m + 1), F.slice(F.col("v"), m * sub + 1, sub)
+            )
+            code_cols.append(F.array_position(d2s, F.array_min(d2s)).cast("int"))
+        rows = (
+            e.filter(F.col("vec_id") < _N_CELLS)
+            .select("vec_id", "v", "nrm")
+            .collect()
+        )
+        coarse = [(int(r["vec_id"]), list(r["v"]), float(r["nrm"])) for r in rows]
+        staged = _cell_top(e, coarse, _N_PROBE)
+        vectors = staged.select(
+            "vec_id",
+            F.element_at(F.col("top"), 1).getField("cid").alias("cell"),
+            F.expr("transform(top, x -> x.cid)").alias("probe_cells"),
+            F.array(*code_cols).alias("codes"),
+        )
+        vectors.write.mode("overwrite").parquet(out_dir + "/vectors")
+        spark.createDataFrame(
+            [
+                (m, code, books[m][code])
+                for m in range(_PQ_M)
+                for code in range(_PQ_K)
+            ],
+            "m int, code int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(out_dir + "/codebook")
+        spark.createDataFrame(
+            [(cid, vec, nrm) for cid, vec, nrm in coarse],
+            "cell int, centroid array<double>, nrm double",
+        ).coalesce(1).write.mode("overwrite").parquet(out_dir + "/coarse")
+        n = spark.read.parquet(out_dir + "/vectors").count()
+    finally:
+        e.unpersist()
+    return {"n_vectors": n, "m": _PQ_M, "k": _PQ_K, "cells": len(coarse)}
+
+
+def search_ivfpq_index(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> DataFrame:
+    """ANN search against a stored index: candidates and their ADC scores
+    come entirely from the index tables; full vectors are read from the
+    embeddings table only for the query rows and the 10-deep refine
+    shortlist.  Output schema and values match sim_ann_ivfpq row-for-row
+    (pytest-pinned)."""
+    sub = _EMB_DIM // _PQ_M
+    vectors = spark.read.parquet(index_dir + "/vectors")
+    book_rows = spark.read.parquet(index_dir + "/codebook").collect()
+    books: list[list[list[float]]] = [
+        [None] * _PQ_K for _ in range(_PQ_M)
+    ]
+    for r in book_rows:
+        books[int(r["m"])][int(r["code"])] = [float(x) for x in r["centroid"]]
+    cb = _pq_books_literal(books)
+    e = _normalized(spark, sf_dir)
+    q = (
+        vectors.filter(F.col("vec_id") % 50 == 0)
+        .select("vec_id", F.explode("probe_cells").alias("cell"))
+        .join(e.select("vec_id", F.col("v").alias("qv")), "vec_id")
+        .withColumnRenamed("vec_id", "query_id")
+    )
+    n = vectors.select(
+        F.col("vec_id").alias("neighbor_id"), "cell", "codes"
+    )
+    j = q.join(n, "cell").filter(F.col("neighbor_id") != F.col("query_id"))
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.aggregate(
+            F.zip_with(
+                F.slice(F.col("qv"), m * sub + 1, sub),
+                F.element_at(
+                    F.element_at(cb, m + 1), F.element_at(F.col("codes"), m + 1)
+                ),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda x, y: x + y,
+        ),
+    )
+    j = j.select("query_id", "qv", "neighbor_id", F.round(adc, 6).alias("adc_dist"))
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("neighbor_id"))
+    shortlist = j.withColumn("adc_rank", F.row_number().over(w)).filter(
+        F.col("adc_rank") <= 10
+    )
+    nv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    r = shortlist.join(nv, "neighbor_id").withColumn(
+        "cos_sim", F.round(F.expr(_DOT), 4)
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        r.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", "cos_sim", "adc_dist")
+    )

@@ -978,3 +978,29 @@ def test_run_curate_cli_lm_filter(spark, tmp_path):
     assert {r["doc_id"] for r in got.select("doc_id").collect()} == {
         r["doc_id"] for r in want.select("doc_id").collect()
     }
+
+
+def test_ivfpq_index_roundtrip_matches_gate_op(spark, tmp_path):
+    """build_ivfpq_index → search_ivfpq_index must reproduce
+    sim_ann_ivfpq row-for-row: the stored codes/codebooks/cells carry
+    everything the search needs, and the two search bodies cannot drift
+    without this test failing."""
+    from pdfparse_spark.pipeline.ann_index import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+    from pdfparse_spark.pipeline.textops import sim_ann_ivfpq
+
+    sf = "/root/testdata/sf0.01"
+    idx = str(tmp_path / "idx")
+    stats = build_ivfpq_index(spark, sf, idx)
+    assert stats["n_vectors"] == 500 and stats["m"] == 8 and stats["k"] == 16
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cos_sim"], r["adc_dist"])
+        for r in search_ivfpq_index(spark, sf, idx).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cos_sim"], r["adc_dist"])
+        for r in sim_ann_ivfpq(spark, sf).collect()
+    )
+    assert got == want
