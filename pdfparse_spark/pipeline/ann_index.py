@@ -32,7 +32,6 @@ from pyspark.sql import functions as F
 from .textops import (
     _DOT,
     _EMB_DIM,
-    _N_CELLS,
     _N_PROBE,
     _PQ_K,
     _PQ_M,
@@ -41,6 +40,7 @@ from .textops import (
     _pq_books_literal,
     _pq_sub_d2s,
     _train_pq_codebooks,
+    _trained_coarse,
 )
 
 __all__ = ["build_ivfpq_index", "search_ivfpq_index"]
@@ -69,12 +69,9 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
                 F.element_at(cb, m + 1), F.slice(F.col("v"), m * sub + 1, sub)
             )
             code_cols.append(F.array_position(d2s, F.array_min(d2s)).cast("int"))
-        rows = (
-            e.filter(F.col("vec_id") < _N_CELLS)
-            .select("vec_id", "v", "nrm")
-            .collect()
-        )
-        coarse = [(int(r["vec_id"]), list(r["v"]), float(r["nrm"])) for r in rows]
+        # TRAINED coarse quantizer — the same _trained_coarse(e) call
+        # sim_ann_ivfpq makes, so the stored index reproduces the gate op
+        coarse = _trained_coarse(e)
         staged = _cell_top(e, coarse, _N_PROBE)
         vectors = staged.select(
             "vec_id",

@@ -1566,22 +1566,34 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-keyed joins.  Pytest-pinned: the trained codebook's inertia
     beats the stand-in's on the test corpus, and recall vs the exact
     brute-force top-k does not regress."""
+    e = _emb_norm(spark, sf_dir)
+    return _ivf_search(e, _trained_coarse(e))
+
+
+def _trained_coarse(
+    e: DataFrame, k: int = _N_CELLS, iters: int = 3, seed_mod: int = 7
+) -> list[tuple[int, list[float], float]]:
+    """k-means-TRAINED coarse quantizer over a (vec_id, v) frame, in the
+    (cid, centroid, nrm) shape every cell-assignment consumer takes.
+    Centroid norms are computed driver-side with the same left-fold add
+    order as the JVM aggregate — IEEE-double identical (Python floats
+    ARE IEEE doubles, and the explicit loop folds left).  Shared by
+    sim_ann_ivf_trained, sim_ann_ivfpq, and build_ivfpq_index: trained
+    cells balance the cell-keyed join (the first-16 stand-in skews hot
+    cells into straggler reducers at scale) and lift the recall ceiling
+    the probe restriction imposes."""
     import math
 
-    e = _emb_norm(spark, sf_dir)
     cents = train_kmeans_centroids(
-        e.select("vec_id", "v"), k=_N_CELLS, iters=3, seed_mod=7
+        e.select("vec_id", "v"), k=k, iters=iters, seed_mod=seed_mod
     )
-    # centroid norms computed driver-side with the same left-fold add
-    # order as the JVM aggregate — IEEE-double identical (Python floats
-    # ARE IEEE doubles, and sum over the generator folds left)
-    def _nrm(vec: list[float]) -> float:
+    out = []
+    for cid, vec in cents:
         acc = 0.0
         for x in vec:
             acc += x * x
-        return math.sqrt(acc)
-
-    return _ivf_search(e, [(cid, vec, _nrm(vec)) for cid, vec in cents])
+        out.append((cid, vec, math.sqrt(acc)))
+    return out
 
 
 def _cell_top(
@@ -1799,12 +1811,11 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.element_at(cb, m + 1), F.slice(F.col("v"), m * sub + 1, sub)
             )
             code_cols.append(F.array_position(d2s, F.array_min(d2s)).cast("int"))
-        # coarse cells: the proven first-16 stand-in codebook (sim_ann_ivf);
-        # cosines are unchanged by the normalization (nrm folded to 1)
-        rows = (
-            e.filter(F.col("vec_id") < _N_CELLS).select("vec_id", "v", "nrm").collect()
-        )
-        coarse = [(int(r["vec_id"]), list(r["v"]), float(r["nrm"])) for r in rows]
+        # coarse cells: TRAINED k-means centroids (the sim_ann_ivf_trained
+        # codebook path) over the normalized frame — trained cells raise
+        # the probe-restriction recall ceiling and balance the cell-keyed
+        # join (untrained first-k cells skew hot cells at scale)
+        coarse = _trained_coarse(e)
         staged = _cell_top(e, coarse, _N_PROBE)
         # eager localCheckpoint (the dedup_clusters pattern): normalize →
         # cell-argmin runs ONCE.  Both search legs otherwise re-derive the

@@ -799,7 +799,7 @@ def test_ivfpq_recall_and_adc_sanity(spark):
     cosine: every returned neighbor's exact cos must match brute force's
     value for that pair."""
     from pdfparse_spark.pipeline.textops import (
-        sim_ann_ivf,
+        sim_ann_ivf_trained,
         sim_ann_ivfpq,
         sim_cosine_topk,
     )
@@ -812,14 +812,18 @@ def test_ivfpq_recall_and_adc_sanity(spark):
     brute3 = {
         (r["query_id"], r["neighbor_id"]) for r in brute_rows if r["rank"] <= 3
     }
+    # the ceiling is exact search restricted to TRAINED cells — the same
+    # k-means coarse quantizer ivfpq now uses (r3 used untrained first-16
+    # cells: recall 0.23 vs a 0.27 ceiling; trained cells lift it to 0.40)
     ceiling = {
-        (r["query_id"], r["neighbor_id"]) for r in sim_ann_ivf(spark, sf).collect()
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_ann_ivf_trained(spark, sf).collect()
     }
     got_rows = sim_ann_ivfpq(spark, sf).collect()
     got = {(r["query_id"], r["neighbor_id"]) for r in got_rows}
     recall = len(got & brute3) / len(brute3)
     ceiling_recall = len(ceiling & brute3) / len(brute3)
-    assert recall >= 0.2
+    assert recall >= 0.35  # measured 0.40 with the trained coarse codebook
     assert recall >= 0.75 * ceiling_recall  # PQ+refine keeps most of the ceiling
     # exact re-rank correctness: cos values match brute force where known.
     # Tolerance, not equality: ivfpq computes dot(v/||v||, u/||u||), brute
