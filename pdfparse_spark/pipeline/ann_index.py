@@ -43,7 +43,7 @@ from .textops import (
     _trained_coarse,
 )
 
-__all__ = ["build_ivfpq_index", "search_ivfpq_index"]
+__all__ = ["build_ivfpq_index", "encode_into_index", "search_ivfpq_index"]
 
 
 def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,6 +55,49 @@ def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _encode_vectors(
+    e: DataFrame, books: list[list[list[float]]],
+    coarse: list[tuple[int, list[float], float]],
+) -> DataFrame:
+    """Quantize a NORMALIZED (vec_id, v, nrm) frame against fixed PQ
+    codebooks + coarse cells, producing the ``vectors`` table schema
+    (vec_id, cell, probe_cells, codes).  Pure literal-codebook HOF
+    projections — no shuffle, no training; shared by the initial build
+    and :func:`encode_into_index` (append without retraining)."""
+    sub = _EMB_DIM // _PQ_M
+    cb = _pq_books_literal(books)
+    code_cols = []
+    for m in range(_PQ_M):
+        d2s = _pq_sub_d2s(
+            F.element_at(cb, m + 1), F.slice(F.col("v"), m * sub + 1, sub)
+        )
+        code_cols.append(F.array_position(d2s, F.array_min(d2s)).cast("int"))
+    staged = _cell_top(e, coarse, _N_PROBE)
+    return staged.select(
+        "vec_id",
+        F.element_at(F.col("top"), 1).getField("cid").alias("cell"),
+        F.expr("transform(top, x -> x.cid)").alias("probe_cells"),
+        F.array(*code_cols).alias("codes"),
+    )
+
+
+def _read_books(spark: SparkSession, index_dir: str) -> list[list[list[float]]]:
+    book_rows = spark.read.parquet(index_dir + "/codebook").collect()
+    books: list[list[list[float]]] = [[None] * _PQ_K for _ in range(_PQ_M)]
+    for r in book_rows:
+        books[int(r["m"])][int(r["code"])] = [float(x) for x in r["centroid"]]
+    return books
+
+
+def _read_coarse(
+    spark: SparkSession, index_dir: str
+) -> list[tuple[int, list[float], float]]:
+    return [
+        (int(r["cell"]), [float(x) for x in r["centroid"]], float(r["nrm"]))
+        for r in spark.read.parquet(index_dir + "/coarse").collect()
+    ]
+
+
 def build_ivfpq_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     """Train the PQ codebooks, encode every (normalized) vector, assign
     coarse cells, and persist the index tables.  Returns build stats."""
@@ -62,23 +105,10 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     e = _normalized(spark, sf_dir).persist()
     try:
         books = _train_pq_codebooks(e, _PQ_M, _PQ_K, sub, iters=2, seed_mod=13)
-        cb = _pq_books_literal(books)
-        code_cols = []
-        for m in range(_PQ_M):
-            d2s = _pq_sub_d2s(
-                F.element_at(cb, m + 1), F.slice(F.col("v"), m * sub + 1, sub)
-            )
-            code_cols.append(F.array_position(d2s, F.array_min(d2s)).cast("int"))
         # TRAINED coarse quantizer — the same _trained_coarse(e) call
         # sim_ann_ivfpq makes, so the stored index reproduces the gate op
         coarse = _trained_coarse(e)
-        staged = _cell_top(e, coarse, _N_PROBE)
-        vectors = staged.select(
-            "vec_id",
-            F.element_at(F.col("top"), 1).getField("cid").alias("cell"),
-            F.expr("transform(top, x -> x.cid)").alias("probe_cells"),
-            F.array(*code_cols).alias("codes"),
-        )
+        vectors = _encode_vectors(e, books, coarse)
         vectors.write.mode("overwrite").parquet(out_dir + "/vectors")
         spark.createDataFrame(
             [
@@ -98,6 +128,45 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     return {"n_vectors": n, "m": _PQ_M, "k": _PQ_K, "cells": len(coarse)}
 
 
+def encode_into_index(
+    spark: SparkSession, index_dir: str, new_rows: DataFrame
+) -> dict:
+    """Append NEW vectors to an existing index WITHOUT retraining: the
+    stored PQ codebooks and coarse cells quantize the new rows exactly as
+    the build did, and the encoded rows append to the ``vectors`` table.
+    This is what makes the index production-real — ingest keeps flowing
+    into a built index; only a quality-driven rebuild retrains.
+
+    ``new_rows`` carries the corpus schema (vec_id, embedding) —
+    embedding is the raw (un-normalized) vector, normalized here with the
+    same expression chain as the build.  vec_ids must be new (not
+    validated — an ANN index is not a uniqueness constraint; dup ids
+    simply mean dup candidates).  Returns append stats.
+
+    Scale: the append is one shuffle-free projection job over the new
+    rows only — the existing corpus is never touched, and the codebooks
+    travel as literals.  Parquet append keeps old files immutable (on a
+    real lakehouse this is an Iceberg append snapshot — atomic,
+    concurrent-reader-safe)."""
+    books = _read_books(spark, index_dir)
+    coarse = _read_coarse(spark, index_dir)
+    e = new_rows.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).withColumn(
+        "nrm",
+        F.expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x))"),
+    ).select(
+        "vec_id",
+        F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("v"),
+        F.lit(1.0).alias("nrm"),
+    )
+    encoded = _encode_vectors(e, books, coarse)
+    encoded.write.mode("append").parquet(index_dir + "/vectors")
+    n = encoded.count()
+    return {"n_appended": n, "m": _PQ_M, "k": _PQ_K, "cells": len(coarse)}
+
+
 def search_ivfpq_index(
     spark: SparkSession, sf_dir: str, index_dir: str
 ) -> DataFrame:
@@ -108,13 +177,7 @@ def search_ivfpq_index(
     (pytest-pinned)."""
     sub = _EMB_DIM // _PQ_M
     vectors = spark.read.parquet(index_dir + "/vectors")
-    book_rows = spark.read.parquet(index_dir + "/codebook").collect()
-    books: list[list[list[float]]] = [
-        [None] * _PQ_K for _ in range(_PQ_M)
-    ]
-    for r in book_rows:
-        books[int(r["m"])][int(r["code"])] = [float(x) for x in r["centroid"]]
-    cb = _pq_books_literal(books)
+    cb = _pq_books_literal(_read_books(spark, index_dir))
     e = _normalized(spark, sf_dir)
     q = (
         vectors.filter(F.col("vec_id") % 50 == 0)

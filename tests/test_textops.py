@@ -1008,3 +1008,48 @@ def test_ivfpq_index_roundtrip_matches_gate_op(spark, tmp_path):
         for r in sim_ann_ivfpq(spark, sf).collect()
     )
     assert got == want
+
+
+def test_ann_index_append_finds_planted_neighbor(spark, tmp_path):
+    """encode_into_index must make NEW vectors searchable without any
+    retraining: append a near-copy of a query vector, extend the corpus
+    table the refine step reads, and the planted row must surface as the
+    query's rank-1 neighbor with near-perfect cosine."""
+    from pyspark.sql import functions as F
+
+    from pdfparse_spark.pipeline.ann_index import (
+        build_ivfpq_index,
+        encode_into_index,
+        search_ivfpq_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "idx")
+    build_ivfpq_index(spark, sf, idx)
+
+    base = spark.read.parquet(sf + "/embeddings.parquet")
+    q_id = 100  # a query (vec_id % 50 == 0)
+    q_vec = base.filter(F.col("vec_id") == q_id).collect()[0]["embedding"]
+    planted_id = 501  # new id, NOT itself a query (501 % 50 != 0)
+    # tiny deterministic perturbation: cos(planted, q) ~ 0.9999
+    planted_vec = [float(x) + 0.001 * ((i % 3) - 1) for i, x in enumerate(q_vec)]
+    new_rows = spark.createDataFrame(
+        [(planted_id, planted_vec, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    stats = encode_into_index(spark, idx, new_rows)
+    assert stats["n_appended"] == 1
+    assert spark.read.parquet(idx + "/vectors").count() == 501
+
+    # the refine step fetches exact vectors from the corpus table, so the
+    # search corpus must contain the appended row too (in production the
+    # row was ingested into the corpus BEFORE being indexed)
+    corpus = str(tmp_path / "corpus")
+    base.unionByName(new_rows).write.parquet(corpus + "/embeddings.parquet")
+
+    hits = {
+        (r["query_id"], r["neighbor_id"]): (r["rank"], r["cos_sim"])
+        for r in search_ivfpq_index(spark, corpus, idx).collect()
+    }
+    assert (q_id, planted_id) in hits
+    rank, cos = hits[(q_id, planted_id)]
+    assert rank == 1 and cos > 0.999
