@@ -147,6 +147,16 @@ def bench_queries(spark) -> dict[str, float]:
         t0 = time.monotonic()
         qs[name](spark, SF_DIR).collect()
         timings[name] = round(time.monotonic() - t0, 3)
+    # production-scale BPE training: 256 merge rounds through the
+    # in-memory driver trainer (one corpus shuffle for the vocab, then
+    # incremental in-memory rounds — the gate query's 8 rounds exercise
+    # the identical path, this leg shows the round count is not a cost)
+    from pdfparse_spark.pipeline.textops import train_bpe_merges
+
+    t0 = time.monotonic()
+    n = train_bpe_merges(spark, SF_DIR, n_merges=256).count()
+    timings["bpe_train_256"] = round(time.monotonic() - t0, 3)
+    assert n > 0
     return timings
 
 

@@ -800,26 +800,131 @@ def _bpe_merge_once_expr(a: str, b: str):
     return F.aggregate(F.col("seg"), init, step, flush)
 
 
+_BPE_DRIVER_VOCAB_CAP = 2_000_000  # distinct multi-char words; ~100s of MB
+
+
+def _bpe_merge_word(toks: list[str], a: str, b: str) -> list[str]:
+    """Apply one merge (a, b) → ab left-to-right, non-overlapping — the
+    driver-side twin of _bpe_merge_once_expr's fold (a freshly merged
+    token never re-participates in the same round)."""
+    out: list[str] = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+def _train_bpe_merges_driver(
+    vocab: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """In-memory Sennrich trainer over a COLLECTED (word, wc) vocabulary
+    with incremental pair-count maintenance: each merge touches only the
+    words that contain the winning pair, so 32k–64k production merge
+    rounds cost milliseconds each instead of two Spark jobs each — the
+    latency floor no cluster size fixes.  Tie-break (freq desc, left asc,
+    right asc) and the non-overlapping merge application are pinned equal
+    to the distributed path by pytest (tokens are ASCII [a-z0-9]+, where
+    Python code-point order == Spark's UTF-8 binary string order)."""
+    from collections import defaultdict
+
+    segs: dict[int, list[str]] = {}
+    wcs: dict[int, int] = {}
+    counts: dict[tuple[str, str], int] = defaultdict(int)
+    where: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for i, (w, wc) in enumerate(vocab):
+        toks = list(w)
+        if len(toks) < 2:
+            continue
+        segs[i] = toks
+        wcs[i] = wc
+        for p in zip(toks, toks[1:]):
+            counts[p] += wc
+            where[p].add(i)
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(n_merges):
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        a, b = best
+        merges.append((rnd + 1, a, b, counts[best]))
+        # re-segment ONLY the words that contain the winning pair;
+        # `where` entries may be stale (word re-segmented since), in
+        # which case subtract-then-re-add is a harmless no-op
+        for i in list(where[best]):
+            toks = segs.get(i)
+            if toks is None:
+                continue
+            wc = wcs[i]
+            for p in zip(toks, toks[1:]):
+                counts[p] -= wc
+                if counts[p] <= 0:
+                    counts.pop(p)
+            new = _bpe_merge_word(toks, a, b)
+            if len(new) < 2:  # fully merged — can never pair again
+                del segs[i], wcs[i]
+            else:
+                segs[i] = new
+                for p in zip(new, new[1:]):
+                    counts[p] += wc
+                    where[p].add(i)
+        where.pop(best, None)
+    return merges
+
+
 def train_bpe_merges(
-    spark: SparkSession, sf_dir: str, n_merges: int = _BPE_TRAIN_MERGES
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = _BPE_TRAIN_MERGES,
+    driver_vocab_cap: int | None = _BPE_DRIVER_VOCAB_CAP,
 ) -> DataFrame:
     """FULL iterative BPE training (Sennrich et al. 2016), not just the
     first-round counts: each round re-counts weighted adjacent-pair
     frequencies over the CURRENT segmentation of the distinct vocabulary,
     takes the (freq desc, pair asc) winner, and applies it left-to-right
-    non-overlapping via a pure array fold.  Output: the ranked merge
-    table (merge_rank, left, right, freq) — the artifact a tokenizer
-    ships; stops early when no pair remains.
+    non-overlapping.  Output: the ranked merge table (merge_rank, left,
+    right, freq) — the artifact a tokenizer ships; stops early when no
+    pair remains.
 
-    Scale: ONE corpus-sized shuffle total (the initial vocab aggregate);
-    every training round is a vocab-sized pair count + a vocab-sized
-    projection (|vocab| << corpus tokens, Heaps' law), with the
-    segmentation frame eagerly localCheckpointed per round so lineage
-    never stacks across rounds.  Only one (pair, freq) row crosses the
-    driver per round.  Rows-only (argmax-per-round iteration is not
-    SQL-expressible); pinned by the classic hand-computable pytest."""
+    Scale: ONE corpus-sized shuffle total (the initial vocab aggregate).
+    By Heaps' law the distinct vocabulary fits in driver memory at any
+    corpus size, so when it is under ``driver_vocab_cap`` the merge
+    rounds run IN-MEMORY on the driver with incremental pair updates
+    (_train_bpe_merges_driver) — a production tokenizer needs 32k–64k
+    rounds, and two Spark jobs per round is a driver-scheduling latency
+    floor no cluster size fixes.  A pathological vocabulary over the cap
+    falls back to the fully distributed per-round loop
+    (_train_bpe_merges_distributed), pytest-pinned equal.  Rows-only
+    (argmax-per-round iteration is not SQL-expressible); pinned by the
+    classic hand-computable pytest plus the two-path parity test."""
     d = _docs(spark, sf_dir).select(F.explode(F.expr(_TOKS)).alias("w"))
     vocab = d.groupBy("w").agg(F.count("*").alias("wc"))
+    if driver_vocab_cap:
+        multi = vocab.filter(F.length("w") >= 2)
+        rows = multi.limit(driver_vocab_cap + 1).collect()
+        if len(rows) <= driver_vocab_cap:  # the WHOLE vocab is in hand
+            merges = _train_bpe_merges_driver(
+                [(r["w"], int(r["wc"])) for r in rows], n_merges
+            )
+            return spark.createDataFrame(
+                merges, "merge_rank int, left string, right string, freq bigint"
+            )
+    return _train_bpe_merges_distributed(spark, vocab, n_merges)
+
+
+def _train_bpe_merges_distributed(
+    spark: SparkSession, vocab: DataFrame, n_merges: int
+) -> DataFrame:
+    """The fully distributed merge loop: every training round is a
+    vocab-sized pair count + a vocab-sized projection, with the
+    segmentation frame eagerly localCheckpointed per round so lineage
+    never stacks across rounds.  Only one (pair, freq) row crosses the
+    driver per round."""
     segs = (
         vocab.select(
             "w",

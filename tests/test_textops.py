@@ -893,6 +893,29 @@ def test_bpe_trainer_classic_example(spark, tmp_path):
     assert rows[2]["n_bpe_tokens"] == 1  # hugs
 
 
+def test_bpe_trainer_driver_path_matches_distributed(spark):
+    """The in-memory driver trainer (the 32k-merge production path) must
+    produce the IDENTICAL merge table — same pairs, same tie-breaks, same
+    freqs, same early stop — as the fully distributed per-round loop, on
+    the real gate corpus with enough rounds to exercise multi-char-token
+    merges and incremental count updates."""
+    from pdfparse_spark.pipeline.textops import train_bpe_merges
+
+    sf = "/root/testdata/sf0.001"
+    fast = [
+        (r["merge_rank"], r["left"], r["right"], r["freq"])
+        for r in train_bpe_merges(spark, sf, n_merges=24).collect()
+    ]
+    dist = [
+        (r["merge_rank"], r["left"], r["right"], r["freq"])
+        for r in train_bpe_merges(
+            spark, sf, n_merges=24, driver_vocab_cap=None
+        ).collect()
+    ]
+    assert len(fast) == 24
+    assert fast == dist
+
+
 def test_bpe_merge_fold_matches_python_reference(spark):
     """The pure-SQL merge fold (_bpe_merge_once_expr) must agree with an
     independent Python implementation of 'apply one merge left-to-right,
