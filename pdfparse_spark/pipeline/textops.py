@@ -1609,7 +1609,13 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n²) cross join, and per-bucket occupancy is tuned by the bit count
     (recommended_signlsh_bits at production scale)."""
     base = _emb_norm(spark, sf_dir)
-    e = signlsh_band_keys(base)
+    # eager localCheckpoint (the sim_ann_ivfpq pattern): the q-leg filter
+    # makes the two band-key consumers plan-distinct, so AQE exchange
+    # reuse does NOT fire (verified: 0 ReusedExchange) — without the
+    # checkpoint each leg re-runs the 64 hyperplane dot products per
+    # vector AND Janino re-compiles the giant literal-hyperplane HOF per
+    # branch (the dominant cost at gate scale: 4.5s cold vs 0.13s warm)
+    e = signlsh_band_keys(base).localCheckpoint(eager=True)
     q = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "band_key"
     )
