@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from .session import get_spark
 from .textops import (
     _curate_parts,
+    _tokenized_docs,
     _docs,
     _md5_shuffle_rank,
     dedup_minhash_clusters,
@@ -84,7 +85,12 @@ def main(argv: list[str] | None = None) -> int:
         if args.pairs == "minhash"
         else None
     )
-    passed, dropped_dup, ranked = _curate_parts(spark, args.sf_dir, clusters=clusters)
+    # ONE shared tokenized checkpoint for every filter leg (the
+    # corpus_curate_full discipline: tokenize once, not per leg)
+    docs_tok = _tokenized_docs(spark, args.sf_dir)
+    passed, dropped_dup, ranked = _curate_parts(
+        spark, args.sf_dir, clusters=clusters, docs=docs_tok
+    )
     # each leg is an expensive corpus-wide aggregation consumed 2-3×
     # below (metrics counts + the final write) — persist, not recompute
     passed = passed.persist()
@@ -100,7 +106,7 @@ def main(argv: list[str] | None = None) -> int:
         # corpus_curate_full's composition: the LM leg intersects the
         # gopher-passers, then the rank is reassigned over the smaller set
         lm_ok = (
-            text_perplexity(spark, args.sf_dir)
+            text_perplexity(spark, args.sf_dir, docs=docs_tok)
             .filter(F.col("ppl_bucket") != "tail")
             .select("doc_id")
             .persist()

@@ -69,18 +69,40 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MAX_SHINGLE_DF = 128
 
 
-def _shingle_rows(spark: SparkSession, sf_dir: str, max_df: int | None = None) -> DataFrame:
+def _tokenized_arr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skinny (doc_id, arr) eager-localCheckpointed tokenize — the
+    single-tokenize front end for the shingle family: every op that
+    derives shingles consumes its (doc_id, sh) frames 2–3 times (sizes +
+    both self-join legs; signature + join stages), and each consumer
+    sits below any exchange, so without the checkpoint the regex
+    tokenize — the most expensive expression in these plans — re-runs
+    per consumer.  Values unchanged (tokenize is deterministic)."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(_TOKS).alias("arr"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _shingle_rows(
+    spark: SparkSession,
+    sf_dir: str,
+    max_df: int | None = None,
+    docs: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, sh) exploded distinct shingles — input to jaccard + minhash.
 
     With ``max_df``, shingles whose document frequency exceeds it are
     dropped via a count window over the shingle key — one shuffle on ``sh``,
     the same partitioning the downstream equi-join needs anyway.
+    ``docs`` optionally supplies a pre-tokenized (doc_id, ..., arr) frame.
     """
-    sh = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.expr(_TOKS).alias("arr"))
-        .select("doc_id", F.explode(F.expr(_SHINGLES)).alias("sh"))
+    base = (
+        docs.select("doc_id", "arr")
+        if docs is not None
+        else _docs(spark, sf_dir).select("doc_id", F.expr(_TOKS).alias("arr"))
     )
+    sh = base.select("doc_id", F.explode(F.expr(_SHINGLES)).alias("sh"))
     if max_df is None:
         return sh
     w = Window.partitionBy("sh")
@@ -138,7 +160,9 @@ def _exact_jaccard_pairs(sh, cand=None):
     )
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Exact 3-word-shingle Jaccard pairs ≥ 0.5 (the small-scale oracle).
 
     Scale: quadratic in pair count by design — this op exists as the
@@ -147,14 +171,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     document frequency > _MAX_SHINGLE_DF are dropped before the self-join
     (mirrored exactly in the DuckDB oracle).
     """
-    return _exact_jaccard_pairs(_shingle_rows(spark, sf_dir, max_df=_MAX_SHINGLE_DF))
+    if docs is None:
+        docs = _tokenized_arr(spark, sf_dir)  # tokenize ONCE for all 3 consumers
+    return _exact_jaccard_pairs(
+        _shingle_rows(spark, sf_dir, max_df=_MAX_SHINGLE_DF, docs=docs)
+    )
 
 
 _MINHASH_PERMS = 32
 _LSH_BANDS = 8  # 4 rows/band → P(candidate | j=0.5) ≈ 1-(1-0.5^4)^8 ≈ 0.4, j=0.9 ≈ 0.998
 
 
-def minhash_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_band_rows(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, band_key) rows — the MinHash signature + LSH banding stage
     of :func:`dedup_minhash_lsh`, exposed so the streaming face
     (streaming/neardup.py) can be parity-pinned against the REAL batch
@@ -168,7 +198,9 @@ def minhash_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash the UNCAPPED shingle set (standard MinHash; see
     dedup_minhash_lsh on why the df cap applies to join stages only).
     """
-    base = _shingle_rows(spark, sf_dir).withColumn("h", F.xxhash64(F.col("sh")))
+    base = _shingle_rows(spark, sf_dir, docs=docs).withColumn(
+        "h", F.xxhash64(F.col("sh"))
+    )
     sigs = base.groupBy("doc_id").agg(
         *[F.min(F.xxhash64(F.lit(i), F.col("h"))).alias("h%d" % i) for i in range(_MINHASH_PERMS)]
     )
@@ -182,7 +214,9 @@ def minhash_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs.select("doc_id", F.explode(band_keys).alias("band_key"))
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """MinHash(32 perms) + LSH(8 bands × 4 rows) candidate pairs, verified
     with exact Jaccard ≥ 0.5.  Output shape == dedup_ngram_jaccard.
 
@@ -202,8 +236,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     On the test corpora max df is 25 < 128, so capped and uncapped
     signatures are identical and the exact-Jaccard pytest pin is unchanged.
     """
-    sh = _shingle_rows(spark, sf_dir, max_df=_MAX_SHINGLE_DF)
-    bands = minhash_band_rows(spark, sf_dir)
+    if docs is None:
+        docs = _tokenized_arr(spark, sf_dir)  # tokenize ONCE for both stages
+    sh = _shingle_rows(spark, sf_dir, max_df=_MAX_SHINGLE_DF, docs=docs)
+    bands = minhash_band_rows(spark, sf_dir, docs=docs)
     ba = bands.alias("a")
     bb = bands.alias("b")
     cand = (
@@ -470,7 +506,9 @@ def text_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_gopher_quality(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Gopher/C4-style repetition filters: top-unigram mass fraction and
     duplicate-trigram occurrence fraction, plus the pass/fail decision a
     training pipeline actually applies.
@@ -478,9 +516,20 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one explode + two hash aggregates keyed by (doc_id, gram) with
     map-side combine — the gram key includes doc_id, so hot vocabulary never
     concentrates on one reducer; everything JVM-side, no UDFs.
+
+    ``docs`` optionally supplies an already-tokenized (doc_id, ..., arr)
+    frame (corpus_curate's shared checkpoint) so a composed pipeline
+    tokenizes the corpus exactly once across all its legs.
     """
-    d = _docs(spark, sf_dir).select("doc_id", F.expr(_TOKS).alias("arr"))
-    base = d.select("doc_id", "arr", F.size("arr").alias("n_tokens"))
+    if docs is None:
+        docs = _docs(spark, sf_dir).select("doc_id", F.expr(_TOKS).alias("arr"))
+        # eager localCheckpoint: three consumers (base, uni, tri) sit BELOW
+        # any exchange, so AQE reuse can't help and each branch would re-run
+        # the regex tokenize over the corpus — 3x the single most expensive
+        # expression in the plan.  Checkpointing the skinny (doc_id, arr,
+        # n_tokens) frame tokenizes ONCE; values are unchanged (oracle-green).
+        docs = docs.localCheckpoint(eager=True)
+    base = docs.select("doc_id", "arr", F.size("arr").alias("n_tokens"))
     uni = (
         base.select("doc_id", F.explode("arr").alias("w"))
         .groupBy("doc_id", "w")
@@ -527,7 +576,9 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PPL_THRESHOLD = 7.0  # nats/token; corpus-tuned in production
 
 
-def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_perplexity(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """CCNet-style LM quality filter (Wenzek et al. 2020): score every
     document by the mean negative log-probability of its tokens under an
     add-one-smoothed unigram LM trained on the corpus itself, and flag
@@ -547,8 +598,17 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical doubles (the proven embed_quality_score exp() pattern);
     the per-doc mean is rounded to 4 decimals (double-sum order drift
     ~1e-12 against a 5e-5 rounding margin); ``lm_keep`` decides on the
-    unrounded mean's comparison, as embed_quality_score does."""
-    d = _docs(spark, sf_dir).select("doc_id", F.explode(F.expr(_TOKS)).alias("w"))
+    unrounded mean's comparison, as embed_quality_score does.
+
+    ``docs`` optionally supplies an already-tokenized (doc_id, ..., arr)
+    frame (corpus_curate_full's shared checkpoint) — the exploded token
+    rows are identical either way."""
+    if docs is None:
+        d = _docs(spark, sf_dir).select(
+            "doc_id", F.explode(F.expr(_TOKS)).alias("w")
+        )
+    else:
+        d = docs.select("doc_id", F.explode("arr").alias("w"))
     dw = d.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
     # vocab from the aggregated (doc, w) pairs, NOT from d: re-exploding
     # the corpus would run the tokenize+explode scan twice (two
@@ -1169,7 +1229,9 @@ def boilerplate_strip(
     )
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Connected components over the near-duplicate pair graph (the step
     that turns pairwise dedup output into keep-one-per-cluster decisions):
     iterative min-label propagation to a fixpoint.
@@ -1180,7 +1242,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver per iteration.  Oracle: DuckDB recursive-CTE transitive
     closure — exponential in path count, viable only at oracle scale.
     """
-    return _connected_components(dedup_ngram_jaccard(spark, sf_dir))
+    return _connected_components(dedup_ngram_jaccard(spark, sf_dir, docs=docs))
 
 
 def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1343,9 +1405,11 @@ def corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     never crosses a join."""
     # _curate_parts is THE single definition of the gopher ∧ survivor
     # composition (shared with corpus_curate and the run_curate CLI) —
-    # this op only adds the LM leg on top
-    passed, dropped, _ranked = _curate_parts(spark, sf_dir)
-    lm_ok = text_perplexity(spark, sf_dir).filter(
+    # this op only adds the LM leg on top; all three filter legs consume
+    # the ONE shared tokenized checkpoint (tokenize once, not per leg)
+    docs = _tokenized_docs(spark, sf_dir)
+    passed, dropped, _ranked = _curate_parts(spark, sf_dir, docs=docs)
+    lm_ok = text_perplexity(spark, sf_dir, docs=docs).filter(
         F.col("ppl_bucket") != "tail"
     ).select("doc_id")
     curated = (
@@ -1354,8 +1418,27 @@ def corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _md5_shuffle_rank(curated, "n_tokens")
 
 
+def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE eager-localCheckpointed (doc_id, text, arr) frame shared by
+    every leg of a composed curation plan: the regex tokenize — the most
+    expensive expression in the pipeline — runs once per corpus scan
+    instead of once per leg (gopher's aggregates, keep_best's quality
+    score, and curate_full's LM leg all consume it).  Values are
+    unchanged; only the compute-once guarantee is added (the legs'
+    differently-keyed aggregates can never share an exchange, so AQE
+    cannot provide it)."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text", F.expr(_TOKS).alias("arr"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def _curate_parts(
-    spark: SparkSession, sf_dir: str, clusters: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    clusters: DataFrame | None = None,
+    docs: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The single definition of the curation composition, shared by
     ``corpus_curate`` (the gate query) and the ``run_curate`` CLI so the
@@ -1365,9 +1448,12 @@ def _curate_parts(
 
     ``clusters`` overrides the near-dup pair source (e.g. MinHash-LSH
     candidates from ``dedup_minhash_clusters``); default is the exact
-    df-capped shingle join via ``dedup_clusters``.
+    df-capped shingle join via ``dedup_clusters``.  ``docs`` optionally
+    supplies the shared tokenized checkpoint (created here when absent).
     """
-    passed = text_gopher_quality(spark, sf_dir).filter(
+    if docs is None:
+        docs = _tokenized_docs(spark, sf_dir)
+    passed = text_gopher_quality(spark, sf_dir, docs=docs).filter(
         F.col("gopher_pass") == 1
     ).select("doc_id", "n_tokens")
     # ONE connected-components fixpoint feeds both the membership test and
@@ -1375,10 +1461,12 @@ def _curate_parts(
     # here, and dedup_cluster_keep_best would otherwise re-run it from
     # scratch (the labels frame is localCheckpointed, so reuse is free)
     if clusters is None:
-        clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
-    keepers = dedup_cluster_keep_best(spark, sf_dir, clusters=clusters).select(
-        F.col("keep_doc_id").alias("doc_id")
-    )
+        clusters = dedup_clusters(spark, sf_dir, docs=docs).select(
+            "doc_id", "cluster_id"
+        )
+    keepers = dedup_cluster_keep_best(
+        spark, sf_dir, clusters=clusters, docs=docs
+    ).select(F.col("keep_doc_id").alias("doc_id"))
     # clustered docs that are NOT their cluster's survivor get dropped
     dropped = clusters.join(keepers, "doc_id", "left_anti").select("doc_id")
     curated = passed.join(dropped, "doc_id", "left_anti")
@@ -1400,7 +1488,10 @@ def text_length_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_cluster_keep_best(
-    spark: SparkSession, sf_dir: str, clusters: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    clusters: DataFrame | None = None,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """The end-to-end near-dup dedup DECISION: pair graph → connected
     components → keep the best-quality doc per cluster (doc_id tie-break),
@@ -1417,7 +1508,13 @@ def dedup_cluster_keep_best(
     if clusters is None:
         clusters = dedup_clusters(spark, sf_dir)
     clusters = clusters.select("doc_id", "cluster_id")
-    d = _docs(spark, sf_dir).select("doc_id", "text", F.expr(_TOKS).alias("arr"))
+    d = (
+        docs
+        if docs is not None
+        else _docs(spark, sf_dir).select(
+            "doc_id", "text", F.expr(_TOKS).alias("arr")
+        )
+    )
     scored = d.select(
         "doc_id",
         _quality_expr().alias("q"),
