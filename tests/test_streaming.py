@@ -496,3 +496,78 @@ def test_stream_extract_dedup_cache_across_batches(spark, tmp_path):
         ~F.col("extracted_text").eqNullSafe(F.col("x")) | (F.col("parse_status") != F.col("s"))
     ).count()
     assert mismatches == 0
+
+
+def test_signlsh_cols_match_batch_band_keys(spark):
+    """The per-row streaming band-key columns must be the SAME keys the
+    batch signlsh_band_keys explode produces — same hyperplane literal,
+    same fold — for every vector in the corpus."""
+    from pdfparse_spark.pipeline.textops import _emb, _emb_norm, signlsh_band_keys
+    from pdfparse_spark.streaming.embed_neardup import signlsh_cols
+
+    sf = "/root/testdata/sf0.001"
+    import pyspark.sql.functions as F
+
+    got = {
+        (r["vec_id"], r["band_key"])
+        for r in signlsh_cols(_emb(spark, sf))
+        .select("vec_id", F.explode("bands").alias("band_key"))
+        .collect()
+    }
+    want = {
+        (r["vec_id"], r["band_key"])
+        for r in signlsh_band_keys(_emb_norm(spark, sf))
+        .select("vec_id", "band_key")
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_embed_neardup_matches_batch(spark, tmp_path):
+    """Replay parity: the full sf0.001 embeddings corpus streamed through
+    the sign-LSH band-state detector (two file drops, cap large enough
+    that nothing evicts, no TTL) must reproduce dedup_embedding_cosine's
+    pair set WITH bit-identical cos_sim values — the Python left-fold dot
+    over the same doubles cannot drift from the JVM fold, and rounding/
+    thresholding happen JVM-side at read time."""
+    from pdfparse_spark.pipeline.textops import dedup_embedding_cosine
+    from pdfparse_spark.streaming.embed_neardup import (
+        read_embed_neardup,
+        start_stream_embed_neardup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = spark.read.parquet(sf + "/embeddings.parquet")
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # split by vec_id so cross-batch pairs must meet through the STATE
+    # (pair direction is irrelevant: min/max normalization + symmetric dot)
+    base.filter("vec_id < 250").coalesce(1).write.parquet(str(in_dir / "f1"))
+    base.filter("vec_id >= 250").coalesce(1).write.parquet(str(in_dir / "f2"))
+
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = start_stream_embed_neardup(
+        spark, str(in_dir) + "/f*", out_dir, ck, state_cap=512
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in read_embed_neardup(spark, out_dir).collect()
+    }
+    want = {
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in dedup_embedding_cosine(spark, sf).collect()
+    }
+    assert len(want) > 0
+    assert got == want
+
+    # checkpointed restart over the same input emits nothing new
+    q2 = start_stream_embed_neardup(
+        spark, str(in_dir) + "/f*", out_dir, ck, state_cap=512
+    )
+    q2.awaitTermination(180)
+    assert {
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in read_embed_neardup(spark, out_dir).collect()
+    } == want
