@@ -1775,11 +1775,11 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     beats the stand-in's on the test corpus, and recall vs the exact
     brute-force top-k does not regress."""
     e = _emb_norm(spark, sf_dir)
-    return _ivf_search(e, _trained_coarse(e))
+    return _ivf_search(e, _trained_coarse(e, iters=3))
 
 
 def _trained_coarse(
-    e: DataFrame, k: int = _N_CELLS, iters: int = 3, seed_mod: int = 7
+    e: DataFrame, k: int = _N_CELLS, iters: int = 2, seed_mod: int = 7
 ) -> list[tuple[int, list[float], float]]:
     """k-means-TRAINED coarse quantizer over a (vec_id, v) frame, in the
     (cid, centroid, nrm) shape every cell-assignment consumer takes.
@@ -1789,7 +1789,12 @@ def _trained_coarse(
     sim_ann_ivf_trained, sim_ann_ivfpq, and build_ivfpq_index: trained
     cells balance the cell-keyed join (the first-16 stand-in skews hot
     cells into straggler reducers at scale) and lift the recall ceiling
-    the probe restriction imposes."""
+    the probe restriction imposes.  Default iters=2 for the PQ
+    compositions: measured recall@3 0.43 at sf0.01 (vs 0.40 at iters=3 —
+    the extra Lloyd round does not pay on this corpus) and each round is
+    a full assign+agg job whose literal-centroid codegen costs seconds;
+    sim_ann_ivf_trained passes iters=3 explicitly (its inertia/recall
+    pins were measured there)."""
     import math
 
     cents = train_kmeans_centroids(
