@@ -138,15 +138,23 @@ def bench_extraction(spark, n_convs: int, dedup_leg: bool = True) -> dict:
     return out_stats
 
 
-def bench_queries(spark) -> dict[str, float]:
+def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
     import __spark_entry__ as e
 
     qs = e.queries()
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.monotonic()
         qs[name](spark, SF_DIR).collect()
         timings[name] = round(time.monotonic() - t0, 3)
+        # second run (fresh DataFrame, so cold plan): JVM/GC state noise
+        # on one-shot numbers is ±2x on the checkpoint-heavy queries —
+        # the warm value is the reproducible plan-cost floor, reported
+        # alongside the r1-r3-comparable one-shot value
+        t0 = time.monotonic()
+        qs[name](spark, SF_DIR).collect()
+        warm[name] = round(time.monotonic() - t0, 3)
     # production-scale BPE training: 256 merge rounds through the
     # in-memory driver trainer (one corpus shuffle for the vocab, then
     # incremental in-memory rounds — the gate query's 8 rounds exercise
@@ -157,7 +165,7 @@ def bench_queries(spark) -> dict[str, float]:
     n = train_bpe_merges(spark, SF_DIR, n_merges=256).count()
     timings["bpe_train_256"] = round(time.monotonic() - t0, 3)
     assert n > 0
-    return timings
+    return timings, warm
 
 
 def main() -> int:
@@ -204,7 +212,9 @@ def main() -> int:
         result["dedup_turns_per_sec"] = ext["dedup_turns_per_sec"]
         result["queries"]["extract_dedup"] = ext["extract_dedup_sec"]
     if not args.extract_only:
-        result["queries"].update(bench_queries(spark))
+        timings, warm = bench_queries(spark)
+        result["queries"].update(timings)
+        result["queries_warm"] = warm
     spark.stop()
     print(json.dumps(result))
     return 0
