@@ -296,6 +296,18 @@ thread-leg analysis of that ceiling).
 **Scaling efficiency 1 -> 4 executors: {eff}** (target >= 0.8).
 
 Regenerate: `python bench.py --executor-scaling` (~4 min at sf0.1).
+
+The north rule's full execution mode also runs verbatim against this
+master — real executors, package shipped via --py-files, PYTHONPATH
+unset, resumable ledger, content-addressed waves:
+
+```
+zip -qr p.zip pdfparse_spark
+spark-submit --master "local-cluster[2,4,4096]" --py-files p.zip \\
+    scripts/submit_extract.py --out /tmp/px --n-convs 6 --turns 5 \\
+    --dedup-payloads
+# -> {{"turns": 30, "turns_processed": 30, ... "waves_run": 4}}
+```
 """.format(
         t1=legs[1]["turns"], s1=legs[1]["extract_sec"], v1=legs[1]["value"],
         t4=legs[4]["turns"], s4=legs[4]["extract_sec"], v4=legs[4]["value"],
