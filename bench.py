@@ -138,6 +138,19 @@ def bench_extraction(spark, n_convs: int, dedup_leg: bool = True) -> dict:
     return out_stats
 
 
+def _release_persisted(spark) -> None:
+    """Unpersist every persisted/localCheckpointed RDD.  Gate queries
+    checkpoint intermediate frames they cannot unpersist themselves (the
+    returned DataFrame still references them); after a query's collect
+    those blocks are dead weight, and across ~80 query executions they
+    would accumulate into storage-eviction pressure that skews later
+    timings.  Only safe BETWEEN queries — freeing a localCheckpoint
+    that a live plan still needs is unrecoverable (truncated lineage)."""
+    # snapshot first: unpersist mutates the underlying map
+    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        rdd.unpersist(False)
+
+
 def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
     import __spark_entry__ as e
 
@@ -155,6 +168,7 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
         t0 = time.monotonic()
         qs[name](spark, SF_DIR).collect()
         warm[name] = round(time.monotonic() - t0, 3)
+        _release_persisted(spark)
     # production-scale BPE training: 256 merge rounds through the
     # in-memory driver trainer (one corpus shuffle for the vocab, then
     # incremental in-memory rounds — the gate query's 8 rounds exercise

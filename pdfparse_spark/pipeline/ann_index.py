@@ -161,9 +161,14 @@ def encode_into_index(
         F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("v"),
         F.lit(1.0).alias("nrm"),
     )
-    encoded = _encode_vectors(e, books, coarse)
-    encoded.write.mode("append").parquet(index_dir + "/vectors")
-    n = encoded.count()
+    # persist: the write and the count would otherwise each run the full
+    # codebook-literal encode job over new_rows
+    encoded = _encode_vectors(e, books, coarse).persist()
+    try:
+        encoded.write.mode("append").parquet(index_dir + "/vectors")
+        n = encoded.count()
+    finally:
+        encoded.unpersist()
     return {"n_appended": n, "m": _PQ_M, "k": _PQ_K, "cells": len(coarse)}
 
 

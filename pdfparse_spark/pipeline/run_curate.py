@@ -77,17 +77,20 @@ def main(argv: list[str] | None = None) -> int:
     d = _docs(spark, args.sf_dir)
     n_in = d.count()
 
+    # ONE shared tokenized checkpoint for every filter leg — including
+    # the minhash pair source (the corpus_curate_full discipline:
+    # tokenize once, not per leg)
+    docs_tok = _tokenized_docs(spark, args.sf_dir)
     # the exact-pairs default is the gate query's own composition
     # (_curate_parts IS corpus_curate); --pairs minhash swaps only the
     # near-dup pair source, so the CLI can never drift from the oracle
     clusters = (
-        dedup_minhash_clusters(spark, args.sf_dir).select("doc_id", "cluster_id")
+        dedup_minhash_clusters(spark, args.sf_dir, docs=docs_tok).select(
+            "doc_id", "cluster_id"
+        )
         if args.pairs == "minhash"
         else None
     )
-    # ONE shared tokenized checkpoint for every filter leg (the
-    # corpus_curate_full discipline: tokenize once, not per leg)
-    docs_tok = _tokenized_docs(spark, args.sf_dir)
     passed, dropped_dup, ranked = _curate_parts(
         spark, args.sf_dir, clusters=clusters, docs=docs_tok
     )
@@ -129,6 +132,10 @@ def main(argv: list[str] | None = None) -> int:
     n_curated = spark.read.parquet(args.out).count()
     passed.unpersist()
     dropped_dup.unpersist()
+    # release the corpus-sized tokenized checkpoint too — inside a
+    # borrowed long-lived session each CLI run would otherwise leak one
+    # full (text, arr) copy of the corpus until the session dies
+    docs_tok.unpersist()
     if args.lm_filter:
         lm_ok.unpersist()  # consumed lazily by the ranked write above
     wall = time.monotonic() - t0

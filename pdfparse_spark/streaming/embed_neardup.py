@@ -144,6 +144,10 @@ def _make_bucket_updater(state_cap: int, state_ttl_ms: int, dim: int):
             rows.extend(
                 (int(r.vec_id), [float(x) for x in r.v], float(r.nrm))
                 for r in pdf.itertuples(index=False)
+                # length guard (belt to the plan-side braces): a wrong-dim
+                # vector entering the flattened state would misalign the
+                # k*dim slices of EVERY later bucket-mate — silent garbage
+                if len(r.v) == dim
             )
         rows.sort(key=lambda t: t[0])  # deterministic arrival order
         out_a, out_b, out_c = [], [], []
@@ -154,7 +158,12 @@ def _make_bucket_updater(state_cap: int, state_ttl_ms: int, dim: int):
                 acc = 0.0
                 for x, y in zip(sv, v):
                     acc += x * y
-                cos = acc / (snrm * nrm)
+                den = snrm * nrm
+                # zero-norm vectors: the JVM division yields NaN where
+                # Python raises ZeroDivisionError — a poison record would
+                # otherwise wedge the stream (replayed from checkpoint on
+                # every restart).  Emit NaN, exactly the batch value.
+                cos = acc / den if den != 0.0 else float("nan")
                 # emit EVERY candidate pair unrounded; the reader rounds
                 # HALF_UP and thresholds JVM-side, matching the batch op
                 a, b = (sid, rid) if sid < rid else (rid, sid)
@@ -206,6 +215,9 @@ def start_stream_embed_neardup(
     )
     banded = (
         signlsh_cols(stream)
+        # dim guard: a short/long embedding would still hash (zip_with
+        # null-pads) but would corrupt the flattened fixed-stride state
+        .filter(F.size("v") == _EMB_DIM)
         .select("vec_id", "v", "nrm", F.explode("bands").alias("band_key"))
     )
     ttl_ms = 0 if state_ttl_minutes is None else state_ttl_minutes * 60_000

@@ -798,8 +798,12 @@ def test_ivfpq_recall_and_adc_sanity(spark):
     ceiling), and (b) rank by an ADC that is genuinely monotone-ish in
     cosine: every returned neighbor's exact cos must match brute force's
     value for that pair."""
+    from pyspark.sql import functions as F
+
     from pdfparse_spark.pipeline.textops import (
-        sim_ann_ivf_trained,
+        _emb_norm,
+        _ivf_search,
+        _trained_coarse,
         sim_ann_ivfpq,
         sim_cosine_topk,
     )
@@ -812,12 +816,19 @@ def test_ivfpq_recall_and_adc_sanity(spark):
     brute3 = {
         (r["query_id"], r["neighbor_id"]) for r in brute_rows if r["rank"] <= 3
     }
-    # the ceiling is exact search restricted to TRAINED cells — the same
-    # k-means coarse quantizer ivfpq now uses (r3 used untrained first-16
-    # cells: recall 0.23 vs a 0.27 ceiling; trained cells lift it to 0.40)
+    # the ceiling is exact search restricted to ivfpq's OWN cells — the
+    # same _trained_coarse(defaults) over the same NORMALIZED frame the
+    # op trains on (sim_ann_ivf_trained would be a DIFFERENT quantizer:
+    # iters=3 over the raw frame).  r3's untrained first-16 cells gave
+    # recall 0.23 vs a 0.27 ceiling; trained cells lift it to 0.43.
+    e_norm = _emb_norm(spark, sf).select(
+        "vec_id",
+        F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("v"),
+        F.lit(1.0).alias("nrm"),
+    )
     ceiling = {
         (r["query_id"], r["neighbor_id"])
-        for r in sim_ann_ivf_trained(spark, sf).collect()
+        for r in _ivf_search(e_norm, _trained_coarse(e_norm)).collect()
     }
     got_rows = sim_ann_ivfpq(spark, sf).collect()
     got = {(r["query_id"], r["neighbor_id"]) for r in got_rows}
