@@ -655,6 +655,83 @@ def text_perplexity(
     )
 
 
+def text_perplexity_bigram(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """text_perplexity's n-gram extension (the CCNet direction — their
+    KenLM is a 5-gram; the bigram shows the plan generalizes): score
+    every document by the mean negative log-probability of its BIGRAMS
+    under an add-one-smoothed conditional LM trained on the corpus
+    itself, p(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V), with V the corpus
+    unigram vocabulary size.  Documents with fewer than 2 tokens have no
+    bigrams and are excluded (they carry no conditional signal).
+
+    Scale: identical shape to the unigram op, one key wider — a
+    (doc, w1, w2)-grouped hash aggregate (map-side combined; the doc_id
+    in the key spreads hot collocations), the corpus bigram LM derived
+    from that aggregate (never a re-explode), a (w1, w2)-keyed equality
+    join over DISTINCT per-doc bigrams, context counts c(w1·) as a
+    second aggregation OF THE LM (vocabulary-sized, not corpus-sized),
+    and a one-row broadcast of V.  Terciles via broadcast percentile
+    cutoffs, never a global sort.
+
+    Parity: p is an exact-integer ratio evaluated in one double
+    division — bit-identical across engines — so ln() sees identical
+    doubles; the weighted mean is rounded to 4 decimals and the tercile
+    cutoffs come from the ROUNDED score (the proven text_perplexity
+    pattern)."""
+    if docs is None:
+        base = _docs(spark, sf_dir).select(
+            "doc_id", F.expr(_TOKS).alias("arr")
+        )
+    else:
+        base = docs.select("doc_id", "arr")
+    bg_expr = (
+        "CASE WHEN size(arr) >= 2 THEN transform(sequence(1, size(arr) - 1), "
+        "i -> struct(element_at(arr, i) AS w1, element_at(arr, i + 1) AS w2)) "
+        "ELSE array() END"
+    )
+    bg = base.select("doc_id", F.explode(F.expr(bg_expr)).alias("p"))
+    dbg = bg.groupBy(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    ).agg(F.count("*").alias("c"))
+    # the LM from the aggregated per-doc counts, NOT a re-explode
+    cbg = dbg.groupBy("w1", "w2").agg(F.sum("c").alias("c12"))
+    c1 = cbg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vtot = base.select(F.explode("arr").alias("w")).agg(
+        F.countDistinct("w").alias("v_size")
+    )
+    j = (
+        dbg.join(cbg, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vtot))
+    )
+    ll = -F.log(
+        (F.col("c12") + 1).cast("double")
+        / (F.col("c1") + F.col("v_size")).cast("double")
+    )
+    per_doc = j.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        (F.sum(F.col("c") * ll) / F.sum("c")).alias("avg"),
+    )
+    scored = per_doc.select(
+        "doc_id", "n_bigrams", F.round("avg", 4).alias("avg_logloss")
+    )
+    cuts = scored.agg(
+        F.expr("percentile(avg_logloss, 1.0D / 3)").alias("p33"),
+        F.expr("percentile(avg_logloss, 2.0D / 3)").alias("p66"),
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_bigrams",
+        "avg_logloss",
+        F.when(F.col("avg_logloss") <= F.col("p33"), "head")
+        .when(F.col("avg_logloss") <= F.col("p66"), "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )
+
+
 # perplexity CTE fragment, ppl_-prefixed so it composes into larger oracle
 # chains (corpus_curate_full) without CTE-name collisions
 _SQL_PPL_CTES = f"""
@@ -3058,6 +3135,48 @@ ORACLES: dict[str, str] = {
                     ELSE 'tail' END AS ppl_bucket
         FROM ppl_scored, ppl_cuts
     """,
+    "text_perplexity_bigram": f"""
+        WITH bga AS (
+            SELECT doc_id, {_SQL_TOKS} AS arr FROM documents
+        ),
+        bg AS (
+            SELECT doc_id,
+                   unnest(arr[1:len(arr) - 1]) AS w1,
+                   unnest(arr[2:len(arr)]) AS w2
+            FROM bga WHERE len(arr) >= 2
+        ),
+        dbg AS (
+            SELECT doc_id, w1, w2, count(*) AS c FROM bg GROUP BY doc_id, w1, w2
+        ),
+        cbg AS (SELECT w1, w2, sum(c) AS c12 FROM dbg GROUP BY w1, w2),
+        c1 AS (SELECT w1, sum(c12) AS c1 FROM cbg GROUP BY w1),
+        vtot AS (
+            SELECT count(DISTINCT w) AS v_size
+            FROM (SELECT unnest(arr) AS w FROM bga)
+        ),
+        bj AS (
+            SELECT dbg.doc_id, dbg.c,
+                   -ln(CAST(cbg.c12 + 1 AS DOUBLE)
+                       / CAST(c1.c1 + vtot.v_size AS DOUBLE)) AS ll
+            FROM dbg JOIN cbg USING (w1, w2) JOIN c1 USING (w1), vtot
+        ),
+        bscored AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_bigrams,
+                   round(sum(c * ll) / sum(c), 4) AS avg_logloss
+            FROM bj GROUP BY doc_id
+        ),
+        bcuts AS (
+            SELECT quantile_cont(avg_logloss, 1.0 / 3) AS p33,
+                   quantile_cont(avg_logloss, 2.0 / 3) AS p66
+            FROM bscored
+        )
+        SELECT doc_id, n_bigrams, avg_logloss,
+               CASE WHEN avg_logloss <= p33 THEN 'head'
+                    WHEN avg_logloss <= p66 THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM bscored, bcuts
+    """,
     "text_bpe_pairs": f"""
         WITH toks AS (SELECT unnest({_SQL_TOKS}) AS w FROM documents),
         vocab AS (SELECT w, count(*) AS wc FROM toks GROUP BY w),
@@ -3333,6 +3452,7 @@ QUERIES = {
     "train_bpe_merges": train_bpe_merges,  # rows-only (argmax-per-round loop)
     "text_bpe_encode_trained": text_bpe_encode_trained,  # rows-only
     "text_perplexity": text_perplexity,
+    "text_perplexity_bigram": text_perplexity_bigram,
     "embed_label_stats": embed_label_stats,
     "embed_quality_score": embed_quality_score,
     "embed_kmeans": embed_kmeans,  # rows-only (iterative; invariants in pytest)
