@@ -68,8 +68,10 @@ BENCH_QUERIES = [
     "events_anomaly",
     "train_embed_lr",
     "dedup_semantic",
+    "dedup_semantic_trained",
     "text_bpe_pairs",
     "text_perplexity",
+    "text_perplexity_bigram",
     "text_bpe_encode",
     "sim_ann_ivfpq",
     "corpus_curate_full",

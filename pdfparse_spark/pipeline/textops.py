@@ -2325,12 +2325,38 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     knob the SemDeDup paper turns.  The gate uses the first-16-vector
     stand-in codebook so the oracle can re-derive it in SQL; tau=0.3
     because the driver's synthetic embeddings hold no true near-dups
-    (max pairwise cos ~0.45) — production runs tau~0.95+ unchanged."""
+    (max pairwise cos ~0.45) — production runs tau~0.95+ unchanged.
+    dedup_semantic_trained below is the production composition (trained
+    cells), sharing this body."""
     e = _emb_norm(spark, sf_dir)
     rows = (
         e.filter(F.col("vec_id") < _N_CELLS).select("vec_id", "v", "nrm").collect()
     )
     cents = [(int(r["vec_id"]), list(r["v"]), float(r["nrm"])) for r in rows]
+    return _semantic_keep(e, cents)
+
+
+def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_semantic with a genuinely TRAINED coarse quantizer
+    (train_kmeans_centroids via _trained_coarse) — the production
+    composition the SemDeDup paper actually runs: k-means cells bound
+    per-cell occupancy by construction, where first-k stand-in cells can
+    skew hot (a hot cell makes the cell-bucketed self-join quadratic in
+    ITS size — the straggler-reducer failure at 100 TB).  Rows-only
+    (k-means is iterative); pinned in pytest: planted duplicates are
+    flagged under ANY cell assignment (identical vectors always share a
+    cell), and occupancy is more BALANCED than the stand-in's (smaller
+    max/min spread — the quantity that bounds the worst reducer)."""
+    e = _emb_norm(spark, sf_dir)
+    return _semantic_keep(e, _trained_coarse(e, seed_mod=61))
+
+
+def _semantic_keep(
+    e: DataFrame, cents: list[tuple[int, list[float], float]]
+) -> DataFrame:
+    """The SemDeDup search body shared by the oracle-gated stand-in-cell
+    op and the trained-cell production op: cell assignment, cell-bucketed
+    LEFT self-join, per-vector keep decision."""
     assigned = _cell_top(e, cents, 1).select(
         "vec_id",
         F.element_at(F.col("top"), 1).getField("cid").alias("cell"),
@@ -3447,6 +3473,7 @@ QUERIES = {
     "sim_ann_ivfpq": sim_ann_ivfpq,  # rows-only (iterative PQ training)
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_semantic": dedup_semantic,
+    "dedup_semantic_trained": dedup_semantic_trained,  # rows-only (iterative k-means)
     "text_bpe_pairs": text_bpe_pairs,
     "text_bpe_encode": text_bpe_encode,  # rows-only (greedy merge loop)
     "train_bpe_merges": train_bpe_merges,  # rows-only (argmax-per-round loop)
