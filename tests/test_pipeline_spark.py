@@ -295,8 +295,9 @@ def test_plan_hygiene_all_queries(spark):
         "text_tfidf_topk", "docs_pps_sample", "docs_mix_rebalance",
         # perplexity cross-joins TWO one-row broadcast aggregates ((N, V)
         # scalars, tercile cutoffs) into every row — O(n·1); curate_full
-        # composes that leg and inherits the same one-row broadcasts
-        "text_perplexity", "corpus_curate_full",
+        # composes that leg and inherits the same one-row broadcasts;
+        # the bigram variant has the identical (V scalar, cutoffs) shape
+        "text_perplexity", "text_perplexity_bigram", "corpus_curate_full",
         # parity gate: ONE-row agg × ONE-row distinct-count — O(1·1)
         "extract_dedup_parity",
     }
