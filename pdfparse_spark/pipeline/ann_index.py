@@ -43,7 +43,12 @@ from .textops import (
     _trained_coarse,
 )
 
-__all__ = ["build_ivfpq_index", "encode_into_index", "search_ivfpq_index"]
+__all__ = [
+    "build_ivfpq_index",
+    "encode_into_index",
+    "search_ivfpq_index",
+    "start_stream_index_append",
+]
 
 
 def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,7 +114,15 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         # sim_ann_ivfpq makes, so the stored index reproduces the gate op
         coarse = _trained_coarse(e)
         vectors = _encode_vectors(e, books, coarse)
-        vectors.write.mode("overwrite").parquet(out_dir + "/vectors")
+        # the vectors table is partitioned by an `ingest` label from day
+        # one: the initial build owns ingest=base, every later append
+        # (batch or streaming micro-batch) owns its own partition, so a
+        # replayed streaming batch OVERWRITES ITSELF (dynamic partition
+        # overwrite) instead of duplicating rows — the same
+        # replay-stability scheme the extraction stream uses
+        vectors.withColumn("ingest", F.lit("base")).write.mode(
+            "overwrite"
+        ).partitionBy("ingest").parquet(out_dir + "/vectors")
         spark.createDataFrame(
             [
                 (m, code, books[m][code])
@@ -129,25 +142,32 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
 
 
 def encode_into_index(
-    spark: SparkSession, index_dir: str, new_rows: DataFrame
+    spark: SparkSession,
+    index_dir: str,
+    new_rows: DataFrame,
+    ingest: str = "append",
 ) -> dict:
     """Append NEW vectors to an existing index WITHOUT retraining: the
     stored PQ codebooks and coarse cells quantize the new rows exactly as
-    the build did, and the encoded rows append to the ``vectors`` table.
-    This is what makes the index production-real — ingest keeps flowing
-    into a built index; only a quality-driven rebuild retrains.
+    the build did, and the encoded rows land in the ``vectors`` table
+    under their own ``ingest`` partition.  This is what makes the index
+    production-real — ingest keeps flowing into a built index; only a
+    quality-driven rebuild retrains.
 
     ``new_rows`` carries the corpus schema (vec_id, embedding) —
     embedding is the raw (un-normalized) vector, normalized here with the
     same expression chain as the build.  vec_ids must be new (not
     validated — an ANN index is not a uniqueness constraint; dup ids
-    simply mean dup candidates).  Returns append stats.
+    simply mean dup candidates).  ``ingest`` names this batch's
+    partition: re-running the SAME label overwrites that partition only
+    (dynamic partition overwrite), which is what makes the streaming
+    face (:func:`start_stream_index_append`) replay-stable.  Returns
+    append stats.
 
     Scale: the append is one shuffle-free projection job over the new
-    rows only — the existing corpus is never touched, and the codebooks
-    travel as literals.  Parquet append keeps old files immutable (on a
-    real lakehouse this is an Iceberg append snapshot — atomic,
-    concurrent-reader-safe)."""
+    rows only — the existing partitions are never touched, and the
+    codebooks travel as literals.  (On a real lakehouse this is an
+    Iceberg append snapshot — atomic, concurrent-reader-safe.)"""
     books = _read_books(spark, index_dir)
     coarse = _read_coarse(spark, index_dir)
     e = new_rows.select(
@@ -165,11 +185,67 @@ def encode_into_index(
     # codebook-literal encode job over new_rows
     encoded = _encode_vectors(e, books, coarse).persist()
     try:
-        encoded.write.mode("append").parquet(index_dir + "/vectors")
+        (
+            encoded.withColumn("ingest", F.lit(ingest))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest")
+            .parquet(index_dir + "/vectors")
+        )
         n = encoded.count()
     finally:
         encoded.unpersist()
     return {"n_appended": n, "m": _PQ_M, "k": _PQ_K, "cells": len(coarse)}
+
+
+def start_stream_index_append(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+):
+    """Stream embedding parquet drops INTO a built IVF+PQ index: each
+    micro-batch is encoded with the STORED codebooks and coarse cells
+    (no retraining — the :func:`encode_into_index` body) and lands in
+    the vectors table under its own ``ingest=batch-<id>`` partition.
+    Replay stability comes from the partition scheme, not from hope: a
+    micro-batch re-run after a crash rewrites ITS OWN partition
+    (dynamic partition overwrite) instead of appending duplicates, so
+    the index converges to exactly-once contents under at-least-once
+    execution — the streaming analogue of the extraction stream's
+    per-batch output dirs.  The corpus the index points at is appended
+    upstream by the same pipeline, so refine-time vector fetches see
+    every indexed row (the encode_into_index contract)."""
+    from pyspark.sql.types import ArrayType, FloatType, IntegerType, LongType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType(), True),
+            StructField("embedding", ArrayType(FloatType()), True),
+            StructField("label", IntegerType(), True),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def _append(batch_df, batch_id: int) -> None:
+        encode_into_index(
+            spark, index_dir, batch_df, ingest="batch-%d" % batch_id
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def search_ivfpq_index(

@@ -571,3 +571,71 @@ def test_stream_embed_neardup_matches_batch(spark, tmp_path):
         (r["vec_a"], r["vec_b"], r["cos_sim"])
         for r in read_embed_neardup(spark, out_dir).collect()
     } == want
+
+
+def test_stream_index_append_replay_stable(spark, tmp_path):
+    """Streaming ingestion into a built IVF+PQ index: two embedding file
+    drops stream into their own ingest partitions; the planted near-copy
+    becomes searchable (rank 1, cos > 0.999); and a full checkpointed
+    replay leaves the index contents EXACTLY unchanged (dynamic partition
+    overwrite — no duplicate rows under at-least-once execution)."""
+    import pyspark.sql.functions as F
+
+    from pdfparse_spark.pipeline.ann_index import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+        start_stream_index_append,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "idx")
+    build_ivfpq_index(spark, sf, idx)
+
+    base = spark.read.parquet(sf + "/embeddings.parquet")
+    q_vec = base.filter(F.col("vec_id") == 100).collect()[0]["embedding"]
+    planted = [float(x) + 0.001 * ((i % 3) - 1) for i, x in enumerate(q_vec)]
+    new1 = spark.createDataFrame(
+        [(501, planted, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    new2 = spark.createDataFrame(
+        [(502, [float(i % 7) for i in range(64)], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    new1.coalesce(1).write.parquet(str(in_dir / "f1"))
+    new2.coalesce(1).write.parquet(str(in_dir / "f2"))
+
+    ck = str(tmp_path / "ck")
+    q = start_stream_index_append(spark, str(in_dir) + "/f*", idx, ck)
+    q.awaitTermination(120)
+
+    vecs = spark.read.parquet(idx + "/vectors")
+    assert vecs.count() == 502
+    assert vecs.filter(F.col("ingest") != "base").count() == 2
+
+    # replay: re-running the finished stream over the same input must
+    # leave the contents byte-identical (partitions overwrite themselves)
+    before = sorted(
+        (r["vec_id"], r["cell"], tuple(r["codes"])) for r in vecs.collect()
+    )
+    q2 = start_stream_index_append(spark, str(in_dir) + "/f*", idx, ck)
+    q2.awaitTermination(120)
+    after = sorted(
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in spark.read.parquet(idx + "/vectors").collect()
+    )
+    assert after == before
+
+    # the planted near-copy is searchable: extend the corpus the refine
+    # step reads and expect rank 1 with near-perfect cosine
+    corpus = str(tmp_path / "corpus")
+    base.unionByName(new1).unionByName(new2).write.parquet(
+        corpus + "/embeddings.parquet"
+    )
+    hits = {
+        (r["query_id"], r["neighbor_id"]): (r["rank"], r["cos_sim"])
+        for r in search_ivfpq_index(spark, corpus, idx).collect()
+    }
+    rank, cos = hits[(100, 501)]
+    assert rank == 1 and cos > 0.999
