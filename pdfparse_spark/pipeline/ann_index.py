@@ -120,9 +120,16 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         # replayed streaming batch OVERWRITES ITSELF (dynamic partition
         # overwrite) instead of duplicating rows — the same
         # replay-stability scheme the extraction stream uses
+        # partitionOverwriteMode pinned STATIC: a REBUILD must wipe every
+        # stale ingest partition — codes written under the old codebooks
+        # would otherwise survive and ADC-decode against the new ones
+        # (silently wrong distances).  A dynamic session default would
+        # overwrite ingest=base only.
         vectors.withColumn("ingest", F.lit("base")).write.mode(
             "overwrite"
-        ).partitionBy("ingest").parquet(out_dir + "/vectors")
+        ).option("partitionOverwriteMode", "static").partitionBy(
+            "ingest"
+        ).parquet(out_dir + "/vectors")
         spark.createDataFrame(
             [
                 (m, code, books[m][code])
@@ -141,11 +148,57 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     return {"n_vectors": n, "m": _PQ_M, "k": _PQ_K, "cells": len(coarse)}
 
 
+def _encode_new_rows(
+    new_rows: DataFrame,
+    books: list[list[list[float]]],
+    coarse: list[tuple[int, list[float], float]],
+) -> DataFrame:
+    """Normalize corpus-schema (vec_id, embedding) rows with the build's
+    expression chain and quantize them against fixed codebooks/cells —
+    the shared encode body of the batch append and the streaming face."""
+    e = new_rows.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).withColumn(
+        "nrm",
+        F.expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x))"),
+    ).select(
+        "vec_id",
+        F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("v"),
+        F.lit(1.0).alias("nrm"),
+    )
+    return _encode_vectors(e, books, coarse)
+
+
+def _write_ingest(encoded: DataFrame, index_dir: str, ingest: str) -> None:
+    """Land encoded rows in the vectors table under their own ingest
+    partition; re-running the SAME label overwrites that partition only
+    (dynamic partition overwrite) — the replay-stability mechanism."""
+    (
+        encoded.withColumn("ingest", F.lit(ingest))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest")
+        .parquet(index_dir + "/vectors")
+    )
+
+
+def _check_partitioned_layout(spark: SparkSession, index_dir: str) -> None:
+    """Refuse to append into a pre-partitioning (flat) vectors layout:
+    mixing ingest= subdirs with root-level files breaks partition
+    discovery on the next read, with no hint the index needs a rebuild."""
+    if "ingest" not in spark.read.parquet(index_dir + "/vectors").columns:
+        raise ValueError(
+            "index at %r uses the old flat vectors layout — rebuild it "
+            "with build_ivfpq_index before appending" % index_dir
+        )
+
+
 def encode_into_index(
     spark: SparkSession,
     index_dir: str,
     new_rows: DataFrame,
-    ingest: str = "append",
+    ingest: str,
 ) -> dict:
     """Append NEW vectors to an existing index WITHOUT retraining: the
     stored PQ codebooks and coarse cells quantize the new rows exactly as
@@ -159,39 +212,25 @@ def encode_into_index(
     same expression chain as the build.  vec_ids must be new (not
     validated — an ANN index is not a uniqueness constraint; dup ids
     simply mean dup candidates).  ``ingest`` names this batch's
-    partition: re-running the SAME label overwrites that partition only
-    (dynamic partition overwrite), which is what makes the streaming
-    face (:func:`start_stream_index_append`) replay-stable.  Returns
-    append stats.
+    partition and is REQUIRED: re-running the SAME label overwrites that
+    partition only (dynamic partition overwrite) — which makes retries
+    and the streaming face (:func:`start_stream_index_append`)
+    replay-stable, and means two different appends MUST use two
+    different labels or the second silently replaces the first.
+    Returns append stats.
 
     Scale: the append is one shuffle-free projection job over the new
     rows only — the existing partitions are never touched, and the
     codebooks travel as literals.  (On a real lakehouse this is an
     Iceberg append snapshot — atomic, concurrent-reader-safe.)"""
+    _check_partitioned_layout(spark, index_dir)
     books = _read_books(spark, index_dir)
     coarse = _read_coarse(spark, index_dir)
-    e = new_rows.select(
-        "vec_id",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
-    ).withColumn(
-        "nrm",
-        F.expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x))"),
-    ).select(
-        "vec_id",
-        F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("v"),
-        F.lit(1.0).alias("nrm"),
-    )
     # persist: the write and the count would otherwise each run the full
     # codebook-literal encode job over new_rows
-    encoded = _encode_vectors(e, books, coarse).persist()
+    encoded = _encode_new_rows(new_rows, books, coarse).persist()
     try:
-        (
-            encoded.withColumn("ingest", F.lit(ingest))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest")
-            .parquet(index_dir + "/vectors")
-        )
+        _write_ingest(encoded, index_dir, ingest)
         n = encoded.count()
     finally:
         encoded.unpersist()
@@ -217,26 +256,30 @@ def start_stream_index_append(
     execution — the streaming analogue of the extraction stream's
     per-batch output dirs.  The corpus the index points at is appended
     upstream by the same pipeline, so refine-time vector fetches see
-    every indexed row (the encode_into_index contract)."""
-    from pyspark.sql.types import ArrayType, FloatType, IntegerType, LongType
-    from pyspark.sql.types import StructField, StructType
+    every indexed row (the encode_into_index contract).
 
-    schema = StructType(
-        [
-            StructField("vec_id", LongType(), True),
-            StructField("embedding", ArrayType(FloatType()), True),
-            StructField("label", IntegerType(), True),
-        ]
-    )
+    The codebooks/coarse cells are read ONCE at stream start (they are
+    immutable for the index's lifetime) and closure-captured — the hot
+    path per micro-batch is exactly one encode+write job."""
+    # one schema definition for the embeddings stream (shared with the
+    # embedding near-dup stream); lazy import avoids a pipeline->streaming
+    # import at module load
+    from ..streaming.embed_neardup import EMBED_INPUT_SCHEMA
+
+    _check_partitioned_layout(spark, index_dir)
+    books = _read_books(spark, index_dir)
+    coarse = _read_coarse(spark, index_dir)
     stream = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(EMBED_INPUT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
 
     def _append(batch_df, batch_id: int) -> None:
-        encode_into_index(
-            spark, index_dir, batch_df, ingest="batch-%d" % batch_id
+        _write_ingest(
+            _encode_new_rows(batch_df, books, coarse),
+            index_dir,
+            "batch-%d" % batch_id,
         )
 
     writer = (

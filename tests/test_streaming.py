@@ -614,8 +614,21 @@ def test_stream_index_append_replay_stable(spark, tmp_path):
     assert vecs.count() == 502
     assert vecs.filter(F.col("ingest") != "base").count() == 2
 
-    # replay: re-running the finished stream over the same input must
-    # leave the contents byte-identical (partitions overwrite themselves)
+    # replay: simulate a crash AFTER the offsets log but BEFORE the
+    # commit of the last batch (delete its commits entry) — the restart
+    # genuinely re-runs that batch, and the contents must come out
+    # byte-identical (the batch rewrites its own ingest partition).
+    # Merely restarting a completed checkpoint would process nothing and
+    # prove nothing.
+    import os
+
+    commits = sorted(
+        f for f in os.listdir(ck + "/commits") if not f.startswith(".")
+    )
+    os.remove(ck + "/commits/" + commits[-1])
+    crc = ck + "/commits/." + commits[-1] + ".crc"
+    if os.path.exists(crc):  # Hadoop LocalFS checksum sibling
+        os.remove(crc)
     before = sorted(
         (r["vec_id"], r["cell"], tuple(r["codes"])) for r in vecs.collect()
     )

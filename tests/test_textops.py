@@ -1105,8 +1105,12 @@ def test_ann_index_append_finds_planted_neighbor(spark, tmp_path):
     new_rows = spark.createDataFrame(
         [(planted_id, planted_vec, 0)], "vec_id long, embedding array<float>, label int"
     )
-    stats = encode_into_index(spark, idx, new_rows)
+    stats = encode_into_index(spark, idx, new_rows, ingest="a1")
     assert stats["n_appended"] == 1
+    assert spark.read.parquet(idx + "/vectors").count() == 501
+    # retry idempotence: re-running the SAME ingest label overwrites its
+    # own partition instead of duplicating rows
+    encode_into_index(spark, idx, new_rows, ingest="a1")
     assert spark.read.parquet(idx + "/vectors").count() == 501
 
     # the refine step fetches exact vectors from the corpus table, so the
