@@ -639,9 +639,12 @@ def text_perplexity(
     # the unrounded double's ~1e-12 summation drift could flip a doc
     # sitting exactly on a cutoff); percentile() ↔ quantile_cont()
     # interpolation parity is the proven text_length_stats pattern.
+    # cutoffs rounded to the score's 4-decimal grid — engines' quantile
+    # interpolations differ in the last ulp, and a doc whose rounded
+    # score EQUALS a cutoff flips buckets (the sf0.1 bigram incident)
     cuts = scored.agg(
-        F.expr("percentile(avg_logloss, 1.0D / 3)").alias("p33"),
-        F.expr("percentile(avg_logloss, 2.0D / 3)").alias("p66"),
+        F.round(F.expr("percentile(avg_logloss, 1.0D / 3)"), 4).alias("p33"),
+        F.round(F.expr("percentile(avg_logloss, 2.0D / 3)"), 4).alias("p66"),
     )
     return scored.crossJoin(F.broadcast(cuts)).select(
         "doc_id",
@@ -717,9 +720,13 @@ def text_perplexity_bigram(
     scored = per_doc.select(
         "doc_id", "n_bigrams", F.round("avg", 4).alias("avg_logloss")
     )
+    # cutoffs ROUNDED to the same 4-decimal grid as the score: the two
+    # engines' quantile interpolations differ in the last ulp, and a doc
+    # whose rounded score EQUALS the cutoff would otherwise flip buckets
+    # (caught at sf0.1: 37 docs sat exactly on the terciles)
     cuts = scored.agg(
-        F.expr("percentile(avg_logloss, 1.0D / 3)").alias("p33"),
-        F.expr("percentile(avg_logloss, 2.0D / 3)").alias("p66"),
+        F.round(F.expr("percentile(avg_logloss, 1.0D / 3)"), 4).alias("p33"),
+        F.round(F.expr("percentile(avg_logloss, 2.0D / 3)"), 4).alias("p66"),
     )
     return scored.crossJoin(F.broadcast(cuts)).select(
         "doc_id",
@@ -753,8 +760,8 @@ _SQL_PPL_CTES = f"""
             FROM ppl_j GROUP BY doc_id
         ),
         ppl_cuts AS (
-            SELECT quantile_cont(avg_logloss, 1.0 / 3) AS p33,
-                   quantile_cont(avg_logloss, 2.0 / 3) AS p66
+            SELECT round(quantile_cont(avg_logloss, 1.0 / 3), 4) AS p33,
+                   round(quantile_cont(avg_logloss, 2.0 / 3), 4) AS p66
             FROM ppl_scored
         )
 """
@@ -3193,8 +3200,8 @@ ORACLES: dict[str, str] = {
             FROM bj GROUP BY doc_id
         ),
         bcuts AS (
-            SELECT quantile_cont(avg_logloss, 1.0 / 3) AS p33,
-                   quantile_cont(avg_logloss, 2.0 / 3) AS p66
+            SELECT round(quantile_cont(avg_logloss, 1.0 / 3), 4) AS p33,
+                   round(quantile_cont(avg_logloss, 2.0 / 3), 4) AS p66
             FROM bscored
         )
         SELECT doc_id, n_bigrams, avg_logloss,
