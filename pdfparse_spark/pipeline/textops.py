@@ -2858,6 +2858,142 @@ def docs_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Duplicated-span n-gram width: 8 tokens ≈ the granularity at which prose
+# reuse stops being coincidence on an alnum-token stream (Lee et al. use
+# 50 BPE tokens on web text; the synthetic corpus' docs are ~40 tokens, so
+# 8 keeps the op observable while preserving the plan shape).
+_SPAN_N = 8
+
+
+def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-SPAN detection — the n-gram-granular
+    approximation of exact-substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): a token position is
+    *covered* when the ``_SPAN_N``-gram starting there occurs in ≥2
+    distinct documents; overlapping/adjacent covered intervals merge into
+    maximal spans (gaps-and-islands over a running-max window).  Emits one
+    row per (doc, span) with its token interval — what a span-strip pass
+    consumes, and a strictly finer signal than doc-level near-dedup
+    (catches shared paragraphs inside otherwise-unique docs).
+
+    Scale: no pair join anywhere — a gram shared by K docs costs K rows
+    (grams → one hash-agg on the gram string for the distinct-doc count →
+    one equi-join back on the same key, both sides already partitioned on
+    ``g``), unlike pairwise sketches where a hot key is K².  The island
+    merge is a per-doc window (doc-partitioned, tiny).  The suffix-array
+    construction the paper uses is a single-machine algorithm; this
+    formulation trades sub-n-gram matches for embarrassing parallelism.
+    """
+    n = _SPAN_N
+    grams_expr = (
+        f"CASE WHEN size(arr) >= {n} THEN "
+        f"transform(sequence(1, size(arr) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(arr, i, {n}))) "
+        "ELSE array() END"
+    )
+    toks = _tokenized_arr(spark, sf_dir)
+    grams = toks.select(
+        "doc_id", F.posexplode(F.expr(grams_expr)).alias("pos0", "g")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("s"), "g")
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("g")
+    )
+    cov = grams.join(dup, "g").select(
+        "doc_id", "s", (F.col("s") + F.lit(n - 1)).alias("e")
+    )
+    # gaps-and-islands: break where this interval starts past the running
+    # max end + 1 (adjacent spans merge — token runs are contiguous)
+    w_prev = (
+        Window.partitionBy("doc_id").orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id").orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = cov.withColumn(
+        "brk",
+        (F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)) + 1).cast("long"),
+    ).withColumn("span_idx", F.sum("brk").over(w_run))
+    return marked.groupBy("doc_id", "span_idx").agg(
+        F.min("s").alias("span_start"),
+        F.max("e").alias("span_end"),
+        (F.max("e") - F.min("s") + 1).alias("span_len"),
+    )
+
+
+# DSIR hashed-feature space and target split.  1024 buckets keeps the LM
+# broadcast-tiny while leaving hash collisions visible at test scale; the
+# published method uses 10k buckets at web scale — a one-constant change.
+# The "target corpus" stand-in is the deterministic doc_id % 10 == 0 slice
+# (same convention as _DECON_BENCH_MOD's held-out benchmark).
+_DSIR_BUCKETS = 1024
+_DSIR_TARGET_MOD = 10
+
+
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+    score every raw document by the log-likelihood ratio of a hashed-n-gram
+    unigram+bigram LM fit on a small target corpus vs one fit on the raw
+    pool — the standard cheap proxy for "looks like the data I want more
+    of".  Features are hashed into ``_DSIR_BUCKETS`` buckets (md5-based —
+    the engine-portable draw every sampling op here uses), add-one
+    smoothed; ``log_w = Σ_features ln(p_target[b] / p_raw[b])``, and
+    ``keep`` flags target-leaning docs (rounded log_w > 0).
+
+    Scale — the whole point of DSIR's hashing: both LMs together are ≤B
+    rows, so scoring 100 TB is (1) one explode + hash-agg on ≤1024 keys
+    (map-side combine collapses each partition to ≤1024 rows before the
+    shuffle), (2) a broadcast join of the λ table, (3) one doc-keyed sum.
+    No global sort, no driver state beyond a 1024-row broadcast.  The λ
+    ratio is computed from exact integer cross-products (< 2^53 here;
+    at production counts compute λ as ln(ct+1)−ln(Tt+B)−ln(cr+1)+ln(Tr+B)
+    to stay in range — same values to fp rounding).
+    """
+    B = _DSIR_BUCKETS
+    toks = _docs(spark, sf_dir).select("doc_id", F.expr(_TOKS).alias("arr"))
+    bi = (
+        "CASE WHEN size(arr) >= 2 THEN "
+        "transform(sequence(1, size(arr) - 1), "
+        "i -> concat_ws(' ', element_at(arr, i), element_at(arr, i + 1))) "
+        "ELSE array() END"
+    )
+    feats = toks.select("doc_id", F.explode(F.expr(f"concat(arr, {bi})")).alias("g"))
+    u52 = "CAST(conv(substring(md5(concat('dsir:', g)), 1, 13), 16, 10) AS BIGINT)"
+    fb = feats.select(
+        "doc_id",
+        F.expr(f"{u52} % {B}").alias("b"),
+        (F.col("doc_id") % _DSIR_TARGET_MOD == 0).alias("is_t"),
+    )
+    bc = fb.groupBy("b").agg(
+        F.sum(F.col("is_t").cast("long")).alias("ct"),
+        F.sum((~F.col("is_t")).cast("long")).alias("cr"),
+    )
+    tot = bc.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    lam = F.log(
+        ((F.col("ct") + 1) * (F.col("tr") + B)).cast("double")
+        / ((F.col("cr") + 1) * (F.col("tt") + B)).cast("double")
+    )
+    lm = bc.crossJoin(F.broadcast(tot)).select("b", lam.alias("lam"))
+    scored = (
+        fb.join(F.broadcast(lm), "b")
+        .groupBy("doc_id")
+        # + 0.0 canonicalizes IEEE -0.0 (a doc whose λ sum rounds to zero
+        # from below) to +0.0 — the oracle does the same
+        .agg(
+            F.count("*").alias("n_feats"),
+            (F.round(F.sum("lam"), 4) + F.lit(0.0)).alias("log_w"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_feats",
+        "log_w",
+        (F.col("log_w") > 0).cast("int").alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect, same column names + rounding as above)
 # ---------------------------------------------------------------------------
@@ -3361,6 +3497,74 @@ ORACLES: dict[str, str] = {
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         FROM drawn GROUP BY lang ORDER BY lang
     """,
+    "dedup_span_ngrams": f"""
+        WITH toks AS (
+            SELECT doc_id, {_SQL_TOKS} AS arr FROM documents
+        ), pos AS (
+            SELECT doc_id, arr,
+                   unnest(range(1, greatest(len(arr) - {_SPAN_N - 2}, 1))) AS i
+            FROM toks
+        ), grams AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS s, CAST(i + {_SPAN_N - 1} AS BIGINT) AS e,
+                   array_to_string(arr[i:i + {_SPAN_N - 1}], ' ') AS g
+            FROM pos
+        ), dup AS (
+            SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+        ), cov AS (
+            SELECT doc_id, s, e FROM grams JOIN dup USING (g)
+        ), marked AS (
+            SELECT doc_id, s, e,
+                   CASE WHEN s > COALESCE(max(e) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                        THEN 1 ELSE 0 END AS brk
+            FROM cov
+        ), grp AS (
+            SELECT doc_id, s, e,
+                   CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS span_idx
+            FROM marked
+        )
+        SELECT doc_id, span_idx, min(s) AS span_start, max(e) AS span_end,
+               max(e) - min(s) + 1 AS span_len
+        FROM grp GROUP BY doc_id, span_idx
+    """,
+    "docs_dsir_weights": f"""
+        WITH toks AS (
+            SELECT doc_id, {_SQL_TOKS} AS arr FROM documents
+        ), uni AS (
+            SELECT doc_id, unnest(arr) AS g FROM toks
+        ), bi AS (
+            -- zipped multi-unnest: parallel unnests align element-wise
+            SELECT doc_id,
+                   unnest(arr[1:len(arr) - 1]) || ' ' || unnest(arr[2:len(arr)]) AS g
+            FROM toks WHERE len(arr) >= 2
+        ), fb AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5('dsir:' || g), 1, 13)) AS BIGINT)
+                       % {_DSIR_BUCKETS} AS b,
+                   doc_id % {_DSIR_TARGET_MOD} = 0 AS is_t
+            FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+        ), bc AS (
+            SELECT b,
+                   CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                   CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+            FROM fb GROUP BY b
+        ), tot AS (
+            SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr FROM bc
+        ), lm AS (
+            SELECT b, ln( ((ct + 1) * (tr + {_DSIR_BUCKETS})) * 1.0
+                          / ((cr + 1) * (tt + {_DSIR_BUCKETS})) ) AS lam
+            FROM bc CROSS JOIN tot
+        ), scored AS (
+            -- + 0.0 canonicalizes IEEE -0.0 to +0.0, matching the Spark op
+            SELECT f.doc_id, count(*) AS n_feats, round(sum(l.lam), 4) + 0.0 AS log_w
+            FROM fb f JOIN lm l USING (b) GROUP BY f.doc_id
+        )
+        SELECT doc_id, n_feats, log_w,
+               CASE WHEN log_w > 0 THEN 1 ELSE 0 END AS keep
+        FROM scored
+    """,
     "docs_global_shuffle": """
         SELECT doc_id,
                md5('seed42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
@@ -3492,6 +3696,8 @@ QUERIES = {
     "embed_kmeans": embed_kmeans,  # rows-only (iterative; invariants in pytest)
     "text_gopher_quality": text_gopher_quality,
     "decontaminate_ngram": decontaminate_ngram,
+    "dedup_span_ngrams": dedup_span_ngrams,
+    "docs_dsir_weights": docs_dsir_weights,
     "docs_global_shuffle": docs_global_shuffle,
     "dedup_clusters": dedup_clusters,
     "dedup_minhash_clusters": dedup_minhash_clusters,  # rows-only (xxhash64 family)

@@ -1126,3 +1126,96 @@ def test_ann_index_append_finds_planted_neighbor(spark, tmp_path):
     assert (q_id, planted_id) in hits
     rank, cos = hits[(q_id, planted_id)]
     assert rank == 1 and cos > 0.999
+
+
+def test_span_ngrams_planted_shared_run(spark, tmp_path):
+    """A 10-token run shared verbatim by two docs must surface as exactly
+    one merged span per doc at the planted token offsets (three overlapping
+    8-grams coalesce); two shared runs separated by unique tokens stay two
+    spans; an all-unique doc emits nothing."""
+    import pandas as pd
+
+    shared = " ".join("s%02d" % i for i in range(10))
+    run8a = " ".join("p%02d" % i for i in range(8))
+    run8b = " ".join("q%02d" % i for i in range(8))
+    texts = [
+        # doc 0: 5-token prefix + shared run + 3-token suffix -> span 6..15
+        "u00 u01 u02 u03 u04 " + shared + " v00 v01 v02",
+        # doc 1: 2-token prefix + shared run + 1-token suffix -> span 3..12
+        "w00 w01 " + shared + " x00",
+        # doc 2: all unique tokens -> no covered positions
+        " ".join("z%02d" % i for i in range(20)),
+        # docs 3/4: TWO shared 8-gram runs with a 2-token unique gap ->
+        # two separate spans in each doc
+        run8a + " y00 y01 " + run8b,
+        run8a + " k00 k01 " + run8b,
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = str(tmp_path)
+    pdf.to_parquet(d + "/documents.parquet")
+    from pdfparse_spark.pipeline.textops import dedup_span_ngrams
+
+    spans = {}
+    for r in dedup_span_ngrams(spark, d).collect():
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["span_len"])
+        )
+    for v in spans.values():
+        v.sort()
+    assert spans[0] == [(6, 15, 10)]
+    assert spans[1] == [(3, 12, 10)]
+    assert 2 not in spans
+    assert spans[3] == [(1, 8, 8), (11, 18, 8)]
+    assert spans[4] == [(1, 8, 8), (11, 18, 8)]
+
+
+def test_dsir_scores_target_like_docs_positive(spark, tmp_path):
+    """Raw-pool docs written in the target slice's vocabulary must score
+    log_w > 0 (kept) and strictly above every raw doc written in the
+    majority vocabulary, which must score negative (dropped) — the sign
+    convention DSIR resampling relies on."""
+    import pandas as pd
+
+    vocab_a = "alpha beta gamma delta epsilon zeta eta theta"
+    vocab_b = "one two three four five six seven eight"
+    texts, ids = [], []
+    for i in range(30):
+        ids.append(i)
+        if i % 10 == 0 or i in (5, 15):  # targets + two target-like raws
+            texts.append(vocab_a)
+        else:
+            texts.append(vocab_b)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": texts,
+            "lang": ["en"] * 30,
+            "source": ["t"] * 30,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = str(tmp_path)
+    pdf.to_parquet(d + "/documents.parquet")
+    from pdfparse_spark.pipeline.textops import docs_dsir_weights
+
+    rows = {r["doc_id"]: r for r in docs_dsir_weights(spark, d).collect()}
+    assert set(rows) == set(range(30))
+    a_like = [i for i in range(30) if i % 10 != 0 and i in (5, 15)]
+    b_like = [i for i in range(30) if i % 10 != 0 and i not in (5, 15)]
+    for i in a_like:
+        assert rows[i]["log_w"] > 0 and rows[i]["keep"] == 1, rows[i]
+    for i in b_like:
+        assert rows[i]["log_w"] < 0 and rows[i]["keep"] == 0, rows[i]
+    assert min(rows[i]["log_w"] for i in a_like) > max(
+        rows[i]["log_w"] for i in b_like
+    )
+    # every doc emits exactly one row and n_feats = unigrams + bigrams
+    assert rows[0]["n_feats"] == 8 + 7
