@@ -2994,6 +2994,138 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental-dedup Bloom filter sizing.  The prior-snapshot stand-in is
+# the deterministic doc_id % 4 == 0 slice ("the previous crawl"); m/k give
+# a theoretical FP rate of (1 - e^{-k·n/m})^k ≈ 2e-5 at the sf0.1 prior
+# size — the pytest pins ≤ 1%.  Production sizing: m ≈ 1.44·n·log2(1/fp)
+# bits; the in-plan literal works to m ≈ 2^27 (16 MB constant-folded once
+# per executor).  Past that, keep the SAME build (the bounded pos-domain
+# agg below) and swap the probe to an equality join of the ≤m/64-row
+# (word_idx, word) frame — still no O(n²) anywhere.
+_BLOOM_PRIOR_MOD = 4
+_BLOOM_BITS = 1 << 17
+_BLOOM_K = 3
+
+
+def _bloom_positions(col, seed_tag: str):
+    """The k xxhash64 bit positions for a value — ONE definition shared by
+    the build and probe sides (a seed mismatch would silently break the
+    no-false-negative guarantee)."""
+    return [
+        F.pmod(F.xxhash64(F.lit(f"{seed_tag}:{i}"), col), F.lit(_BLOOM_BITS))
+        for i in range(_BLOOM_K)
+    ]
+
+
+def dedup_bloom_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a prior corpus snapshot via a from-scratch
+    JVM-side Bloom filter — the cross-RUN face of dedup_exact: when
+    yesterday's 100 TB crawl is already deduped, today's increment only
+    needs membership AGAINST it, not a join WITH it.  Rows-only: the
+    xxhash64 family has no DuckDB equivalent; the guarantee pytest pins is
+    zero false negatives + FP rate under the sizing bound.
+
+    Scale: the build never moves the prior corpus — each partition
+    map-side-combines its k·n bit positions onto the ≤m-value position
+    domain, so the shuffle AND the driver collect are bounded by m (2048
+    longs here), independent of corpus size; Catalyst constant-folds the
+    bit-set literal once and ships it with the plan (the sign-LSH
+    hyperplane trick).  The probe is a stateless per-row expression —
+    zero shuffle, zero join, streams at scan speed.
+    """
+    d = _docs(spark, sf_dir)
+    prior = d.filter(F.col("doc_id") % _BLOOM_PRIOR_MOD == 0)
+    pos_rows = (
+        prior.select(F.explode(F.array(*_bloom_positions(F.col("text"), "bloom"))).alias("pos"))
+        .distinct()
+        .collect()
+    )
+    words = [0] * (_BLOOM_BITS // 64)
+    for r in pos_rows:
+        words[r["pos"] >> 6] |= 1 << (r["pos"] & 63)
+    bits = F.lit([w - (1 << 64) if w >= (1 << 63) else w for w in words])
+    # the shift amount is column-valued, which only the SQL surface of
+    # shiftleft accepts — hence the expr() probe over named position cols
+    probe = d.filter(F.col("doc_id") % _BLOOM_PRIOR_MOD != 0).withColumn("bits", bits)
+    for i, p in enumerate(_bloom_positions(F.col("text"), "bloom")):
+        probe = probe.withColumn(f"_p{i}", p)
+    tests = " AND ".join(
+        f"(element_at(bits, CAST(shiftright(_p{i}, 6) AS INT) + 1)"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % 64 AS INT))) != 0"
+        for i in range(_BLOOM_K)
+    )
+    return probe.select(
+        "doc_id", F.expr(f"CAST(({tests}) AS INT)").alias("bloom_hit")
+    )
+
+
+# Whole-doc packing budget: bins hold ≤128 tokens; docs stay intact (the
+# padding-free SFT/finetune layout), unlike docs_token_chunks which splits
+# the concatenated stream at exact chunk boundaries (the pretraining
+# layout).  16 shards bound the sequential scan each packer performs.
+_PACK_TOKENS = 128
+_PACK_SHARDS = 16
+
+
+def docs_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document sequence packing (next-fit): docs are dealt into
+    ``_PACK_SHARDS`` shards by an md5 draw, ordered deterministically
+    within each shard, then greedily packed into bins of ≤``_PACK_TOKENS``
+    tokens WITHOUT splitting documents — a new bin opens when the next doc
+    would overflow the current one; docs longer than the budget sit alone
+    in an ``oversize`` bin.  Complements docs_token_chunks (which cuts the
+    concatenated stream mid-document — right for pretraining, wrong when
+    each example must stay contiguous).
+
+    Scale: next-fit is inherently sequential (each bin boundary depends on
+    the running fill), so the parallel unit is the shard: one grouped-map
+    applyInPandas per shard walks its docs once (one Arrow crossing, O(n)
+    Python over row COUNTS only — never text).  Shard count scales with
+    the cluster; the md5 deal keeps shards uniform, so no packer straggles.
+    The tokenize itself stays JVM-side — only (doc_id, n_tok, order key)
+    enter Python.
+    """
+    import pandas as pd
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.expr(_TOKS)).cast("long").alias("n_tok"),
+        F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))).alias("k"),
+    )
+    d = d.withColumn(
+        "shard",
+        F.expr("CAST(conv(substring(k, 1, 13), 16, 10) AS BIGINT)") % _PACK_SHARDS,
+    )
+    budget = _PACK_TOKENS
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["k", "doc_id"], kind="mergesort").reset_index(drop=True)
+        bin_idx, fill = 0, 0
+        bins = []
+        for n in pdf["n_tok"]:
+            if bin_idx == 0 or fill + n > budget:
+                bin_idx += 1
+                fill = int(n)
+            else:
+                fill += int(n)
+            bins.append(bin_idx)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "shard": pdf["shard"],
+                "pos": range(1, len(pdf) + 1),
+                "bin_idx": bins,
+                "n_tok": pdf["n_tok"],
+                "oversize": (pdf["n_tok"] > budget).astype("int32"),
+            }
+        )
+
+    schema = (
+        "doc_id long, shard long, pos long, bin_idx long, n_tok long, oversize int"
+    )
+    return d.groupBy("shard").applyInPandas(pack, schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect, same column names + rounding as above)
 # ---------------------------------------------------------------------------
@@ -3529,6 +3661,36 @@ ORACLES: dict[str, str] = {
                max(e) - min(s) + 1 AS span_len
         FROM grp GROUP BY doc_id, span_idx
     """,
+    "docs_pack_bins": f"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id,
+                   CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tok,
+                   md5('pack:' || CAST(doc_id AS VARCHAR)) AS k
+            FROM documents
+        ), sharded AS (
+            SELECT doc_id, n_tok, k,
+                   CAST(concat('0x', substr(k, 1, 13)) AS BIGINT) % {_PACK_SHARDS} AS shard
+            FROM toks
+        ), ordered AS (
+            SELECT doc_id, n_tok, shard,
+                   CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                        AS BIGINT) AS pos
+            FROM sharded
+        ), packed(shard, pos, doc_id, n_tok, bin_idx, fill) AS (
+            SELECT shard, pos, doc_id, n_tok, CAST(1 AS BIGINT), n_tok
+            FROM ordered WHERE pos = 1
+            UNION ALL
+            SELECT o.shard, o.pos, o.doc_id, o.n_tok,
+                   CASE WHEN p.fill + o.n_tok > {_PACK_TOKENS}
+                        THEN p.bin_idx + 1 ELSE p.bin_idx END,
+                   CASE WHEN p.fill + o.n_tok > {_PACK_TOKENS}
+                        THEN o.n_tok ELSE p.fill + o.n_tok END
+            FROM packed p JOIN ordered o ON o.shard = p.shard AND o.pos = p.pos + 1
+        )
+        SELECT doc_id, shard, pos, bin_idx, n_tok,
+               CASE WHEN n_tok > {_PACK_TOKENS} THEN 1 ELSE 0 END AS oversize
+        FROM packed
+    """,
     "docs_dsir_weights": f"""
         WITH toks AS (
             SELECT doc_id, {_SQL_TOKS} AS arr FROM documents
@@ -3698,6 +3860,8 @@ QUERIES = {
     "decontaminate_ngram": decontaminate_ngram,
     "dedup_span_ngrams": dedup_span_ngrams,
     "docs_dsir_weights": docs_dsir_weights,
+    "dedup_bloom_prior": dedup_bloom_prior,  # rows-only (xxhash64 family)
+    "docs_pack_bins": docs_pack_bins,
     "docs_global_shuffle": docs_global_shuffle,
     "dedup_clusters": dedup_clusters,
     "dedup_minhash_clusters": dedup_minhash_clusters,  # rows-only (xxhash64 family)

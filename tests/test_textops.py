@@ -1219,3 +1219,83 @@ def test_dsir_scores_target_like_docs_positive(spark, tmp_path):
     )
     # every doc emits exactly one row and n_feats = unigrams + bigrams
     assert rows[0]["n_feats"] == 8 + 7
+
+
+def test_bloom_prior_no_false_negatives_and_fp_bound(spark, tmp_path):
+    """The Bloom guarantee the op exists for: every increment doc whose
+    text ALSO appears in the prior slice must hit (no false negatives —
+    a miss there would let a known duplicate back into the corpus), and
+    the false-positive rate over genuine non-members stays far under the
+    sizing bound (m=2^17, k=3 → theoretical ~2e-5 at these prior sizes).
+    Membership is planted (ids 4k+1 copy id 4k\'s text); the FP leg also
+    sweeps the real sf0.01 corpus, which carries no cross-slice dups."""
+    import pandas as pd
+
+    from pdfparse_spark.pipeline.textops import (
+        _BLOOM_PRIOR_MOD,
+        _docs,
+        dedup_bloom_prior,
+    )
+
+    texts = ["planted doc number %d with its own words %d" % (i, i * 7) for i in range(200)]
+    for k in range(0, 40, 4):
+        texts[k + 1] = texts[k]  # increment doc duplicates a prior doc
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(200),
+            "text": texts,
+            "lang": ["en"] * 200,
+            "source": ["t"] * 200,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = str(tmp_path)
+    pdf.to_parquet(d + "/documents.parquet")
+    hits = {r["doc_id"]: r["bloom_hit"] for r in dedup_bloom_prior(spark, d).collect()}
+    assert set(hits) == {i for i in range(200) if i % _BLOOM_PRIOR_MOD != 0}
+    members = [k + 1 for k in range(0, 40, 4)]
+    assert all(hits[i] == 1 for i in members)  # zero false negatives
+    nonmembers = [i for i in hits if i not in members]
+    assert sum(hits[i] for i in nonmembers) / len(nonmembers) <= 0.01
+
+    # FP sweep over the real corpus (no cross-slice exact dups there)
+    sf = "/root/testdata/sf0.01"
+    real_hits = {r["doc_id"]: r["bloom_hit"] for r in dedup_bloom_prior(spark, sf).collect()}
+    rows = _docs(spark, sf).select("doc_id", "text").collect()
+    prior_texts = {r["text"] for r in rows if r["doc_id"] % _BLOOM_PRIOR_MOD == 0}
+    fps = [i for i, h in real_hits.items() if h == 1]
+    by_id = {r["doc_id"]: r["text"] for r in rows}
+    genuine_fp = [i for i in fps if by_id[i] not in prior_texts]
+    assert len(genuine_fp) / max(len(real_hits), 1) <= 0.01
+
+
+def test_pack_bins_invariants(spark):
+    """Next-fit packing invariants at sf0.01: every doc packed exactly
+    once; bin indexes advance 0/+1 with position (next-fit never reopens
+    a bin); no bin exceeds the token budget unless it holds exactly one
+    oversize doc, and oversize docs always sit alone."""
+    from pdfparse_spark.pipeline.textops import _PACK_TOKENS, docs_pack_bins
+
+    rows = docs_pack_bins(spark, "/root/testdata/sf0.01").collect()
+    n_docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    bins: dict = {}
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["pos"])
+        assert [r["pos"] for r in rs] == list(range(1, len(rs) + 1))
+        assert rs[0]["bin_idx"] == 1
+        for a, b in zip(rs, rs[1:]):
+            assert b["bin_idx"] - a["bin_idx"] in (0, 1)
+        for r in rs:
+            bins.setdefault((shard, r["bin_idx"]), []).append(r)
+    for (_, _), members in bins.items():
+        total = sum(r["n_tok"] for r in members)
+        oversize = [r for r in members if r["oversize"] == 1]
+        if total > _PACK_TOKENS:
+            assert len(members) == 1 and oversize, members
+        if oversize:
+            assert len(members) == 1
