@@ -2865,6 +2865,33 @@ def docs_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_N = 8
 
 
+def _dup_gram_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s, e) token intervals covered by a cross-document duplicated
+    ``_SPAN_N``-gram — the ONE definition of the coverage math, shared by
+    dedup_span_ngrams (island merge → spans) and dedup_span_strip (position
+    anti-join → cleaned text), mirroring the _SQL_SPANCOV_CTES fragment."""
+    n = _SPAN_N
+    grams_expr = (
+        f"CASE WHEN size(arr) >= {n} THEN "
+        f"transform(sequence(1, size(arr) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(arr, i, {n}))) "
+        "ELSE array() END"
+    )
+    toks = _tokenized_arr(spark, sf_dir)
+    grams = toks.select(
+        "doc_id", F.posexplode(F.expr(grams_expr)).alias("pos0", "g")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("s"), "g")
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("g")
+    )
+    return grams.join(dup, "g").select(
+        "doc_id", "s", (F.col("s") + F.lit(n - 1)).alias("e")
+    )
+
+
 def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated-SPAN detection — the n-gram-granular
     approximation of exact-substring dedup (Lee et al., "Deduplicating
@@ -2884,26 +2911,7 @@ def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction the paper uses is a single-machine algorithm; this
     formulation trades sub-n-gram matches for embarrassing parallelism.
     """
-    n = _SPAN_N
-    grams_expr = (
-        f"CASE WHEN size(arr) >= {n} THEN "
-        f"transform(sequence(1, size(arr) - {n - 1}), "
-        f"i -> concat_ws(' ', slice(arr, i, {n}))) "
-        "ELSE array() END"
-    )
-    toks = _tokenized_arr(spark, sf_dir)
-    grams = toks.select(
-        "doc_id", F.posexplode(F.expr(grams_expr)).alias("pos0", "g")
-    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("s"), "g")
-    dup = (
-        grams.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") >= 2)
-        .select("g")
-    )
-    cov = grams.join(dup, "g").select(
-        "doc_id", "s", (F.col("s") + F.lit(n - 1)).alias("e")
-    )
+    cov = _dup_gram_cov(spark, sf_dir)
     # gaps-and-islands: break where this interval starts past the running
     # max end + 1 (adjacent spans merge — token runs are contiguous)
     w_prev = (
@@ -2920,6 +2928,45 @@ def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("s").alias("span_start"),
         F.max("e").alias("span_end"),
         (F.max("e") - F.min("s") + 1).alias("span_len"),
+    )
+
+
+def dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION for dedup_span_ngrams' findings: remove every token
+    covered by a cross-document duplicated n-gram and emit, per document,
+    the surviving token count and a sha256 of the cleaned token stream
+    (order preserved) — the per-row artifact a strip pass materializes,
+    hash-verified without shipping fat text through the comparator.
+
+    Scale: coverage explodes to at most n_tok positions per doc (bounded
+    by the corpus token count, not by pair counts), the removal is a
+    doc+position anti-join (both sides partitioned by doc_id), and the
+    cleaned stream is rebuilt inside the doc-keyed aggregate — the fat
+    token stream shuffles ONCE, on the same doc_id key end to end.
+    """
+    toks = _tokenized_arr(spark, sf_dir)
+    covered = (
+        _dup_gram_cov(spark, sf_dir)
+        .select("doc_id", F.explode(F.sequence("s", "e")).alias("pos"))
+        .distinct()
+    )
+    tokpos = toks.select(
+        "doc_id", F.posexplode("arr").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+    kept = tokpos.join(covered, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.expr(
+            "sha2(concat_ws(' ', transform(array_sort(collect_list(struct(pos, tok))),"
+            " p -> p.tok)), 256)"
+        ).alias("clean_sha"),
+    )
+    totals = toks.select("doc_id", F.size("arr").cast("long").alias("n_tokens"))
+    return totals.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+        F.coalesce(F.col("clean_sha"), F.sha2(F.lit(""), 256)).alias("clean_sha"),
     )
 
 
@@ -3137,6 +3184,26 @@ _SQL_EMB_NORM = (
 )
 
 _SQL_DOT = "list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * nv[i]))"
+
+# Duplicated-span coverage CTE chain (toks → positional grams → cross-doc
+# dup grams → covered intervals), shared by the dedup_span_ngrams and
+# dedup_span_strip oracles — the SQL mirror of _dup_gram_cov.  A bare CTE
+# list ending in `cov`; callers prepend WITH and append their own CTEs.
+_SQL_SPANCOV_CTES = f"""toks AS (
+            SELECT doc_id, {_SQL_TOKS} AS arr FROM documents
+        ), pos AS (
+            SELECT doc_id, arr,
+                   unnest(range(1, greatest(len(arr) - {_SPAN_N - 2}, 1))) AS i
+            FROM toks
+        ), grams AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS s, CAST(i + {_SPAN_N - 1} AS BIGINT) AS e,
+                   array_to_string(arr[i:i + {_SPAN_N - 1}], ' ') AS g
+            FROM pos
+        ), dup AS (
+            SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+        ), cov AS (
+            SELECT doc_id, s, e FROM grams JOIN dup USING (g)
+        )"""
 
 # Capped exact-Jaccard pair CTE chain (shared by the dedup_ngram_jaccard
 # oracle and the dedup_clusters transitive-closure oracle).  A bare CTE
@@ -3630,21 +3697,7 @@ ORACLES: dict[str, str] = {
         FROM drawn GROUP BY lang ORDER BY lang
     """,
     "dedup_span_ngrams": f"""
-        WITH toks AS (
-            SELECT doc_id, {_SQL_TOKS} AS arr FROM documents
-        ), pos AS (
-            SELECT doc_id, arr,
-                   unnest(range(1, greatest(len(arr) - {_SPAN_N - 2}, 1))) AS i
-            FROM toks
-        ), grams AS (
-            SELECT doc_id, CAST(i AS BIGINT) AS s, CAST(i + {_SPAN_N - 1} AS BIGINT) AS e,
-                   array_to_string(arr[i:i + {_SPAN_N - 1}], ' ') AS g
-            FROM pos
-        ), dup AS (
-            SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
-        ), cov AS (
-            SELECT doc_id, s, e FROM grams JOIN dup USING (g)
-        ), marked AS (
+        WITH {_SQL_SPANCOV_CTES}, marked AS (
             SELECT doc_id, s, e,
                    CASE WHEN s > COALESCE(max(e) OVER (PARTITION BY doc_id ORDER BY s
                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
@@ -3660,6 +3713,30 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, span_idx, min(s) AS span_start, max(e) AS span_end,
                max(e) - min(s) + 1 AS span_len
         FROM grp GROUP BY doc_id, span_idx
+    """,
+    "dedup_span_strip": f"""
+        WITH {_SQL_SPANCOV_CTES}, covered AS (
+            SELECT DISTINCT doc_id, pos FROM (
+                SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM cov
+            )
+        ), tokpos AS (
+            -- zipped multi-unnest: token and its 1-based position align
+            SELECT doc_id, unnest(arr) AS tok,
+                   CAST(unnest(range(1, len(arr) + 1)) AS BIGINT) AS pos
+            FROM toks
+        ), kept AS (
+            SELECT t.doc_id, t.pos, t.tok
+            FROM tokpos t ANTI JOIN covered c USING (doc_id, pos)
+        ), agg AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   sha256(array_to_string(list(tok ORDER BY pos), ' ')) AS clean_sha
+            FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.arr) AS BIGINT) AS n_tokens,
+               CAST(len(t.arr) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+               COALESCE(a.clean_sha, sha256('')) AS clean_sha
+        FROM toks t LEFT JOIN agg a USING (doc_id)
     """,
     "docs_pack_bins": f"""
         WITH RECURSIVE toks AS (
@@ -3859,6 +3936,7 @@ QUERIES = {
     "text_gopher_quality": text_gopher_quality,
     "decontaminate_ngram": decontaminate_ngram,
     "dedup_span_ngrams": dedup_span_ngrams,
+    "dedup_span_strip": dedup_span_strip,
     "docs_dsir_weights": docs_dsir_weights,
     "dedup_bloom_prior": dedup_bloom_prior,  # rows-only (xxhash64 family)
     "docs_pack_bins": docs_pack_bins,

@@ -1299,3 +1299,44 @@ def test_pack_bins_invariants(spark):
             assert len(members) == 1 and oversize, members
         if oversize:
             assert len(members) == 1
+
+
+def test_span_strip_removes_exactly_planted_run(spark, tmp_path):
+    """Stripping must remove exactly the tokens under the shared run and
+    keep everything else in order — clean_sha equals a Python-computed
+    sha256 of the surviving tokens; the all-unique doc is untouched."""
+    import hashlib
+
+    import pandas as pd
+
+    shared = " ".join("s%02d" % i for i in range(10))
+    texts = [
+        "u00 u01 u02 u03 u04 " + shared + " v00 v01 v02",
+        "w00 w01 " + shared + " x00",
+        " ".join("z%02d" % i for i in range(20)),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = str(tmp_path)
+    pdf.to_parquet(d + "/documents.parquet")
+    from pdfparse_spark.pipeline.textops import dedup_span_strip
+
+    rows = {r["doc_id"]: r for r in dedup_span_strip(spark, d).collect()}
+    assert set(rows) == {0, 1, 2}
+
+    def sha(s: str) -> str:
+        return hashlib.sha256(s.encode()).hexdigest()
+
+    assert rows[0]["n_tokens"] == 18 and rows[0]["n_removed"] == 10
+    assert rows[0]["clean_sha"] == sha("u00 u01 u02 u03 u04 v00 v01 v02")
+    assert rows[1]["n_tokens"] == 13 and rows[1]["n_removed"] == 10
+    assert rows[1]["clean_sha"] == sha("w00 w01 x00")
+    assert rows[2]["n_removed"] == 0
+    assert rows[2]["clean_sha"] == sha(texts[2])
