@@ -9,3 +9,8 @@ from .neardup import (  # noqa: F401
 )
 from .anomaly import start_anomaly_stream, with_anomaly_units  # noqa: F401
 from .stream_extract import start_stream_extraction_dedup  # noqa: F401
+from .bloom_dedup import (  # noqa: F401
+    bloom_pos_cols,
+    read_bloom_verdicts,
+    start_stream_bloom_dedup,
+)

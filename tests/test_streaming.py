@@ -652,3 +652,56 @@ def test_stream_index_append_replay_stable(spark, tmp_path):
     }
     rank, cos = hits[(100, 501)]
     assert rank == 1 and cos > 0.999
+
+
+def test_stream_bloom_dedup_flags_dups_across_batches(spark, tmp_path):
+    """Sharded-Bloom streaming dedup: first occurrence of a text misses,
+    every later occurrence hits — within a micro-batch, across batches,
+    and across conversations; distinct texts stay unflagged (FP odds at
+    this fill are ~1e-7 and the draw is deterministic); null-text turns
+    produce no verdict."""
+    import datetime as dt
+
+    from pdfparse_spark.pipeline.transcripts import INPUT_SCHEMA
+    from pdfparse_spark.streaming.bloom_dedup import (
+        read_bloom_verdicts,
+        start_stream_bloom_dedup,
+    )
+
+    base = dt.datetime(2026, 1, 1, 9, 0, 0)
+
+    def row(conv, idx, minute, text):
+        return (conv, idx, "user", text, "", base + dt.timedelta(minutes=minute))
+
+    batch1 = [
+        row("c1", 0, 0, "alpha alpha alpha"),
+        row("c1", 1, 1, "beta beta"),
+        row("c2", 0, 2, "alpha alpha alpha"),  # within-batch dup
+        row("c2", 1, 3, None),                 # tool turn: no verdict
+    ]
+    batch2 = [
+        row("c3", 0, 10, "beta beta"),         # cross-batch dup
+        row("c3", 1, 11, "gamma"),
+        row("c4", 0, 12, "gamma"),             # within-batch dup
+        row("c4", 1, 13, "delta"),
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    spark.createDataFrame(batch1, INPUT_SCHEMA).coalesce(1).write.parquet(str(in_dir / "f1"))
+    spark.createDataFrame(batch2, INPUT_SCHEMA).coalesce(1).write.parquet(str(in_dir / "f2"))
+
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = start_stream_bloom_dedup(spark, str(in_dir) + "/f*", out_dir, ck)
+    q.awaitTermination(120)
+
+    got = {r["id"]: r["bloom_hit"] for r in read_bloom_verdicts(spark, out_dir).collect()}
+    assert got == {
+        "c1#0": 0, "c1#1": 0, "c2#0": 1,
+        "c3#0": 1, "c3#1": 0, "c4#0": 1, "c4#1": 0,
+    }
+
+    # restart on the SAME checkpoint with no new input: replay-stable,
+    # nothing re-emitted
+    q2 = start_stream_bloom_dedup(spark, str(in_dir) + "/f*", out_dir, ck)
+    q2.awaitTermination(120)
+    assert read_bloom_verdicts(spark, out_dir).count() == 7
