@@ -76,6 +76,11 @@ BENCH_QUERIES = [
     "sim_ann_ivfpq",
     "corpus_curate_full",
     "train_bpe_merges",
+    "dedup_span_ngrams",
+    "dedup_span_strip",
+    "docs_dsir_weights",
+    "dedup_bloom_prior",
+    "docs_pack_bins",
 ]
 
 
