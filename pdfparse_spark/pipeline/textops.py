@@ -2865,11 +2865,15 @@ def docs_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_N = 8
 
 
-def _dup_gram_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dup_gram_cov(
+    spark: SparkSession, sf_dir: str, toks: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, s, e) token intervals covered by a cross-document duplicated
     ``_SPAN_N``-gram — the ONE definition of the coverage math, shared by
     dedup_span_ngrams (island merge → spans) and dedup_span_strip (position
-    anti-join → cleaned text), mirroring the _SQL_SPANCOV_CTES fragment."""
+    anti-join → cleaned text), mirroring the _SQL_SPANCOV_CTES fragment.
+    ``toks`` optionally supplies the caller's already-checkpointed
+    (doc_id, arr) frame so a composing op tokenizes the corpus ONCE."""
     n = _SPAN_N
     grams_expr = (
         f"CASE WHEN size(arr) >= {n} THEN "
@@ -2877,7 +2881,8 @@ def _dup_gram_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"i -> concat_ws(' ', slice(arr, i, {n}))) "
         "ELSE array() END"
     )
-    toks = _tokenized_arr(spark, sf_dir)
+    if toks is None:
+        toks = _tokenized_arr(spark, sf_dir)
     grams = toks.select(
         "doc_id", F.posexplode(F.expr(grams_expr)).alias("pos0", "g")
     ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("s"), "g")
@@ -2946,7 +2951,7 @@ def dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     toks = _tokenized_arr(spark, sf_dir)
     covered = (
-        _dup_gram_cov(spark, sf_dir)
+        _dup_gram_cov(spark, sf_dir, toks=toks)
         .select("doc_id", F.explode(F.sequence("s", "e")).alias("pos"))
         .distinct()
     )
@@ -2999,7 +3004,7 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     to stay in range — same values to fp rounding).
     """
     B = _DSIR_BUCKETS
-    toks = _docs(spark, sf_dir).select("doc_id", F.expr(_TOKS).alias("arr"))
+    toks = _tokenized_arr(spark, sf_dir)
     bi = (
         "CASE WHEN size(arr) >= 2 THEN "
         "transform(sequence(1, size(arr) - 1), "
@@ -3008,11 +3013,17 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = toks.select("doc_id", F.explode(F.expr(f"concat(arr, {bi})")).alias("g"))
     u52 = "CAST(conv(substring(md5(concat('dsir:', g)), 1, 13), 16, 10) AS BIGINT)"
+    # the hashed feature stream feeds TWO independent legs (the LM-build
+    # aggregate and the scoring join) whose subplans share no exchange, so
+    # without this eager checkpoint the explode + md5 per feature runs
+    # twice; the materialized frame is three ints per occurrence.  At
+    # extreme scale swap for persist(DISK_ONLY) or accept the recompute —
+    # the trade is stated, not hidden.
     fb = feats.select(
         "doc_id",
         F.expr(f"{u52} % {B}").alias("b"),
         (F.col("doc_id") % _DSIR_TARGET_MOD == 0).alias("is_t"),
-    )
+    ).localCheckpoint(eager=True)
     bc = fb.groupBy("b").agg(
         F.sum(F.col("is_t").cast("long")).alias("ct"),
         F.sum((~F.col("is_t")).cast("long")).alias("cr"),
@@ -3033,11 +3044,17 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.sum("lam"), 4) + F.lit(0.0)).alias("log_w"),
         )
     )
-    return scored.select(
-        "doc_id",
-        "n_feats",
-        "log_w",
-        (F.col("log_w") > 0).cast("int").alias("keep"),
+    # one row per document, like every sibling per-doc op: a doc whose
+    # text tokenizes to nothing has no features — score 0, not absent
+    return (
+        toks.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_feats"), F.lit(0)).alias("n_feats"),
+            F.coalesce(F.col("log_w"), F.lit(0.0)).alias("log_w"),
+            (F.coalesce(F.col("log_w"), F.lit(0.0)) > 0).cast("int").alias("keep"),
+        )
     )
 
 
@@ -3800,9 +3817,12 @@ ORACLES: dict[str, str] = {
             SELECT f.doc_id, count(*) AS n_feats, round(sum(l.lam), 4) + 0.0 AS log_w
             FROM fb f JOIN lm l USING (b) GROUP BY f.doc_id
         )
-        SELECT doc_id, n_feats, log_w,
-               CASE WHEN log_w > 0 THEN 1 ELSE 0 END AS keep
-        FROM scored
+        -- one row per document: a doc with no features scores 0, not absent
+        SELECT d.doc_id,
+               CAST(COALESCE(s.n_feats, 0) AS BIGINT) AS n_feats,
+               COALESCE(s.log_w, 0.0) AS log_w,
+               CASE WHEN COALESCE(s.log_w, 0.0) > 0 THEN 1 ELSE 0 END AS keep
+        FROM documents d LEFT JOIN scored s USING (doc_id)
     """,
     "docs_global_shuffle": """
         SELECT doc_id,

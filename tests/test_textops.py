@@ -1193,12 +1193,14 @@ def test_dsir_scores_target_like_docs_positive(spark, tmp_path):
             texts.append(vocab_a)
         else:
             texts.append(vocab_b)
+    ids.append(31)
+    texts.append("~~~ !!!")  # tokenizes to nothing: zero features, still a row
     pdf = pd.DataFrame(
         {
             "doc_id": ids,
             "text": texts,
-            "lang": ["en"] * 30,
-            "source": ["t"] * 30,
+            "lang": ["en"] * len(ids),
+            "source": ["t"] * len(ids),
             "n_chars": [len(t) for t in texts],
         }
     )
@@ -1207,7 +1209,8 @@ def test_dsir_scores_target_like_docs_positive(spark, tmp_path):
     from pdfparse_spark.pipeline.textops import docs_dsir_weights
 
     rows = {r["doc_id"]: r for r in docs_dsir_weights(spark, d).collect()}
-    assert set(rows) == set(range(30))
+    assert set(rows) == set(range(30)) | {31}
+    assert rows[31]["n_feats"] == 0 and rows[31]["log_w"] == 0.0 and rows[31]["keep"] == 0
     a_like = [i for i in range(30) if i % 10 != 0 and i in (5, 15)]
     b_like = [i for i in range(30) if i % 10 != 0 and i not in (5, 15)]
     for i in a_like:
