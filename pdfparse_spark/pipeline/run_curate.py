@@ -40,6 +40,7 @@ from .textops import (
     _docs,
     _md5_shuffle_rank,
     dedup_minhash_clusters,
+    docs_dsir_weights,
     text_perplexity,
 )
 
@@ -61,6 +62,13 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="also drop the worst LM-perplexity tercile — the operational "
         "face of corpus_curate_full's composition",
+    )
+    p.add_argument(
+        "--dsir-filter",
+        action="store_true",
+        help="also drop docs whose DSIR importance weight is non-positive "
+        "(raw-pool-leaning under the hashed n-gram LM ratio) — the "
+        "operational face of docs_dsir_weights",
     )
     p.add_argument("--num-files", type=int, default=16)
     args = p.parse_args(argv)
@@ -105,18 +113,35 @@ def main(argv: list[str] | None = None) -> int:
     n_dup_dropped = passed.join(dropped_dup, "doc_id", "inner").count()
 
     n_lm_dropped = 0
-    if args.lm_filter:
-        # corpus_curate_full's composition: the LM leg intersects the
-        # gopher-passers, then the rank is reassigned over the smaller set
-        lm_ok = (
-            text_perplexity(spark, args.sf_dir, docs=docs_tok)
-            .filter(F.col("ppl_bucket") != "tail")
-            .select("doc_id")
-            .persist()
-        )
+    n_dsir_dropped = 0
+    extra_ok = []
+    if args.lm_filter or args.dsir_filter:
+        # composed filters intersect the gopher∧dedup survivors stage by
+        # stage (each count is "dropped among prior-stage survivors" so the
+        # metrics sum to docs_in), then the rank is reassigned over the
+        # final set — corpus_curate_full's composition with more legs
         survivors = passed.join(dropped_dup, "doc_id", "left_anti")
-        n_lm_dropped = survivors.join(lm_ok, "doc_id", "left_anti").count()
-        ranked = _md5_shuffle_rank(survivors.join(lm_ok, "doc_id"), "n_tokens")
+        if args.lm_filter:
+            lm_ok = (
+                text_perplexity(spark, args.sf_dir, docs=docs_tok)
+                .filter(F.col("ppl_bucket") != "tail")
+                .select("doc_id")
+                .persist()
+            )
+            extra_ok.append(lm_ok)
+            n_lm_dropped = survivors.join(lm_ok, "doc_id", "left_anti").count()
+            survivors = survivors.join(lm_ok, "doc_id")
+        if args.dsir_filter:
+            dsir_ok = (
+                docs_dsir_weights(spark, args.sf_dir, docs=docs_tok)
+                .filter(F.col("keep") == 1)
+                .select("doc_id")
+                .persist()
+            )
+            extra_ok.append(dsir_ok)
+            n_dsir_dropped = survivors.join(dsir_ok, "doc_id", "left_anti").count()
+            survivors = survivors.join(dsir_ok, "doc_id")
+        ranked = _md5_shuffle_rank(survivors, "n_tokens")
 
     out = ranked.join(
         d.select("doc_id", "lang", "source", "n_chars", "text"), "doc_id"
@@ -136,8 +161,8 @@ def main(argv: list[str] | None = None) -> int:
     # borrowed long-lived session each CLI run would otherwise leak one
     # full (text, arr) copy of the corpus until the session dies
     docs_tok.unpersist()
-    if args.lm_filter:
-        lm_ok.unpersist()  # consumed lazily by the ranked write above
+    for ok in extra_ok:
+        ok.unpersist()  # consumed lazily by the ranked write above
     wall = time.monotonic() - t0
     print(
         json.dumps(
@@ -147,6 +172,7 @@ def main(argv: list[str] | None = None) -> int:
                 "dropped_quality": n_quality_fail,
                 "dropped_near_dup": n_dup_dropped,
                 "dropped_lm": n_lm_dropped,
+                "dropped_dsir": n_dsir_dropped,
                 "pairs": args.pairs,
                 "wall_sec": round(wall, 3),
             }

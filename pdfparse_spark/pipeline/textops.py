@@ -2984,7 +2984,9 @@ _DSIR_BUCKETS = 1024
 _DSIR_TARGET_MOD = 10
 
 
-def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def docs_dsir_weights(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
     score every raw document by the log-likelihood ratio of a hashed-n-gram
     unigram+bigram LM fit on a small target corpus vs one fit on the raw
@@ -3004,7 +3006,9 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     to stay in range — same values to fp rounding).
     """
     B = _DSIR_BUCKETS
-    toks = _tokenized_arr(spark, sf_dir)
+    toks = (
+        docs.select("doc_id", "arr") if docs is not None else _tokenized_arr(spark, sf_dir)
+    )
     bi = (
         "CASE WHEN size(arr) >= 2 THEN "
         "transform(sequence(1, size(arr) - 1), "

@@ -1343,3 +1343,37 @@ def test_span_strip_removes_exactly_planted_run(spark, tmp_path):
     assert rows[1]["clean_sha"] == sha("w00 w01 x00")
     assert rows[2]["n_removed"] == 0
     assert rows[2]["clean_sha"] == sha(texts[2])
+
+
+def test_run_curate_cli_dsir_filter(spark, tmp_path):
+    """--dsir-filter composes a DSIR keep==1 stage after the gopher∧dedup
+    (∧ LM) legs: the five-way stage breakdown sums to docs_in, and the
+    written doc set equals recomputing the same intersection from the
+    gate queries directly."""
+    import contextlib, io, json
+
+    from pdfparse_spark.pipeline.run_curate import main
+    from pdfparse_spark.pipeline.textops import corpus_curate_full, docs_dsir_weights
+
+    out = str(tmp_path / "curated_dsir")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main([
+            "--sf-dir", SF, "--out", out, "--master", "local[8]",
+            "--num-files", "4", "--lm-filter", "--dsir-filter",
+        ])
+    m = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert (
+        m["docs_in"]
+        == m["dropped_quality"] + m["dropped_near_dup"] + m["dropped_lm"]
+        + m["dropped_dsir"] + m["docs_curated"]
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()}
+    full = {r["doc_id"] for r in corpus_curate_full(spark, SF).select("doc_id").collect()}
+    keep = {
+        r["doc_id"]
+        for r in docs_dsir_weights(spark, SF).filter("keep = 1").select("doc_id").collect()
+    }
+    assert got == (full & keep)
+    assert m["docs_curated"] == len(got)
+    assert m["dropped_dsir"] == len(full - keep)
