@@ -3135,7 +3135,12 @@ _PACK_TOKENS = 128
 _PACK_SHARDS = 16
 
 
-def docs_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+def docs_pack_bins(
+    spark: SparkSession,
+    sf_dir: str,
+    shards: int = _PACK_SHARDS,
+    budget: int = _PACK_TOKENS,
+) -> DataFrame:
     """Whole-document sequence packing (next-fit): docs are dealt into
     ``_PACK_SHARDS`` shards by an md5 draw, ordered deterministically
     within each shard, then greedily packed into bins of ≤``_PACK_TOKENS``
@@ -3148,10 +3153,11 @@ def docs_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: next-fit is inherently sequential (each bin boundary depends on
     the running fill), so the parallel unit is the shard: one grouped-map
     applyInPandas per shard walks its docs once (one Arrow crossing, O(n)
-    Python over row COUNTS only — never text).  Shard count scales with
-    the cluster; the md5 deal keeps shards uniform, so no packer straggles.
-    The tokenize itself stays JVM-side — only (doc_id, n_tok, order key)
-    enter Python.
+    Python over row COUNTS only — never text).  ``shards`` is the
+    parallelism knob — set it ≈ total cluster cores at production scale
+    (the gate default stays 16 so the oracle recursion matches); the md5
+    deal keeps shards uniform, so no packer straggles.  The tokenize
+    itself stays JVM-side — only (doc_id, n_tok, order key) enter Python.
     """
     import pandas as pd
 
@@ -3162,9 +3168,8 @@ def docs_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = d.withColumn(
         "shard",
-        F.expr("CAST(conv(substring(k, 1, 13), 16, 10) AS BIGINT)") % _PACK_SHARDS,
+        F.expr("CAST(conv(substring(k, 1, 13), 16, 10) AS BIGINT)") % shards,
     )
-    budget = _PACK_TOKENS
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["k", "doc_id"], kind="mergesort").reset_index(drop=True)
