@@ -705,3 +705,46 @@ def test_stream_bloom_dedup_flags_dups_across_batches(spark, tmp_path):
     q2 = start_stream_bloom_dedup(spark, str(in_dir) + "/f*", out_dir, ck)
     q2.awaitTermination(120)
     assert read_bloom_verdicts(spark, out_dir).count() == 7
+
+
+def test_stream_bloom_dedup_state_survives_restart(spark, tmp_path):
+    """The shard bitsets live in the state store: a NEW file dropped after
+    the first availableNow run finishes must still dedup against texts
+    seen BEFORE the restart (bits round-trip through checkpoint state),
+    and re-list the old files without re-emitting them."""
+    import datetime as dt
+
+    from pdfparse_spark.pipeline.transcripts import INPUT_SCHEMA
+    from pdfparse_spark.streaming.bloom_dedup import (
+        read_bloom_verdicts,
+        start_stream_bloom_dedup,
+    )
+
+    base = dt.datetime(2026, 1, 1, 9, 0, 0)
+
+    def row(conv, idx, minute, text):
+        return (conv, idx, "user", text, "", base + dt.timedelta(minutes=minute))
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    spark.createDataFrame(
+        [row("c1", 0, 0, "epsilon words"), row("c1", 1, 1, "zeta words")],
+        INPUT_SCHEMA,
+    ).coalesce(1).write.parquet(str(in_dir / "f1"))
+
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = start_stream_bloom_dedup(spark, str(in_dir) + "/f*", out_dir, ck)
+    q.awaitTermination(120)
+    got = {r["id"]: r["bloom_hit"] for r in read_bloom_verdicts(spark, out_dir).collect()}
+    assert got == {"c1#0": 0, "c1#1": 0}
+
+    # new drop AFTER the first query finished: one dup of a pre-restart
+    # text, one fresh text
+    spark.createDataFrame(
+        [row("c2", 0, 10, "epsilon words"), row("c2", 1, 11, "fresh words")],
+        INPUT_SCHEMA,
+    ).coalesce(1).write.parquet(str(in_dir / "f2"))
+    q2 = start_stream_bloom_dedup(spark, str(in_dir) + "/f*", out_dir, ck)
+    q2.awaitTermination(120)
+    got = {r["id"]: r["bloom_hit"] for r in read_bloom_verdicts(spark, out_dir).collect()}
+    assert got == {"c1#0": 0, "c1#1": 0, "c2#0": 1, "c2#1": 0}
