@@ -109,38 +109,41 @@ def main(argv: list[str] | None = None) -> int:
 
     n_quality_fail = n_in - passed.count()
     # count duplicate-drops among QUALITY-PASSERS so the stages sum:
-    # docs_in = dropped_quality + dropped_near_dup [+ dropped_lm] + curated
+    # docs_in = dropped_quality + dropped_near_dup + dropped_lm
+    #           + dropped_dsir + docs_curated
+    # (each optional leg counts drops among PRIOR-stage survivors; the
+    # summation is pinned by the CLI pytests)
     n_dup_dropped = passed.join(dropped_dup, "doc_id", "inner").count()
 
-    n_lm_dropped = 0
-    n_dsir_dropped = 0
+    # optional composed filter legs, one (metric_key, keep-set builder)
+    # per flag — a new leg is one tuple here, and the persist/count/join
+    # discipline stays in a single loop
+    legs = []
+    if args.lm_filter:
+        legs.append((
+            "dropped_lm",
+            lambda: text_perplexity(spark, args.sf_dir, docs=docs_tok)
+            .filter(F.col("ppl_bucket") != "tail")
+            .select("doc_id"),
+        ))
+    if args.dsir_filter:
+        legs.append((
+            "dropped_dsir",
+            lambda: docs_dsir_weights(spark, args.sf_dir, docs=docs_tok)
+            .filter(F.col("keep") == 1)
+            .select("doc_id"),
+        ))
+    drops = {"dropped_lm": 0, "dropped_dsir": 0}
     extra_ok = []
-    if args.lm_filter or args.dsir_filter:
-        # composed filters intersect the gopher∧dedup survivors stage by
-        # stage (each count is "dropped among prior-stage survivors" so the
-        # metrics sum to docs_in), then the rank is reassigned over the
-        # final set — corpus_curate_full's composition with more legs
+    if legs:
         survivors = passed.join(dropped_dup, "doc_id", "left_anti")
-        if args.lm_filter:
-            lm_ok = (
-                text_perplexity(spark, args.sf_dir, docs=docs_tok)
-                .filter(F.col("ppl_bucket") != "tail")
-                .select("doc_id")
-                .persist()
-            )
-            extra_ok.append(lm_ok)
-            n_lm_dropped = survivors.join(lm_ok, "doc_id", "left_anti").count()
-            survivors = survivors.join(lm_ok, "doc_id")
-        if args.dsir_filter:
-            dsir_ok = (
-                docs_dsir_weights(spark, args.sf_dir, docs=docs_tok)
-                .filter(F.col("keep") == 1)
-                .select("doc_id")
-                .persist()
-            )
-            extra_ok.append(dsir_ok)
-            n_dsir_dropped = survivors.join(dsir_ok, "doc_id", "left_anti").count()
-            survivors = survivors.join(dsir_ok, "doc_id")
+        for key, build in legs:
+            ok = build().persist()
+            extra_ok.append(ok)
+            drops[key] = survivors.join(ok, "doc_id", "left_anti").count()
+            survivors = survivors.join(ok, "doc_id")
+        # the rank is reassigned over the final survivor set —
+        # corpus_curate_full's composition with more legs
         ranked = _md5_shuffle_rank(survivors, "n_tokens")
 
     out = ranked.join(
@@ -171,8 +174,8 @@ def main(argv: list[str] | None = None) -> int:
                 "docs_curated": n_curated,
                 "dropped_quality": n_quality_fail,
                 "dropped_near_dup": n_dup_dropped,
-                "dropped_lm": n_lm_dropped,
-                "dropped_dsir": n_dsir_dropped,
+                "dropped_lm": drops["dropped_lm"],
+                "dropped_dsir": drops["dropped_dsir"],
                 "pairs": args.pairs,
                 "wall_sec": round(wall, 3),
             }

@@ -3028,16 +3028,26 @@ def docs_dsir_weights(
         F.expr(f"{u52} % {B}").alias("b"),
         (F.col("doc_id") % _DSIR_TARGET_MOD == 0).alias("is_t"),
     ).localCheckpoint(eager=True)
-    bc = fb.groupBy("b").agg(
-        F.sum(F.col("is_t").cast("long")).alias("ct"),
-        F.sum((~F.col("is_t")).cast("long")).alias("cr"),
+    # the ≤B-row LM is materialized once (its aggregate would otherwise
+    # re-execute under every consumer subplan — verified: no exchange
+    # reuse between them), and the two corpus totals come to the driver
+    # as scalars (codebook-style collect, bounded by construction) so λ
+    # is pure literal arithmetic — no one-row cross join at all
+    bc = (
+        fb.groupBy("b")
+        .agg(
+            F.sum(F.col("is_t").cast("long")).alias("ct"),
+            F.sum((~F.col("is_t")).cast("long")).alias("cr"),
+        )
+        .localCheckpoint(eager=True)
     )
-    tot = bc.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    tot = bc.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr")).collect()[0]
+    tt, tr = int(tot["tt"] or 0), int(tot["tr"] or 0)
     lam = F.log(
-        ((F.col("ct") + 1) * (F.col("tr") + B)).cast("double")
-        / ((F.col("cr") + 1) * (F.col("tt") + B)).cast("double")
+        ((F.col("ct") + 1) * F.lit(tr + B)).cast("double")
+        / ((F.col("cr") + 1) * F.lit(tt + B)).cast("double")
     )
-    lm = bc.crossJoin(F.broadcast(tot)).select("b", lam.alias("lam"))
+    lm = bc.select("b", lam.alias("lam"))
     scored = (
         fb.join(F.broadcast(lm), "b")
         .groupBy("doc_id")
@@ -3142,9 +3152,9 @@ def docs_pack_bins(
     budget: int = _PACK_TOKENS,
 ) -> DataFrame:
     """Whole-document sequence packing (next-fit): docs are dealt into
-    ``_PACK_SHARDS`` shards by an md5 draw, ordered deterministically
-    within each shard, then greedily packed into bins of ≤``_PACK_TOKENS``
-    tokens WITHOUT splitting documents — a new bin opens when the next doc
+    ``shards`` shards by an md5 draw, ordered deterministically within
+    each shard, then greedily packed into bins of ≤``budget`` tokens
+    WITHOUT splitting documents — a new bin opens when the next doc
     would overflow the current one; docs longer than the budget sit alone
     in an ``oversize`` bin.  Complements docs_token_chunks (which cuts the
     concatenated stream mid-document — right for pretraining, wrong when

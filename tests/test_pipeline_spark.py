@@ -300,9 +300,6 @@ def test_plan_hygiene_all_queries(spark):
         "text_perplexity", "text_perplexity_bigram", "corpus_curate_full",
         # parity gate: ONE-row agg × ONE-row distinct-count — O(1·1)
         "extract_dedup_parity",
-        # DSIR crosses the ONE-row (Tt, Tr) totals into the ≤1024-row
-        # bucket LM before its broadcast — O(B·1)
-        "docs_dsir_weights",
     }
     for name, fn in e.queries().items():
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
