@@ -3085,14 +3085,51 @@ _BLOOM_BITS = 1 << 17
 _BLOOM_K = 3
 
 
-def _bloom_positions(col, seed_tag: str):
+def _bloom_positions(col, seed_tag: str, bits: int = _BLOOM_BITS, k: int = _BLOOM_K):
     """The k xxhash64 bit positions for a value — ONE definition shared by
     the build and probe sides (a seed mismatch would silently break the
     no-false-negative guarantee)."""
     return [
-        F.pmod(F.xxhash64(F.lit(f"{seed_tag}:{i}"), col), F.lit(_BLOOM_BITS))
-        for i in range(_BLOOM_K)
+        F.pmod(F.xxhash64(F.lit(f"{seed_tag}:{i}"), col), F.lit(bits))
+        for i in range(k)
     ]
+
+
+def _bloom_words(pos_values, bits: int) -> list[int]:
+    """Fold collected bit positions into ``bits // 64`` SIGNED 64-bit words
+    (Spark's LongType) — the driver-side half of the build, bounded by the
+    filter size regardless of corpus size."""
+    words = [0] * (bits // 64)
+    for p in pos_values:
+        words[p >> 6] |= 1 << (p & 63)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def _with_bloom_hit(
+    df: DataFrame,
+    words: list[int],
+    text_col: str = "text",
+    seed_tag: str = "bloom",
+    bits: int = _BLOOM_BITS,
+    k: int = _BLOOM_K,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """Append ``out_col`` (1 = all k bits set) testing ``text_col`` against
+    a bit-set literal — the ONE probe definition, shared by the gate op
+    and the persisted-index probe.  The shift amount is column-valued,
+    which only the SQL surface of shiftleft accepts — hence the expr()
+    probe over named position columns."""
+    probe = df.withColumn("_bloombits", F.lit(words))
+    for i, p in enumerate(_bloom_positions(F.col(text_col), seed_tag, bits, k)):
+        probe = probe.withColumn(f"_p{i}", p)
+    tests = " AND ".join(
+        f"(element_at(_bloombits, CAST(shiftright(_p{i}, 6) AS INT) + 1)"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % 64 AS INT))) != 0"
+        for i in range(k)
+    )
+    return probe.withColumn(out_col, F.expr(f"CAST(({tests}) AS INT)")).drop(
+        "_bloombits", *[f"_p{i}" for i in range(k)]
+    )
 
 
 def dedup_bloom_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3118,23 +3155,10 @@ def dedup_bloom_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .collect()
     )
-    words = [0] * (_BLOOM_BITS // 64)
-    for r in pos_rows:
-        words[r["pos"] >> 6] |= 1 << (r["pos"] & 63)
-    bits = F.lit([w - (1 << 64) if w >= (1 << 63) else w for w in words])
-    # the shift amount is column-valued, which only the SQL surface of
-    # shiftleft accepts — hence the expr() probe over named position cols
-    probe = d.filter(F.col("doc_id") % _BLOOM_PRIOR_MOD != 0).withColumn("bits", bits)
-    for i, p in enumerate(_bloom_positions(F.col("text"), "bloom")):
-        probe = probe.withColumn(f"_p{i}", p)
-    tests = " AND ".join(
-        f"(element_at(bits, CAST(shiftright(_p{i}, 6) AS INT) + 1)"
-        f" & shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % 64 AS INT))) != 0"
-        for i in range(_BLOOM_K)
-    )
-    return probe.select(
-        "doc_id", F.expr(f"CAST(({tests}) AS INT)").alias("bloom_hit")
-    )
+    words = _bloom_words([r["pos"] for r in pos_rows], _BLOOM_BITS)
+    return _with_bloom_hit(
+        d.filter(F.col("doc_id") % _BLOOM_PRIOR_MOD != 0), words
+    ).select("doc_id", "bloom_hit")
 
 
 # Whole-doc packing budget: bins hold ≤128 tokens; docs stay intact (the

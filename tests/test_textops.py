@@ -1377,3 +1377,58 @@ def test_run_curate_cli_dsir_filter(spark, tmp_path):
     assert got == (full & keep)
     assert m["docs_curated"] == len(got)
     assert m["dropped_dsir"] == len(full - keep)
+
+
+def test_bloom_index_lifecycle(spark, tmp_path):
+    """build → probe → extend → re-probe → idempotent re-extend: texts
+    indexed in EITHER pass hit, unseen texts don't (planted, deterministic
+    draw), the stored words are byte-identical after a replayed extend,
+    and NULL texts probe to 0."""
+    from pdfparse_spark.pipeline.bloom_index import (
+        bloom_index_stats,
+        build_bloom_index,
+        extend_bloom_index,
+        probe_bloom_index,
+    )
+
+    def frame(texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    crawl1 = frame(["crawl one doc %d words" % i for i in range(50)])
+    crawl2 = frame(["crawl two doc %d words" % i for i in range(50)])
+    idx = str(tmp_path / "bloomidx")
+
+    stats = build_bloom_index(spark, crawl1, idx)
+    assert 0 < stats["n_set_bits"] <= 3 * 50
+    assert stats["est_fp_rate"] < 1e-6
+
+    probe_texts = [
+        "crawl one doc 7 words",   # in crawl1
+        "crawl two doc 7 words",   # only in crawl2 (not yet indexed)
+        "never seen anywhere",
+        None,                      # null: no verdict signal, hit 0
+    ]
+    inc = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(probe_texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["bloom_hit"] for r in probe_bloom_index(spark, inc, idx).collect()}
+    assert got == {0: 1, 1: 0, 2: 0, 3: 0}
+
+    extend_bloom_index(spark, crawl2, idx)
+    got = {r["doc_id"]: r["bloom_hit"] for r in probe_bloom_index(spark, inc, idx).collect()}
+    assert got == {0: 1, 1: 1, 2: 0, 3: 0}
+
+    # replayed extend: OR of already-set bits — filter byte-identical
+    before = sorted(
+        (r["word_idx"], r["word"])
+        for r in spark.read.parquet(idx + "/words").collect()
+    )
+    extend_bloom_index(spark, crawl2, idx)
+    after = sorted(
+        (r["word_idx"], r["word"])
+        for r in spark.read.parquet(idx + "/words").collect()
+    )
+    assert before == after
+    assert bloom_index_stats(spark, idx)["fill"] < 0.01
