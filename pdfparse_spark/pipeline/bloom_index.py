@@ -142,7 +142,8 @@ def probe_bloom_index(
 
 
 def bloom_index_stats(spark: SparkSession, index_dir: str) -> dict:
-    """Fill fraction and estimated per-probe false-positive rate."""
+    """Fill fraction and estimated per-probe false-positive rate (of the
+    compacted base filter; streaming deltas are not folded in here)."""
     meta = spark.read.parquet(index_dir + "/meta").collect()[0]
     fill = meta["n_set_bits"] / meta["bits"]
     return {
@@ -152,3 +153,132 @@ def bloom_index_stats(spark: SparkSession, index_dir: str) -> dict:
         "fill": round(fill, 6),
         "est_fp_rate": round(fill ** meta["k"], 8),
     }
+
+
+def start_stream_bloom_index(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    bits: int = _BLOOM_BITS,
+    k: int = _BLOOM_K,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+):
+    """Streaming maintenance of the DURABLE index: each micro-batch probes
+    its turns against everything indexed before it, then contributes its
+    own bits as a delta partition — so the filter survives the query, is
+    shared with batch probes, and keeps growing across restarts (the
+    ``ann_index.start_stream_index_append`` role for dedup).
+
+    Replay protocol (the payload-cache discipline from stream_extract):
+    the probe reads the base ``words`` (if built) plus every delta with
+    ``batch != this batch id`` — a replayed batch therefore recomputes
+    exactly its original verdicts and its delta ``overwrite`` is
+    byte-stable.  Within-batch duplicates can't be seen by that probe, so
+    they are flagged by an exact sha2 first-occurrence window over the
+    batch itself (``within_dup``); ``bloom_hit`` is the OR of both.
+    Deltas are ≤ bits/64 rows each and scoped ``ck=<sha(checkpoint)>``
+    like the extraction cache; compact them periodically by folding into
+    ``words/`` with :func:`extend_bloom_index`-style ORs (a maintenance
+    job — the probe cost grows one tiny file per batch until then).
+    NULL-text turns carry nothing to dedup and are skipped, as in
+    ``dedup_stream``.
+    """
+    import hashlib
+
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import Window
+
+    from ..pipeline.transcripts import INPUT_SCHEMA
+
+    delta_root = "%s/deltas/ck=%s" % (
+        index_dir,
+        hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12],
+    )
+    stream = (
+        spark.readStream.schema(INPUT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def _prior_words(batch_id: int) -> list[int]:
+        acc = 0
+        try:
+            base_rows = spark.read.parquet(index_dir + "/words").collect()
+            for r in base_rows:
+                acc |= (r["word"] & ((1 << 64) - 1)) << (64 * r["word_idx"])
+        except AnalysisException:
+            pass
+        try:
+            delta_rows = (
+                spark.read.option("basePath", delta_root)
+                .parquet(delta_root + "/batch=*")
+                .filter(F.col("batch") != batch_id)  # replay-stable probe
+                .collect()
+            )
+            for r in delta_rows:
+                acc |= (r["word"] & ((1 << 64) - 1)) << (64 * r["word_idx"])
+        except AnalysisException:
+            pass
+        words = []
+        for w_i in range(bits // 64):
+            w = (acc >> (64 * w_i)) & ((1 << 64) - 1)
+            words.append(w - (1 << 64) if w >= (1 << 63) else w)
+        return words
+
+    def _process_batch(batch_df, batch_id: int) -> None:
+        keyed = (
+            batch_df.filter(F.col("text").isNotNull())
+            .withColumn(
+                "id", F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string"))
+            )
+            .select("id", "ts", "text")
+        )
+        w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("ts", "id")
+        marked = keyed.withColumn(
+            "within_dup", (F.row_number().over(w) > 1).cast("int")
+        )
+        probed = _with_bloom_hit(
+            marked, _prior_words(batch_id), seed_tag=_SEED_TAG, bits=bits, k=k,
+            out_col="prior_hit",
+        )
+        out = probed.select(
+            "id",
+            "prior_hit",
+            "within_dup",
+            F.greatest("prior_hit", "within_dup").alias("bloom_hit"),
+        )
+        out.withColumn("batch_id", F.lit(batch_id)).write.mode("overwrite").parquet(
+            "%s/batch=%d" % (out_dir, batch_id)
+        )
+        delta = _bloom_words(
+            [
+                r["pos"]
+                for r in keyed.select(
+                    F.explode(
+                        F.array(*_bloom_positions(F.col("text"), _SEED_TAG, bits, k))
+                    ).alias("pos")
+                )
+                .distinct()
+                .collect()
+            ],
+            bits,
+        )
+        rows = [(i, wv) for i, wv in enumerate(delta) if wv != 0]
+        (
+            spark.createDataFrame(rows or [(0, 0)], "word_idx int, word long")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet("%s/batch=%d" % (delta_root, batch_id))
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

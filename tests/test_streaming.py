@@ -748,3 +748,69 @@ def test_stream_bloom_dedup_state_survives_restart(spark, tmp_path):
     q2.awaitTermination(120)
     got = {r["id"]: r["bloom_hit"] for r in read_bloom_verdicts(spark, out_dir).collect()}
     assert got == {"c1#0": 0, "c1#1": 0, "c2#0": 1, "c2#1": 0}
+
+
+def test_stream_bloom_index_durable_and_replay_stable(spark, tmp_path):
+    """Streaming maintenance of the persisted Bloom index: a base-indexed
+    text hits from batch one, cross-batch dups hit via delta partitions,
+    within-batch dups via the exact window; a checkpoint restart with no
+    new input re-emits nothing, and a post-restart drop still dedups
+    against everything indexed before it."""
+    import datetime as dt
+
+    from pdfparse_spark.pipeline.bloom_index import (
+        build_bloom_index,
+        start_stream_bloom_index,
+    )
+    from pdfparse_spark.pipeline.transcripts import INPUT_SCHEMA
+
+    base = dt.datetime(2026, 1, 1, 9, 0, 0)
+
+    def row(conv, idx, minute, text):
+        return (conv, idx, "user", text, "", base + dt.timedelta(minutes=minute))
+
+    idx_dir = str(tmp_path / "idx")
+    yesterday = spark.createDataFrame(
+        [(0, "yesterday crawl doc words")], "doc_id long, text string"
+    )
+    build_bloom_index(spark, yesterday, idx_dir)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    spark.createDataFrame(
+        [
+            row("c1", 0, 0, "yesterday crawl doc words"),  # hits the BASE index
+            row("c1", 1, 1, "alpha alpha"),
+            row("c1", 2, 2, "alpha alpha"),                # within-batch dup
+            row("c1", 3, 3, None),                         # tool turn: skipped
+        ],
+        INPUT_SCHEMA,
+    ).coalesce(1).write.parquet(str(in_dir / "f1"))
+    spark.createDataFrame(
+        [
+            row("c2", 0, 10, "alpha alpha"),               # cross-batch via delta
+            row("c2", 1, 11, "beta beta"),
+        ],
+        INPUT_SCHEMA,
+    ).coalesce(1).write.parquet(str(in_dir / "f2"))
+
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = start_stream_bloom_index(spark, str(in_dir) + "/f*", out_dir, idx_dir, ck)
+    q.awaitTermination(120)
+    got = {r["id"]: r["bloom_hit"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {"c1#0": 1, "c1#1": 0, "c1#2": 1, "c2#0": 1, "c2#1": 0}
+
+    # restart, no new input: nothing re-emitted, deltas byte-stable
+    q2 = start_stream_bloom_index(spark, str(in_dir) + "/f*", out_dir, idx_dir, ck)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == 5
+
+    # post-restart drop dedups against base + both deltas
+    spark.createDataFrame(
+        [row("c3", 0, 20, "beta beta"), row("c3", 1, 21, "gamma fresh")],
+        INPUT_SCHEMA,
+    ).coalesce(1).write.parquet(str(in_dir / "f3"))
+    q3 = start_stream_bloom_index(spark, str(in_dir) + "/f*", out_dir, idx_dir, ck)
+    q3.awaitTermination(120)
+    got = {r["id"]: r["bloom_hit"] for r in spark.read.parquet(out_dir).collect()}
+    assert got["c3#0"] == 1 and got["c3#1"] == 0 and len(got) == 7
