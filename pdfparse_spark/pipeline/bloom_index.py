@@ -10,18 +10,35 @@ the same lifecycle shape as ``ann_index.py``:
 
 - :func:`build_bloom_index` writes two parquet tables under ``out_dir``:
   ``words`` (word_idx, word) — the bit set as bits/64 signed longs; and
-  ``meta``  (bits, k, seed_tag, n_set_bits) — the probe parameters, so a
-  probe can never run with mismatched hashing (the silent
-  false-negative failure mode).
+  ``meta``  (bits, k, seed_tag, n_set_bits) — the probe parameters.
+  Every later operation takes bits/k/seed from the STORED meta, never
+  from the caller — a hashing mismatch is the silent false-negative
+  failure mode, so it must be structurally impossible.
 - :func:`extend_bloom_index` ORs a new increment's bits into ``words`` —
   idempotent by construction (OR of already-set bits is a no-op), so a
   retried ingest cannot corrupt the filter.
 - :func:`probe_bloom_index` appends ``bloom_hit`` to any DataFrame with
   the text column — a stateless per-row expression against the
   constant-folded bit-set literal, zero shuffle (the gate op's audited
-  plan shape).
+  plan shape).  It reads the base ``words`` OR-ed with every streaming
+  delta partition, so texts indexed only by a live stream are visible
+  to batch probes without waiting for compaction.
+- :func:`start_stream_bloom_index` maintains the index from a stream
+  (per-batch delta partitions); :func:`compact_bloom_deltas` folds the
+  deltas into the base words.
 
-All three share the ONE position/probe definition in ``textops``
+WRITER FENCING, stated honestly: the filter is monotone, so a replayed
+stream batch reproduces its original verdicts ONLY if the bit set it
+probes is what it originally probed.  The stream excludes its own
+batch's delta (self-influence handled); what it cannot defend against
+is a base mutation — an ``extend_bloom_index`` or compaction that lands
+between a batch's original run and its replay can flip that replay's
+first-occurrence verdicts to hits.  Run batch extends and compaction
+only while no stream lineage on the index has uncommitted batches (the
+single-writer discipline; on a real cluster an Iceberg table's snapshot
+isolation gives the same guarantee transactionally).
+
+All operations share the ONE position/probe definition in ``textops``
 (`_bloom_positions` / `_with_bloom_hit`).  Scale: every build/extend
 aggregates onto the ≤bits position domain (map-side combine), so shuffle
 and driver collect are bounded by the filter size however large the
@@ -41,9 +58,12 @@ __all__ = [
     "extend_bloom_index",
     "probe_bloom_index",
     "bloom_index_stats",
+    "start_stream_bloom_index",
+    "compact_bloom_deltas",
 ]
 
 _SEED_TAG = "bloomidx"
+_U64 = (1 << 64) - 1
 
 
 def _distinct_positions(
@@ -62,8 +82,16 @@ def _distinct_positions(
     return [r["pos"] for r in rows]
 
 
+def _or_rows_into(words: list[int], rows) -> list[int]:
+    """OR (word_idx, word) rows into a signed-word array, in place."""
+    for r in rows:
+        w = (words[r["word_idx"]] & _U64) | (r["word"] & _U64)
+        words[r["word_idx"]] = w - (1 << 64) if w >= (1 << 63) else w
+    return words
+
+
 def _write(spark: SparkSession, out_dir: str, words: list[int], bits: int, k: int) -> None:
-    n_set = sum(bin(w & ((1 << 64) - 1)).count("1") for w in words)
+    n_set = sum(bin(w & _U64).count("1") for w in words)
     (
         spark.createDataFrame(
             list(enumerate(words)), "word_idx int, word long"
@@ -76,13 +104,40 @@ def _write(spark: SparkSession, out_dir: str, words: list[int], bits: int, k: in
     )
 
 
-def _read(spark: SparkSession, index_dir: str) -> tuple[list[int], int, int]:
-    meta = spark.read.parquet(index_dir + "/meta").collect()[0]
-    rows = spark.read.parquet(index_dir + "/words").collect()
-    words = [0] * (meta["bits"] // 64)
-    for r in rows:
-        words[r["word_idx"]] = r["word"]
-    return words, meta["bits"], meta["k"]
+def _read_meta(spark: SparkSession, index_dir: str):
+    return spark.read.parquet(index_dir + "/meta").collect()[0]
+
+
+def _read(
+    spark: SparkSession,
+    index_dir: str,
+    include_deltas: bool = False,
+    exclude_delta_batch: tuple[str, int] | None = None,
+) -> tuple[list[int], int, int]:
+    """Load the filter as a signed-word array + (bits, k).  With
+    ``include_deltas``, every streaming delta partition under
+    ``index_dir/deltas`` is OR-ed in; ``exclude_delta_batch=(ck, id)``
+    skips that one batch's delta (the stream's replay-stable probe)."""
+    from pyspark.errors import AnalysisException
+
+    meta = _read_meta(spark, index_dir)
+    bits, k = meta["bits"], meta["k"]
+    words = [0] * (bits // 64)
+    _or_rows_into(words, spark.read.parquet(index_dir + "/words").collect())
+    if include_deltas:
+        try:
+            deltas = spark.read.option("basePath", index_dir + "/deltas").parquet(
+                index_dir + "/deltas/ck=*/batch=*"
+            )
+            if exclude_delta_batch is not None:
+                ck, bid = exclude_delta_batch
+                deltas = deltas.filter(
+                    ~((F.col("ck") == ck) & (F.col("batch") == bid))
+                )
+            _or_rows_into(words, deltas.collect())
+        except AnalysisException:
+            pass  # no stream has written deltas yet
+    return words, bits, k
 
 
 def build_bloom_index(
@@ -110,14 +165,13 @@ def extend_bloom_index(
 ) -> dict:
     """OR a new increment's bits into an existing index (idempotent —
     re-running the same increment leaves the filter byte-identical).
-    Probe parameters come from the stored meta, never the caller."""
+    Probe parameters come from the stored meta, never the caller.
+    See the module docstring's writer-fencing note before running this
+    while a stream maintains the same index."""
     words, bits, k = _read(spark, index_dir)
     extra = _bloom_words(_distinct_positions(docs, text_col, bits, k), bits)
-    merged = []
-    for a, b in zip(words, extra):
-        w = (a & ((1 << 64) - 1)) | (b & ((1 << 64) - 1))
-        merged.append(w - (1 << 64) if w >= (1 << 63) else w)
-    _write(spark, index_dir, merged, bits, k)
+    _or_rows_into(words, [{"word_idx": i, "word": w} for i, w in enumerate(extra)])
+    _write(spark, index_dir, words, bits, k)
     return bloom_index_stats(spark, index_dir)
 
 
@@ -127,11 +181,14 @@ def probe_bloom_index(
     index_dir: str,
     text_col: str = "text",
     out_col: str = "bloom_hit",
+    include_deltas: bool = True,
 ) -> DataFrame:
     """Append ``out_col`` to ``docs``: 1 = the text was (probably) in the
     indexed corpus — false negatives impossible, false positives at the
-    stats-reported rate.  NULL texts probe to 0 (nothing to dedup)."""
-    words, bits, k = _read(spark, index_dir)
+    stats-reported rate.  Streaming delta partitions are visible by
+    default, so batch probes see stream-indexed texts without waiting
+    for compaction.  NULL texts probe to 0 (nothing to dedup)."""
+    words, bits, k = _read(spark, index_dir, include_deltas=include_deltas)
     probed = _with_bloom_hit(
         docs, words, text_col=text_col, seed_tag=_SEED_TAG, bits=bits, k=k, out_col=out_col
     )
@@ -141,18 +198,38 @@ def probe_bloom_index(
     )
 
 
-def bloom_index_stats(spark: SparkSession, index_dir: str) -> dict:
-    """Fill fraction and estimated per-probe false-positive rate (of the
-    compacted base filter; streaming deltas are not folded in here)."""
-    meta = spark.read.parquet(index_dir + "/meta").collect()[0]
-    fill = meta["n_set_bits"] / meta["bits"]
+def bloom_index_stats(
+    spark: SparkSession, index_dir: str, include_deltas: bool = True
+) -> dict:
+    """Fill fraction and estimated per-probe false-positive rate over the
+    filter a probe would actually see (base + streaming deltas)."""
+    words, bits, k = _read(spark, index_dir, include_deltas=include_deltas)
+    n_set = sum(bin(w & _U64).count("1") for w in words)
+    fill = n_set / bits
     return {
-        "bits": meta["bits"],
-        "k": meta["k"],
-        "n_set_bits": meta["n_set_bits"],
+        "bits": bits,
+        "k": k,
+        "n_set_bits": n_set,
         "fill": round(fill, 6),
-        "est_fp_rate": round(fill ** meta["k"], 8),
+        "est_fp_rate": round(fill**k, 8),
     }
+
+
+def compact_bloom_deltas(
+    spark: SparkSession, index_dir: str, remove_deltas: bool = False
+) -> dict:
+    """Fold every streaming delta partition into the base ``words`` (an
+    idempotent OR — safe to re-run).  With ``remove_deltas`` the delta
+    tree is deleted afterwards (local filesystem paths only): do that
+    ONLY once no stream lineage on this index can still replay a batch
+    whose delta is being removed — see the writer-fencing note."""
+    words, bits, k = _read(spark, index_dir, include_deltas=True)
+    _write(spark, index_dir, words, bits, k)
+    if remove_deltas:
+        import shutil
+
+        shutil.rmtree(index_dir + "/deltas", ignore_errors=True)
+    return bloom_index_stats(spark, index_dir)
 
 
 def start_stream_bloom_index(
@@ -169,22 +246,25 @@ def start_stream_bloom_index(
     """Streaming maintenance of the DURABLE index: each micro-batch probes
     its turns against everything indexed before it, then contributes its
     own bits as a delta partition — so the filter survives the query, is
-    shared with batch probes, and keeps growing across restarts (the
-    ``ann_index.start_stream_index_append`` role for dedup).
+    visible to batch probes (which read deltas by default), and keeps
+    growing across restarts (the ``ann_index.start_stream_index_append``
+    role for dedup).
 
-    Replay protocol (the payload-cache discipline from stream_extract):
-    the probe reads the base ``words`` (if built) plus every delta with
-    ``batch != this batch id`` — a replayed batch therefore recomputes
-    exactly its original verdicts and its delta ``overwrite`` is
-    byte-stable.  Within-batch duplicates can't be seen by that probe, so
-    they are flagged by an exact sha2 first-occurrence window over the
-    batch itself (``within_dup``); ``bloom_hit`` is the OR of both.
-    Deltas are ≤ bits/64 rows each and scoped ``ck=<sha(checkpoint)>``
-    like the extraction cache; compact them periodically by folding into
-    ``words/`` with :func:`extend_bloom_index`-style ORs (a maintenance
-    job — the probe cost grows one tiny file per batch until then).
-    NULL-text turns carry nothing to dedup and are skipped, as in
-    ``dedup_stream``.
+    ``bits``/``k`` apply only when the index does not exist yet (the
+    stream then initializes it with an empty base); an EXISTING index's
+    stored meta always wins, so the probe can never run with mismatched
+    hashing.  Replay protocol (the payload-cache discipline from
+    stream_extract): the probe reads the base plus every delta EXCEPT
+    this batch's own, so a replayed batch recomputes its original
+    verdicts and its delta ``overwrite`` is byte-stable — provided the
+    base is not mutated between run and replay (module docstring's
+    writer-fencing note).  Within-batch duplicates can't be seen by that
+    probe, so they are flagged by an exact sha2 first-occurrence window
+    over the batch itself (``within_dup``); ``bloom_hit`` is the OR of
+    both.  Deltas are ≤ bits/64 rows each, scoped ``ck=<sha(checkpoint)>``;
+    fold them with :func:`compact_bloom_deltas` periodically (the probe
+    cost grows one tiny file per batch until then).  NULL-text turns
+    carry nothing to dedup and are skipped, as in ``dedup_stream``.
     """
     import hashlib
 
@@ -193,40 +273,21 @@ def start_stream_bloom_index(
 
     from ..pipeline.transcripts import INPUT_SCHEMA
 
-    delta_root = "%s/deltas/ck=%s" % (
-        index_dir,
-        hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12],
-    )
+    try:
+        meta = _read_meta(spark, index_dir)
+        bits, k = meta["bits"], meta["k"]  # stored params always win
+    except AnalysisException:
+        if bits % 64:
+            raise ValueError("bits must be a multiple of 64")
+        _write(spark, index_dir, [0] * (bits // 64), bits, k)
+
+    ck_tag = hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
+    delta_root = "%s/deltas/ck=%s" % (index_dir, ck_tag)
     stream = (
         spark.readStream.schema(INPUT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
-
-    def _prior_words(batch_id: int) -> list[int]:
-        acc = 0
-        try:
-            base_rows = spark.read.parquet(index_dir + "/words").collect()
-            for r in base_rows:
-                acc |= (r["word"] & ((1 << 64) - 1)) << (64 * r["word_idx"])
-        except AnalysisException:
-            pass
-        try:
-            delta_rows = (
-                spark.read.option("basePath", delta_root)
-                .parquet(delta_root + "/batch=*")
-                .filter(F.col("batch") != batch_id)  # replay-stable probe
-                .collect()
-            )
-            for r in delta_rows:
-                acc |= (r["word"] & ((1 << 64) - 1)) << (64 * r["word_idx"])
-        except AnalysisException:
-            pass
-        words = []
-        for w_i in range(bits // 64):
-            w = (acc >> (64 * w_i)) & ((1 << 64) - 1)
-            words.append(w - (1 << 64) if w >= (1 << 63) else w)
-        return words
 
     def _process_batch(batch_df, batch_id: int) -> None:
         keyed = (
@@ -235,44 +296,38 @@ def start_stream_bloom_index(
                 "id", F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string"))
             )
             .select("id", "ts", "text")
+            .persist()
         )
-        w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("ts", "id")
-        marked = keyed.withColumn(
-            "within_dup", (F.row_number().over(w) > 1).cast("int")
-        )
-        probed = _with_bloom_hit(
-            marked, _prior_words(batch_id), seed_tag=_SEED_TAG, bits=bits, k=k,
-            out_col="prior_hit",
-        )
-        out = probed.select(
-            "id",
-            "prior_hit",
-            "within_dup",
-            F.greatest("prior_hit", "within_dup").alias("bloom_hit"),
-        )
-        out.withColumn("batch_id", F.lit(batch_id)).write.mode("overwrite").parquet(
-            "%s/batch=%d" % (out_dir, batch_id)
-        )
-        delta = _bloom_words(
-            [
-                r["pos"]
-                for r in keyed.select(
-                    F.explode(
-                        F.array(*_bloom_positions(F.col("text"), _SEED_TAG, bits, k))
-                    ).alias("pos")
-                )
-                .distinct()
-                .collect()
-            ],
-            bits,
-        )
-        rows = [(i, wv) for i, wv in enumerate(delta) if wv != 0]
-        (
-            spark.createDataFrame(rows or [(0, 0)], "word_idx int, word long")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet("%s/batch=%d" % (delta_root, batch_id))
-        )
+        try:
+            prior, _, _ = _read(
+                spark,
+                index_dir,
+                include_deltas=True,
+                exclude_delta_batch=(ck_tag, batch_id),
+            )
+            w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("ts", "id")
+            marked = keyed.withColumn(
+                "within_dup", (F.row_number().over(w) > 1).cast("int")
+            )
+            probed = _with_bloom_hit(
+                marked, prior, seed_tag=_SEED_TAG, bits=bits, k=k, out_col="prior_hit"
+            )
+            probed.select(
+                "id",
+                "prior_hit",
+                "within_dup",
+                F.greatest("prior_hit", "within_dup").alias("bloom_hit"),
+            ).write.mode("overwrite").parquet("%s/batch=%d" % (out_dir, batch_id))
+            delta = _bloom_words(_distinct_positions(keyed, "text", bits, k), bits)
+            rows = [(i, wv) for i, wv in enumerate(delta) if wv != 0]
+            (
+                spark.createDataFrame(rows or [(0, 0)], "word_idx int, word long")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet("%s/batch=%d" % (delta_root, batch_id))
+            )
+        finally:
+            keyed.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(_process_batch)

@@ -814,3 +814,32 @@ def test_stream_bloom_index_durable_and_replay_stable(spark, tmp_path):
     q3.awaitTermination(120)
     got = {r["id"]: r["bloom_hit"] for r in spark.read.parquet(out_dir).collect()}
     assert got["c3#0"] == 1 and got["c3#1"] == 0 and len(got) == 7
+
+    # BATCH probe sees stream-indexed texts through the delta partitions
+    # (no compaction yet), and compaction folds them into the base words
+    from pdfparse_spark.pipeline.bloom_index import (
+        bloom_index_stats,
+        compact_bloom_deltas,
+        probe_bloom_index,
+    )
+
+    crawl = spark.createDataFrame(
+        [(0, "gamma fresh"), (1, "totally novel text")], "doc_id long, text string"
+    )
+    hits = {r["doc_id"]: r["bloom_hit"] for r in probe_bloom_index(spark, crawl, idx_dir).collect()}
+    assert hits == {0: 1, 1: 0}
+    # base-only view misses the streamed text until compaction...
+    base_only = {
+        r["doc_id"]: r["bloom_hit"]
+        for r in probe_bloom_index(spark, crawl, idx_dir, include_deltas=False).collect()
+    }
+    assert base_only[0] == 0
+    before = bloom_index_stats(spark, idx_dir)
+    compact_bloom_deltas(spark, idx_dir)
+    after_base = {
+        r["doc_id"]: r["bloom_hit"]
+        for r in probe_bloom_index(spark, crawl, idx_dir, include_deltas=False).collect()
+    }
+    assert after_base == {0: 1, 1: 0}
+    # compaction changes where bits live, not which bits are set
+    assert bloom_index_stats(spark, idx_dir) == before

@@ -1400,9 +1400,11 @@ def test_bloom_index_lifecycle(spark, tmp_path):
     crawl2 = frame(["crawl two doc %d words" % i for i in range(50)])
     idx = str(tmp_path / "bloomidx")
 
-    stats = build_bloom_index(spark, crawl1, idx)
+    # non-default bits: every later op must take params from stored meta
+    stats = build_bloom_index(spark, crawl1, idx, bits=1 << 12)
+    assert stats["bits"] == 1 << 12
     assert 0 < stats["n_set_bits"] <= 3 * 50
-    assert stats["est_fp_rate"] < 1e-6
+    assert stats["est_fp_rate"] < 1e-3
 
     probe_texts = [
         "crawl one doc 7 words",   # in crawl1
@@ -1431,4 +1433,4 @@ def test_bloom_index_lifecycle(spark, tmp_path):
         for r in spark.read.parquet(idx + "/words").collect()
     )
     assert before == after
-    assert bloom_index_stats(spark, idx)["fill"] < 0.01
+    assert bloom_index_stats(spark, idx)["fill"] < 0.1  # ~300 bits / 4096
