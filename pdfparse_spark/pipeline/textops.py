@@ -2878,7 +2878,9 @@ def _dup_gram_cov(
     ``toks`` optionally supplies the caller's already-checkpointed
     (doc_id, arr) frame so a composing op tokenizes the corpus ONCE;
     ``n`` is the span width (8 at gate scale; Lee et al. use ~50 BPE
-    tokens on web text — a pure knob, same plan at any value)."""
+    tokens on web text — a pure knob, same plan at any value; the DuckDB
+    oracle in _SQL_SPANCOV_CTES mirrors the GATE DEFAULT only, so parity
+    checks are meaningful only at n == _SPAN_N)."""
     grams_expr = (
         f"CASE WHEN size(arr) >= {n} THEN "
         f"transform(sequence(1, size(arr) - {n - 1}), "
@@ -2907,8 +2909,9 @@ def dedup_span_ngrams(
     """Cross-document duplicated-SPAN detection — the n-gram-granular
     approximation of exact-substring dedup (Lee et al., "Deduplicating
     Training Data Makes Language Models Better"): a token position is
-    *covered* when the ``_SPAN_N``-gram starting there occurs in ≥2
-    distinct documents; overlapping/adjacent covered intervals merge into
+    *covered* when the ``n``-gram starting there (gate default
+    ``_SPAN_N``) occurs in ≥2 distinct documents;
+    overlapping/adjacent covered intervals merge into
     maximal spans (gaps-and-islands over a running-max window).  Emits one
     row per (doc, span) with its token interval — what a span-strip pass
     consumes, and a strictly finer signal than doc-level near-dedup

@@ -1439,8 +1439,7 @@ def test_bloom_index_lifecycle(spark, tmp_path):
 def test_dsir_frames_face_matches_gate_split(spark):
     """dsir_weights_frames fed the gate op's own mod split must reproduce
     the gate op's scores exactly for the raw docs (the target side only
-    trains p_target in both paths), and a planted target-vocab raw doc
-    must outrank the pool."""
+    trains p_target in both paths)."""
     from pdfparse_spark.pipeline.textops import (
         _DSIR_TARGET_MOD,
         _docs,
@@ -1461,3 +1460,39 @@ def test_dsir_frames_face_matches_gate_split(spark):
         for r in dsir_weights_frames(spark, raw, tgt).collect()
     }
     assert frames == gate
+
+
+def test_dsir_frames_colliding_ids_never_score_target(spark):
+    """Raw and target are SEPARATE tables whose doc_ids may collide: a
+    target row sharing a raw row's id must contribute to p_target only —
+    never to that raw doc's features or score.  Pinned by giving the
+    colliding target row a big distinct vocabulary: any leak would inflate
+    the raw doc's n_feats and drag its log_w positive."""
+    from pdfparse_spark.pipeline.textops import dsir_weights_frames
+
+    raw = spark.createDataFrame(
+        [
+            (1, "one two three"),
+            (2, "one two three"),
+            (3, "alpha beta gamma"),
+            # extra pool rows keep Tr > Tt so the shared-feature lambda
+            # (ct=1, cr=1) is strictly positive, not exactly 0
+            (4, "one two three"),
+            (5, "one two three"),
+        ],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dsir_weights_frames(spark, raw, tgt).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    # raw doc 1 has 3 unigrams + 2 bigrams = 5 features — a leak of the
+    # colliding target row's 8+7 features would show here
+    assert rows[1]["n_feats"] == 5
+    # identical raw texts must score identically regardless of id collision
+    assert (rows[1]["log_w"], rows[1]["keep"]) == (rows[2]["log_w"], rows[2]["keep"])
+    # the target-vocab raw doc leans target; the pool docs lean raw
+    assert rows[3]["log_w"] > 0 and rows[3]["keep"] == 1
+    assert rows[1]["log_w"] < 0 and rows[1]["keep"] == 0
