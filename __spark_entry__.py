@@ -7,7 +7,7 @@ the golden table, and return per-content-type match stats (plus a read of
 the driver's sf0.001 documents table as a relational sanity column).
 
 ``queries()`` / ``oracle_sql()``: one entry per implemented operator from
-SURVEY.md §2 — relational scaffolding R1–R14, training-data ops (dedup /
+SURVEY.md §2 — relational scaffolding R1–R21, training-data ops (dedup /
 similarity / text analysis / multimodal), and the extraction kernels
 (rows-only: not SQL-expressible, pinned by pytest goldens instead).
 """
