@@ -2864,6 +2864,14 @@ def docs_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 8 keeps the op observable while preserving the plan shape).
 _SPAN_N = 8
 
+# Salt width for the dup-gram probe join: the dup side is 1 row/gram, so
+# replicating it R ways and keying the fat gram side by (g, hash(doc_id)%R)
+# spreads a boilerplate gram shared by a large fraction of the corpus —
+# exactly what span dedup exists to find — across R reducers instead of
+# one.  Membership semantics are untouched (every gram row still meets its
+# dup entry exactly once), so the DuckDB oracle needs no mirror.
+_SPAN_SALT = 16
+
 
 def _dup_gram_cov(
     spark: SparkSession,
@@ -2898,7 +2906,29 @@ def _dup_gram_cov(
         .filter(F.col("df") >= 2)
         .select("g")
     )
-    return grams.join(dup, "g").select(
+    # Salted probe: the countDistinct agg above is map-side-combine-safe
+    # (partial (g, doc_id) dedup, then tiny per-partition counts), but a
+    # plain `grams.join(dup, "g")` re-shuffles the fat gram side on the
+    # raw gram string — one hot boilerplate gram lands all its rows on a
+    # single reducer.  Replicate the 1-row dup side _SPAN_SALT ways and
+    # join on the FUSED key gs = g || ':' || salt (tokens are alnum, so
+    # ':' never collides) so a hot gram's rows spread across _SPAN_SALT
+    # reducers; each gram row still matches exactly one dup replica.
+    # The fused single key matters: with separate (g, salt) join keys,
+    # the dup side's post-agg hashpartitioning(g) survives the explode,
+    # satisfies ClusteredDistribution(g, salt), and EnsureRequirements
+    # co-partitions BOTH sides on g alone — silently undoing the salt.
+    dup_salted = dup.select(
+        "g", F.explode(F.sequence(F.lit(0), F.lit(_SPAN_SALT - 1))).alias("salt")
+    ).select(F.concat_ws(":", "g", "salt").alias("gs"))
+    grams_salted = grams.select(
+        "doc_id",
+        "s",
+        F.concat_ws(
+            ":", F.col("g"), F.pmod(F.hash("doc_id"), F.lit(_SPAN_SALT))
+        ).alias("gs"),
+    )
+    return grams_salted.join(dup_salted, "gs").select(
         "doc_id", "s", (F.col("s") + F.lit(n - 1)).alias("e")
     )
 

@@ -1177,6 +1177,61 @@ def test_span_ngrams_planted_shared_run(spark, tmp_path):
     assert spans[4] == [(1, 8, 8), (11, 18, 8)]
 
 
+def test_span_hot_gram_salted_join_spreads(spark, tmp_path):
+    """One boilerplate 8-gram planted in 64 docs (the hot-key case span
+    dedup exists to find) must (a) still cover every doc correctly and
+    (b) spread its probe-join rows across many reducers — the salted
+    (g, salt) join key, not the raw gram string, carries the shuffle."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    shared = " ".join("h%02d" % i for i in range(8))
+    texts = ["ua%03d ub%03d " % (i, i) + shared for i in range(64)]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(64)),
+            "text": texts,
+            "lang": ["en"] * 64,
+            "source": ["t"] * 64,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = str(tmp_path)
+    pdf.to_parquet(d + "/documents.parquet")
+    from pdfparse_spark.pipeline.textops import _dup_gram_cov, _SPAN_SALT
+
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    bcast_key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(coalesce_key, "true")
+    prev_b = spark.conf.get(bcast_key)
+    try:
+        # at 100 TB the dup-gram side is corpus-sized, not broadcastable —
+        # force the shuffle join the production plan would use, and keep
+        # post-shuffle partitions distinct so spark_partition_id() on the
+        # join output observes the salted key distribution
+        spark.conf.set(coalesce_key, "false")
+        spark.conf.set(bcast_key, "-1")
+        cov = _dup_gram_cov(spark, d).withColumn(
+            "pid", F.spark_partition_id()
+        )
+        rows = cov.collect()
+    finally:
+        spark.conf.set(coalesce_key, prev)
+        spark.conf.set(bcast_key, prev_b)
+    # correctness: every doc covered exactly once at tokens 3..10
+    per_doc = {r["doc_id"]: (r["s"], r["e"]) for r in rows}
+    assert len(rows) == 64 and len(per_doc) == 64
+    assert set(per_doc.values()) == {(3, 10)}
+    # skew defense: 64 distinct doc_ids hash into nearly all _SPAN_SALT
+    # salt values, so the single hot gram's rows land on many partitions
+    # and no partition carries more than a bounded share
+    by_pid = {}
+    for r in rows:
+        by_pid[r["pid"]] = by_pid.get(r["pid"], 0) + 1
+    assert len(by_pid) >= min(4, _SPAN_SALT)
+    assert max(by_pid.values()) <= 32  # no reducer holds the whole key
+
+
 def test_dsir_scores_target_like_docs_positive(spark, tmp_path):
     """Raw-pool docs written in the target slice's vocabulary must score
     log_w > 0 (kept) and strictly above every raw doc written in the
