@@ -18,11 +18,15 @@ the same lifecycle shape as ``ann_index.py``:
   idempotent by construction (OR of already-set bits is a no-op), so a
   retried ingest cannot corrupt the filter.
 - :func:`probe_bloom_index` appends ``bloom_hit`` to any DataFrame with
-  the text column — a stateless per-row expression against the
+  the text column.  Two verdict-identical probe plans: up to
+  ``_LITERAL_MAX_BITS`` a stateless per-row expression against the
   constant-folded bit-set literal, zero shuffle (the gate op's audited
-  plan shape).  It reads the base ``words`` OR-ed with every streaming
-  delta partition, so texts indexed only by a live stream are visible
-  to batch probes without waiting for compaction.
+  plan shape); past it, k broadcast equality joins against the sparse
+  (word_idx, word) frame — the fat side still never shuffles, and the
+  filter never materializes on the driver.  Either way it reads the
+  base ``words`` OR-ed with every streaming delta partition, so texts
+  indexed only by a live stream are visible to batch probes without
+  waiting for compaction.
 - :func:`start_stream_bloom_index` maintains the index from a stream
   (per-batch delta partitions); :func:`compact_bloom_deltas` folds the
   deltas into the base words.
@@ -51,7 +55,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .textops import _BLOOM_BITS, _BLOOM_K, _bloom_positions, _bloom_words, _with_bloom_hit
+from .textops import (
+    _BLOOM_BITS,
+    _BLOOM_K,
+    _bloom_positions,
+    _bloom_words,
+    _with_bloom_hit,
+    _with_bloom_hit_join,
+)
 
 __all__ = [
     "build_bloom_index",
@@ -65,15 +76,22 @@ __all__ = [
 _SEED_TAG = "bloomidx"
 _U64 = (1 << 64) - 1
 
+# Past this filter size the constant-folded literal probe (one bits/8-byte
+# array shipped inside the plan) stops being sane — probe_bloom_index
+# switches to the broadcast (word_idx, word) equality join, which stays a
+# few-MB broadcast up to m ≈ 2^31.  The literal is kept below the cutover
+# because it is strictly cheaper there (zero joins, zero broadcast).
+_LITERAL_MAX_BITS = 1 << 24
+
 
 def _distinct_positions(
-    docs: DataFrame, text_col: str, bits: int, k: int
+    docs: DataFrame, text_col: str, bits: int, k: int, seed_tag: str = _SEED_TAG
 ) -> list[int]:
     rows = (
         docs.filter(F.col(text_col).isNotNull())
         .select(
             F.explode(
-                F.array(*_bloom_positions(F.col(text_col), _SEED_TAG, bits, k))
+                F.array(*_bloom_positions(F.col(text_col), seed_tag, bits, k))
             ).alias("pos")
         )
         .distinct()
@@ -90,16 +108,28 @@ def _or_rows_into(words: list[int], rows) -> list[int]:
     return words
 
 
-def _write(spark: SparkSession, out_dir: str, words: list[int], bits: int, k: int) -> None:
+def _write(
+    spark: SparkSession,
+    out_dir: str,
+    words: list[int],
+    bits: int,
+    k: int,
+    seed_tag: str = _SEED_TAG,
+) -> None:
     n_set = sum(bin(w & _U64).count("1") for w in words)
+    # sparse storage: only nonzero words — a word index absent from the
+    # table is all-zero (both probe paths treat it so), which keeps the
+    # words table O(set bits) even at m = 2^28+ where the dense array
+    # would be 4M+ rows of mostly zeros
+    rows = [(i, w) for i, w in enumerate(words) if w != 0]
     (
         spark.createDataFrame(
-            list(enumerate(words)), "word_idx int, word long"
+            rows or [(0, 0)], "word_idx int, word long"
         ).coalesce(1).write.mode("overwrite").parquet(out_dir + "/words")
     )
     (
         spark.createDataFrame(
-            [(bits, k, _SEED_TAG, n_set)], "bits int, k int, seed_tag string, n_set_bits long"
+            [(bits, k, seed_tag, n_set)], "bits int, k int, seed_tag string, n_set_bits long"
         ).coalesce(1).write.mode("overwrite").parquet(out_dir + "/meta")
     )
 
@@ -108,36 +138,66 @@ def _read_meta(spark: SparkSession, index_dir: str):
     return spark.read.parquet(index_dir + "/meta").collect()[0]
 
 
+def _delta_words(
+    spark: SparkSession,
+    index_dir: str,
+    exclude_delta_batch: tuple[str, int] | None = None,
+) -> DataFrame | None:
+    """The streaming delta partitions as one (word_idx, word) frame, or
+    None when no stream has written deltas yet."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        deltas = spark.read.option("basePath", index_dir + "/deltas").parquet(
+            index_dir + "/deltas/ck=*/batch=*"
+        )
+    except AnalysisException:
+        return None
+    if exclude_delta_batch is not None:
+        ck, bid = exclude_delta_batch
+        deltas = deltas.filter(~((F.col("ck") == ck) & (F.col("batch") == bid)))
+    return deltas.select("word_idx", "word")
+
+
 def _read(
     spark: SparkSession,
     index_dir: str,
     include_deltas: bool = False,
     exclude_delta_batch: tuple[str, int] | None = None,
-) -> tuple[list[int], int, int]:
-    """Load the filter as a signed-word array + (bits, k).  With
+) -> tuple[list[int], int, int, str]:
+    """Load the filter as a signed-word array + (bits, k, seed_tag) — the
+    STORED probe parameters, which every reader must hash with (a seed
+    mismatch is the silent false-negative failure mode).  With
     ``include_deltas``, every streaming delta partition under
     ``index_dir/deltas`` is OR-ed in; ``exclude_delta_batch=(ck, id)``
     skips that one batch's delta (the stream's replay-stable probe)."""
-    from pyspark.errors import AnalysisException
-
     meta = _read_meta(spark, index_dir)
-    bits, k = meta["bits"], meta["k"]
+    bits, k, seed_tag = meta["bits"], meta["k"], meta["seed_tag"]
     words = [0] * (bits // 64)
     _or_rows_into(words, spark.read.parquet(index_dir + "/words").collect())
     if include_deltas:
-        try:
-            deltas = spark.read.option("basePath", index_dir + "/deltas").parquet(
-                index_dir + "/deltas/ck=*/batch=*"
-            )
-            if exclude_delta_batch is not None:
-                ck, bid = exclude_delta_batch
-                deltas = deltas.filter(
-                    ~((F.col("ck") == ck) & (F.col("batch") == bid))
-                )
+        deltas = _delta_words(spark, index_dir, exclude_delta_batch)
+        if deltas is not None:
             _or_rows_into(words, deltas.collect())
-        except AnalysisException:
-            pass  # no stream has written deltas yet
-    return words, bits, k
+    return words, bits, k, seed_tag
+
+
+def _read_words_df(
+    spark: SparkSession,
+    index_dir: str,
+    include_deltas: bool = False,
+    exclude_delta_batch: tuple[str, int] | None = None,
+) -> DataFrame:
+    """The filter as a deduplicated (word_idx, word) frame — the large-m
+    twin of :func:`_read` that never materializes the word array on the
+    driver.  Base and delta rows for the same index are folded with a
+    bitwise-OR aggregate (sparse rows stay sparse)."""
+    words = spark.read.parquet(index_dir + "/words").select("word_idx", "word")
+    if include_deltas:
+        deltas = _delta_words(spark, index_dir, exclude_delta_batch)
+        if deltas is not None:
+            words = words.unionByName(deltas)
+    return words.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
 
 
 def build_bloom_index(
@@ -168,10 +228,12 @@ def extend_bloom_index(
     Probe parameters come from the stored meta, never the caller.
     See the module docstring's writer-fencing note before running this
     while a stream maintains the same index."""
-    words, bits, k = _read(spark, index_dir)
-    extra = _bloom_words(_distinct_positions(docs, text_col, bits, k), bits)
+    words, bits, k, seed_tag = _read(spark, index_dir)
+    extra = _bloom_words(
+        _distinct_positions(docs, text_col, bits, k, seed_tag=seed_tag), bits
+    )
     _or_rows_into(words, [{"word_idx": i, "word": w} for i, w in enumerate(extra)])
-    _write(spark, index_dir, words, bits, k)
+    _write(spark, index_dir, words, bits, k, seed_tag=seed_tag)
     return bloom_index_stats(spark, index_dir)
 
 
@@ -182,16 +244,36 @@ def probe_bloom_index(
     text_col: str = "text",
     out_col: str = "bloom_hit",
     include_deltas: bool = True,
+    method: str = "auto",
 ) -> DataFrame:
     """Append ``out_col`` to ``docs``: 1 = the text was (probably) in the
     indexed corpus — false negatives impossible, false positives at the
     stats-reported rate.  Streaming delta partitions are visible by
     default, so batch probes see stream-indexed texts without waiting
-    for compaction.  NULL texts probe to 0 (nothing to dedup)."""
-    words, bits, k = _read(spark, index_dir, include_deltas=include_deltas)
-    probed = _with_bloom_hit(
-        docs, words, text_col=text_col, seed_tag=_SEED_TAG, bits=bits, k=k, out_col=out_col
-    )
+    for compaction.  NULL texts probe to 0 (nothing to dedup).
+
+    ``method``: ``'literal'`` constant-folds the bit set into the plan
+    (cheapest, sane to m ≈ 2^24); ``'join'`` probes via k broadcast
+    equality joins on the sparse (word_idx, word) frame (the large-m
+    path — never materializes the filter on the driver); ``'auto'``
+    picks by the STORED bits against ``_LITERAL_MAX_BITS``.  Both paths
+    are verdict-identical (pytest-pinned)."""
+    if method not in ("auto", "literal", "join"):
+        raise ValueError("method must be 'auto', 'literal' or 'join'")
+    meta = _read_meta(spark, index_dir)
+    bits, k, seed_tag = meta["bits"], meta["k"], meta["seed_tag"]
+    if method == "auto":
+        method = "literal" if bits <= _LITERAL_MAX_BITS else "join"
+    if method == "literal":
+        words, bits, k, seed_tag = _read(spark, index_dir, include_deltas=include_deltas)
+        probed = _with_bloom_hit(
+            docs, words, text_col=text_col, seed_tag=seed_tag, bits=bits, k=k, out_col=out_col
+        )
+    else:
+        words_df = _read_words_df(spark, index_dir, include_deltas=include_deltas)
+        probed = _with_bloom_hit_join(
+            docs, words_df, text_col=text_col, seed_tag=seed_tag, bits=bits, k=k, out_col=out_col
+        )
     return probed.withColumn(
         out_col,
         F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(F.col(out_col)),
@@ -202,9 +284,17 @@ def bloom_index_stats(
     spark: SparkSession, index_dir: str, include_deltas: bool = True
 ) -> dict:
     """Fill fraction and estimated per-probe false-positive rate over the
-    filter a probe would actually see (base + streaming deltas)."""
-    words, bits, k = _read(spark, index_dir, include_deltas=include_deltas)
-    n_set = sum(bin(w & _U64).count("1") for w in words)
+    filter a probe would actually see (base + streaming deltas).  Counts
+    set bits distributedly (one bit_count aggregate over the sparse word
+    frame), so it works at any m without a driver-side array."""
+    meta = _read_meta(spark, index_dir)
+    bits, k = meta["bits"], meta["k"]
+    row = (
+        _read_words_df(spark, index_dir, include_deltas=include_deltas)
+        .agg(F.sum(F.bit_count("word")).alias("n"))
+        .collect()[0]
+    )
+    n_set = int(row["n"] or 0)
     fill = n_set / bits
     return {
         "bits": bits,
@@ -223,8 +313,8 @@ def compact_bloom_deltas(
     tree is deleted afterwards (local filesystem paths only): do that
     ONLY once no stream lineage on this index can still replay a batch
     whose delta is being removed — see the writer-fencing note."""
-    words, bits, k = _read(spark, index_dir, include_deltas=True)
-    _write(spark, index_dir, words, bits, k)
+    words, bits, k, seed_tag = _read(spark, index_dir, include_deltas=True)
+    _write(spark, index_dir, words, bits, k, seed_tag=seed_tag)
     if remove_deltas:
         import shutil
 
@@ -273,9 +363,13 @@ def start_stream_bloom_index(
 
     from ..pipeline.transcripts import INPUT_SCHEMA
 
+    seed_tag = _SEED_TAG
     try:
         meta = _read_meta(spark, index_dir)
-        bits, k = meta["bits"], meta["k"]  # stored params always win
+        # stored params always win, seed included — hashing with anything
+        # but the seed the bits were built with silently breaks the
+        # no-false-negative guarantee
+        bits, k, seed_tag = meta["bits"], meta["k"], meta["seed_tag"]
     except AnalysisException:
         if bits % 64:
             raise ValueError("bits must be a multiple of 64")
@@ -299,7 +393,7 @@ def start_stream_bloom_index(
             .persist()
         )
         try:
-            prior, _, _ = _read(
+            prior, _, _, _ = _read(
                 spark,
                 index_dir,
                 include_deltas=True,
@@ -310,7 +404,7 @@ def start_stream_bloom_index(
                 "within_dup", (F.row_number().over(w) > 1).cast("int")
             )
             probed = _with_bloom_hit(
-                marked, prior, seed_tag=_SEED_TAG, bits=bits, k=k, out_col="prior_hit"
+                marked, prior, seed_tag=seed_tag, bits=bits, k=k, out_col="prior_hit"
             )
             probed.select(
                 "id",
@@ -318,7 +412,9 @@ def start_stream_bloom_index(
                 "within_dup",
                 F.greatest("prior_hit", "within_dup").alias("bloom_hit"),
             ).write.mode("overwrite").parquet("%s/batch=%d" % (out_dir, batch_id))
-            delta = _bloom_words(_distinct_positions(keyed, "text", bits, k), bits)
+            delta = _bloom_words(
+                _distinct_positions(keyed, "text", bits, k, seed_tag=seed_tag), bits
+            )
             rows = [(i, wv) for i, wv in enumerate(delta) if wv != 0]
             (
                 spark.createDataFrame(rows or [(0, 0)], "word_idx int, word long")

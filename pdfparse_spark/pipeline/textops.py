@@ -3210,6 +3210,46 @@ def _with_bloom_hit(
     )
 
 
+def _with_bloom_hit_join(
+    df: DataFrame,
+    words_df: DataFrame,
+    text_col: str = "text",
+    seed_tag: str = "bloom",
+    bits: int = _BLOOM_BITS,
+    k: int = _BLOOM_K,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """The large-m probe: verdict-identical to :func:`_with_bloom_hit`
+    but the bit set arrives as a ``(word_idx, word)`` DataFrame instead
+    of a constant-folded literal — past m ≈ 2^27 the 16 MB+ literal stops
+    being a sane plan constant, while the ≤ bits/64-row word frame stays
+    a few-MB broadcast up to m ≈ 2^31.  k broadcast LEFT equi-joins on
+    the word index (one per hash), so the fat text side never shuffles —
+    each probe row does k in-memory hash lookups, the join-shaped twin of
+    the literal's k element_at's.  A word index absent from the frame is
+    an all-zero word (sparse storage), hence the coalesce-to-0."""
+    probe = df
+    for i, p in enumerate(_bloom_positions(F.col(text_col), seed_tag, bits, k)):
+        probe = probe.withColumn(f"_p{i}", p)
+    for i in range(k):
+        w_i = words_df.select(
+            F.col("word_idx").alias(f"_wi{i}"), F.col("word").alias(f"_w{i}")
+        )
+        probe = probe.join(
+            F.broadcast(w_i),
+            F.expr(f"CAST(shiftright(_p{i}, 6) AS INT)") == F.col(f"_wi{i}"),
+            "left",
+        )
+    tests = " AND ".join(
+        f"(coalesce(_w{i}, CAST(0 AS BIGINT))"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % 64 AS INT))) != 0"
+        for i in range(k)
+    )
+    return probe.withColumn(out_col, F.expr(f"CAST(({tests}) AS INT)")).drop(
+        *[c for i in range(k) for c in (f"_p{i}", f"_wi{i}", f"_w{i}")]
+    )
+
+
 def dedup_bloom_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup against a prior corpus snapshot via a from-scratch
     JVM-side Bloom filter — the cross-RUN face of dedup_exact: when

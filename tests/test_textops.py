@@ -1491,6 +1491,104 @@ def test_bloom_index_lifecycle(spark, tmp_path):
     assert bloom_index_stats(spark, idx)["fill"] < 0.1  # ~300 bits / 4096
 
 
+def test_bloom_probe_join_path_matches_literal(spark, tmp_path):
+    """The broadcast-join probe (the large-m path) must be verdict-
+    identical to the constant-folded literal probe on the same filter —
+    hits, misses, FP-or-not, and NULL handling all agree row for row."""
+    from pdfparse_spark.pipeline.bloom_index import build_bloom_index, probe_bloom_index
+
+    crawl = spark.createDataFrame(
+        [(i, "indexed doc %d body" % i) for i in range(200)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "bloomidx")
+    build_bloom_index(spark, crawl, idx, bits=1 << 12)
+
+    probe_rows = [(i, "indexed doc %d body" % i) for i in range(0, 200, 3)]
+    probe_rows += [(1000 + i, "unseen text %d" % i) for i in range(100)]
+    probe_rows += [(9999, None)]
+    inc = spark.createDataFrame(probe_rows, "doc_id long, text string")
+
+    lit = {
+        r["doc_id"]: r["bloom_hit"]
+        for r in probe_bloom_index(spark, inc, idx, method="literal").collect()
+    }
+    join = {
+        r["doc_id"]: r["bloom_hit"]
+        for r in probe_bloom_index(spark, inc, idx, method="join").collect()
+    }
+    assert lit == join
+    assert all(lit[i] == 1 for i in range(0, 200, 3))  # no false negatives
+    assert lit[9999] == 0
+
+
+def test_bloom_large_m_build_and_join_probe(spark, tmp_path):
+    """m = 2^28 (32 MB dense — past the literal cutover): the sparse build
+    completes locally, 'auto' dispatches to the join probe, and the filter
+    still has zero false negatives and a tiny measured FP rate."""
+    from pdfparse_spark.pipeline.bloom_index import (
+        _LITERAL_MAX_BITS,
+        bloom_index_stats,
+        build_bloom_index,
+        probe_bloom_index,
+    )
+
+    bits = 1 << 28
+    assert bits > _LITERAL_MAX_BITS
+    crawl = spark.createDataFrame(
+        [(i, "big index doc %d" % i) for i in range(500)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "bigbloom")
+    stats = build_bloom_index(spark, crawl, idx, bits=bits)
+    assert stats["bits"] == bits and 0 < stats["n_set_bits"] <= 3 * 500
+    assert stats["est_fp_rate"] < 1e-12
+
+    probe_rows = [(i, "big index doc %d" % i) for i in range(500)]
+    probe_rows += [(10_000 + i, "absent text %d" % i) for i in range(500)]
+    inc = spark.createDataFrame(probe_rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["bloom_hit"]
+        for r in probe_bloom_index(spark, inc, idx).collect()  # auto → join
+    }
+    assert all(got[i] == 1 for i in range(500))  # zero false negatives
+    fps = sum(got[10_000 + i] for i in range(500))
+    assert fps == 0  # 1500/2^28 fill, k=3 → FP odds astronomically small
+    assert bloom_index_stats(spark, idx)["bits"] == bits
+
+
+def test_bloom_stored_seed_tag_wins(spark, tmp_path, monkeypatch):
+    """Probe/extend must hash with the seed stored in meta, not the module
+    constant: after the constant 'changes' (a future refactor), an index
+    persisted under the old seed still probes with zero false negatives
+    and an extend still ORs compatible bits."""
+    from pdfparse_spark.pipeline import bloom_index as bi
+
+    crawl1 = spark.createDataFrame(
+        [(i, "old seed doc %d" % i) for i in range(80)], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "seedidx")
+    bi.build_bloom_index(spark, crawl1, idx, bits=1 << 12)
+
+    monkeypatch.setattr(bi, "_SEED_TAG", "bloomidx-v2")
+    inc = spark.createDataFrame(
+        [(i, "old seed doc %d" % i) for i in range(80)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["bloom_hit"] for r in bi.probe_bloom_index(spark, inc, idx).collect()}
+    assert all(v == 1 for v in got.values())  # stored seed honored — no FNs
+
+    crawl2 = spark.createDataFrame(
+        [(i, "second crawl doc %d" % i) for i in range(80)], "doc_id long, text string"
+    )
+    bi.extend_bloom_index(spark, crawl2, idx)
+    inc2 = spark.createDataFrame(
+        [(i, "second crawl doc %d" % i) for i in range(80)], "doc_id long, text string"
+    )
+    got2 = {r["doc_id"]: r["bloom_hit"] for r in bi.probe_bloom_index(spark, inc2, idx).collect()}
+    assert all(v == 1 for v in got2.values())
+    assert spark.read.parquet(idx + "/meta").collect()[0]["seed_tag"] == "bloomidx"
+
+
 def test_dsir_frames_face_matches_gate_split(spark):
     """dsir_weights_frames fed the gate op's own mod split must reproduce
     the gate op's scores exactly for the raw docs (the target side only
