@@ -162,7 +162,12 @@ def _encode_new_rows(
     ).withColumn(
         "nrm",
         F.expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x))"),
-    ).select(
+    )
+    # all-zero embeddings have no direction to index: dividing by nrm=0
+    # would push NaN cell assignments / PQ codes into the persisted index
+    # silently.  Drop them (policy documented in encode_into_index) — the
+    # streaming embed_neardup face makes the same call.
+    e = e.filter(F.col("nrm") > 0).select(
         "vec_id",
         F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("v"),
         F.lit(1.0).alias("nrm"),
@@ -217,12 +222,24 @@ def encode_into_index(
     and the streaming face (:func:`start_stream_index_append`)
     replay-stable, and means two different appends MUST use two
     different labels or the second silently replaces the first.
-    Returns append stats.
+    ``'base'`` (the initial build's partition) and ``batch-<n>`` (the
+    streaming face's namespace) are reserved — accepting them would let
+    one append silently replace the whole build or a stream batch.
+    All-zero embeddings are dropped (no direction to index; indexing
+    them would persist NaN cells/codes).  Returns append stats.
 
     Scale: the append is one shuffle-free projection job over the new
     rows only — the existing partitions are never touched, and the
     codebooks travel as literals.  (On a real lakehouse this is an
     Iceberg append snapshot — atomic, concurrent-reader-safe.)"""
+    import re
+
+    if ingest == "base" or re.fullmatch(r"batch-\d+", ingest):
+        raise ValueError(
+            "ingest label %r is reserved (initial build / streaming "
+            "batches) — dynamic partition overwrite would silently "
+            "replace that partition's rows" % ingest
+        )
     _check_partitioned_layout(spark, index_dir)
     books = _read_books(spark, index_dir)
     coarse = _read_coarse(spark, index_dir)

@@ -81,6 +81,11 @@ def main(argv: list[str] | None = None) -> int:
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(master=args.master, app_name="pdfparse_curate")
     t0 = time.monotonic()
+    # snapshot the persisted-RDD ids NOW: localCheckpoint blocks (the
+    # shared tokenized frame and any checkpoints the gate ops create) are
+    # RDD-level and Dataset.unpersist() cannot free them — at the end we
+    # release exactly the RDDs this run added, never a borrowed session's
+    pre_persisted = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
 
     d = _docs(spark, args.sf_dir)
     n_in = d.count()
@@ -160,12 +165,18 @@ def main(argv: list[str] | None = None) -> int:
     n_curated = spark.read.parquet(args.out).count()
     passed.unpersist()
     dropped_dup.unpersist()
-    # release the corpus-sized tokenized checkpoint too — inside a
-    # borrowed long-lived session each CLI run would otherwise leak one
-    # full (text, arr) copy of the corpus until the session dies
-    docs_tok.unpersist()
     for ok in extra_ok:
         ok.unpersist()  # consumed lazily by the ranked write above
+    # release the corpus-sized tokenized checkpoint (and every other
+    # localCheckpoint this run created): Dataset.unpersist() is a no-op
+    # for localCheckpoint blocks — they are RDD-level, so free them at
+    # the RDD level, restricted to ids not persisted before this run
+    # (inside a borrowed long-lived session each CLI run would otherwise
+    # leak one full (text, arr) copy of the corpus until the session dies)
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid, rdd in list(jmap.items()):
+        if rid not in pre_persisted:
+            rdd.unpersist(False)
     wall = time.monotonic() - t0
     print(
         json.dumps(

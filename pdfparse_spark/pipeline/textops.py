@@ -684,8 +684,14 @@ def text_perplexity_bigram(
     cutoffs come from the ROUNDED score (the proven text_perplexity
     pattern)."""
     if docs is None:
-        base = _docs(spark, sf_dir).select(
-            "doc_id", F.expr(_TOKS).alias("arr")
+        # tokenize ONCE: the bigram explode and the vocab leg both consume
+        # arr, and the regex tokenize is the most expensive expression in
+        # this module — without the checkpoint it re-runs per consumer
+        # (the text_gopher_quality docs-None discipline)
+        base = (
+            _docs(spark, sf_dir)
+            .select("doc_id", F.expr(_TOKS).alias("arr"))
+            .localCheckpoint(eager=True)
         )
     else:
         base = docs.select("doc_id", "arr")

@@ -1127,6 +1127,25 @@ def test_ann_index_append_finds_planted_neighbor(spark, tmp_path):
     rank, cos = hits[(q_id, planted_id)]
     assert rank == 1 and cos > 0.999
 
+    # reserved ingest labels: 'base' (the build) and 'batch-<n>' (the
+    # stream's namespace) must be refused — dynamic partition overwrite
+    # would silently replace those partitions' rows
+    import pytest as _pytest
+
+    for bad in ("base", "batch-0", "batch-17"):
+        with _pytest.raises(ValueError, match="reserved"):
+            encode_into_index(spark, idx, new_rows, ingest=bad)
+
+    # all-zero embeddings have no direction: they are dropped, never
+    # encoded as NaN cells/codes
+    zero_rows = spark.createDataFrame(
+        [(777, [0.0] * len(q_vec), 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    stats = encode_into_index(spark, idx, zero_rows, ingest="a2")
+    assert stats["n_appended"] == 0
+    assert spark.read.parquet(idx + "/vectors").count() == 501
+
 
 def test_span_ngrams_planted_shared_run(spark, tmp_path):
     """A 10-token run shared verbatim by two docs must surface as exactly
