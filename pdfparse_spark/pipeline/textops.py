@@ -3022,12 +3022,17 @@ def dedup_span_strip(
     )
 
 
-# DSIR hashed-feature space and target split.  1024 buckets keeps the LM
-# broadcast-tiny while leaving hash collisions visible at test scale; the
-# published method uses 10k buckets at web scale — a one-constant change.
-# The "target corpus" stand-in is the deterministic doc_id % 10 == 0 slice
-# (same convention as _DECON_BENCH_MOD's held-out benchmark).
+# DSIR hashed-feature space and target split.  The GATE op uses 1024
+# buckets (keeps the LM broadcast-tiny while leaving hash collisions
+# visible at test scale) with cross-product λ — exact-integer ratios the
+# DuckDB oracle reproduces bit-for-bit.  The PRODUCTION face
+# (dsir_weights_frames) defaults to the published 10k buckets (Xie et
+# al.) with log-domain λ, which stays in double range at web-scale
+# counts; a pytest pins log-domain == cross-product to fp tolerance.
+# The "target corpus" stand-in is the deterministic doc_id % 10 == 0
+# slice (same convention as _DECON_BENCH_MOD's held-out benchmark).
 _DSIR_BUCKETS = 1024
+_DSIR_PROD_BUCKETS = 10_000
 _DSIR_TARGET_MOD = 10
 
 
@@ -3067,11 +3072,11 @@ def docs_dsir_weights(
     return _dsir_weights(toks, fb, fb)
 
 
-def _dsir_fb(toks: DataFrame, is_t) -> DataFrame:
+def _dsir_fb(toks: DataFrame, is_t, buckets: int = _DSIR_BUCKETS) -> DataFrame:
     """(doc_id, b, is_t) hashed unigram+bigram feature stream — the ONE
     definition of DSIR's feature space, shared by the gate op (mod-split
     flag) and the explicit-target production face."""
-    B = _DSIR_BUCKETS
+    B = buckets
     bi = (
         "CASE WHEN size(arr) >= 2 THEN "
         "transform(sequence(1, size(arr) - 1), "
@@ -3090,6 +3095,8 @@ def dsir_weights_frames(
     raw_docs: DataFrame,
     target_docs: DataFrame,
     text_col: str = "text",
+    buckets: int = _DSIR_PROD_BUCKETS,
+    log_domain: bool = True,
 ) -> DataFrame:
     """The production face of docs_dsir_weights: score an arbitrary RAW
     frame against an EXPLICIT target corpus (separate tables, ids may
@@ -3097,21 +3104,42 @@ def dsir_weights_frames(
     gate op derives both sides from its deterministic mod split; this
     face is what a real pipeline calls with (yesterday's crawl, curated
     target set).  Same plan shape: two bounded bucket aggregates, driver
-    scalars, broadcast λ, one doc-keyed sum over the raw side."""
+    scalars, broadcast λ, one doc-keyed sum over the raw side.
+
+    Defaults are the PRODUCTION parameters: the published 10k hashed
+    buckets and log-domain λ (ln(ct+1) − ln(Tt+B) − ln(cr+1) + ln(Tr+B)),
+    which never forms the cross-product and so stays in double range at
+    web-scale counts.  Pass ``buckets=_DSIR_BUCKETS, log_domain=False``
+    to reproduce the gate op's oracle-parity arithmetic exactly (the
+    parity pytest does)."""
     toks_t = _TOKS_T.format(col=text_col)
     raw_toks = raw_docs.select("doc_id", F.expr(toks_t).alias("arr"))
     tgt_toks = target_docs.select("doc_id", F.expr(toks_t).alias("arr"))
-    fb_raw = _dsir_fb(raw_toks, F.lit(False)).localCheckpoint(eager=True)
-    fb_lm = fb_raw.unionByName(_dsir_fb(tgt_toks, F.lit(True)))
-    return _dsir_weights(raw_toks, fb_lm, fb_raw)
+    fb_raw = _dsir_fb(raw_toks, F.lit(False), buckets=buckets).localCheckpoint(
+        eager=True
+    )
+    fb_lm = fb_raw.unionByName(_dsir_fb(tgt_toks, F.lit(True), buckets=buckets))
+    return _dsir_weights(
+        raw_toks, fb_lm, fb_raw, buckets=buckets, log_domain=log_domain
+    )
 
 
-def _dsir_weights(score_toks: DataFrame, fb_lm: DataFrame, fb_score: DataFrame) -> DataFrame:
+def _dsir_weights(
+    score_toks: DataFrame,
+    fb_lm: DataFrame,
+    fb_score: DataFrame,
+    buckets: int = _DSIR_BUCKETS,
+    log_domain: bool = False,
+) -> DataFrame:
     """Score the docs of ``score_toks`` with the λ table trained from
     ``fb_lm`` — feature rows scored are ``fb_score`` (the gate op passes
     its one checkpointed frame as both; the frames face trains on
-    raw ∪ target but scores raw only).  One row per scored document."""
-    B = _DSIR_BUCKETS
+    raw ∪ target but scores raw only).  One row per scored document.
+    ``log_domain`` selects the λ arithmetic: False = exact-integer
+    cross-product ratio (oracle-parity, needs counts < 2^53); True =
+    sum/difference of logs (production — unbounded counts, equal to the
+    cross-product to fp rounding)."""
+    B = buckets
     # the ≤B-row LM is materialized once (its aggregate would otherwise
     # re-execute under every consumer subplan — verified: no exchange
     # reuse between them), and the two corpus totals come to the driver
@@ -3127,10 +3155,20 @@ def _dsir_weights(score_toks: DataFrame, fb_lm: DataFrame, fb_score: DataFrame) 
     )
     tot = bc.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr")).collect()[0]
     tt, tr = int(tot["tt"] or 0), int(tot["tr"] or 0)
-    lam = F.log(
-        ((F.col("ct") + 1) * F.lit(tr + B)).cast("double")
-        / ((F.col("cr") + 1) * F.lit(tt + B)).cast("double")
-    )
+    if log_domain:
+        import math
+
+        lam = (
+            F.log((F.col("ct") + 1).cast("double"))
+            - F.lit(math.log(tt + B))
+            - F.log((F.col("cr") + 1).cast("double"))
+            + F.lit(math.log(tr + B))
+        )
+    else:
+        lam = F.log(
+            ((F.col("ct") + 1) * F.lit(tr + B)).cast("double")
+            / ((F.col("cr") + 1) * F.lit(tt + B)).cast("double")
+        )
     lm = bc.select("b", lam.alias("lam"))
     scored = (
         fb_score.join(F.broadcast(lm), "b")

@@ -1627,11 +1627,80 @@ def test_dsir_frames_face_matches_gate_split(spark):
         for r in docs_dsir_weights(spark, SF).collect()
         if r["doc_id"] % _DSIR_TARGET_MOD != 0
     }
+    from pdfparse_spark.pipeline.textops import _DSIR_BUCKETS
+
     frames = {
         r["doc_id"]: (r["n_feats"], r["log_w"], r["keep"])
-        for r in dsir_weights_frames(spark, raw, tgt).collect()
+        for r in dsir_weights_frames(
+            spark, raw, tgt, buckets=_DSIR_BUCKETS, log_domain=False
+        ).collect()
     }
     assert frames == gate
+
+
+def test_dsir_log_domain_matches_cross_product(spark):
+    """The production log-domain λ (ln(ct+1) − ln(Tt+B) − ln(cr+1) +
+    ln(Tr+B)) must equal the gate's exact-integer cross-product λ to fp
+    tolerance at gate scale — same buckets, same split, scores within one
+    rounding step and identical keep verdicts."""
+    from pdfparse_spark.pipeline.textops import (
+        _DSIR_BUCKETS,
+        _DSIR_TARGET_MOD,
+        _docs,
+        dsir_weights_frames,
+    )
+
+    d = _docs(spark, SF)
+    raw = d.filter(f"doc_id % {_DSIR_TARGET_MOD} != 0")
+    tgt = d.filter(f"doc_id % {_DSIR_TARGET_MOD} = 0")
+    cross = {
+        r["doc_id"]: r
+        for r in dsir_weights_frames(
+            spark, raw, tgt, buckets=_DSIR_BUCKETS, log_domain=False
+        ).collect()
+    }
+    logd = {
+        r["doc_id"]: r
+        for r in dsir_weights_frames(
+            spark, raw, tgt, buckets=_DSIR_BUCKETS, log_domain=True
+        ).collect()
+    }
+    assert set(cross) == set(logd) and len(cross) > 100
+    for did, c in cross.items():
+        l = logd[did]
+        assert l["n_feats"] == c["n_feats"]
+        # both round to 4 decimals from inputs an ulp apart — at most one
+        # rounding step apart
+        assert abs(l["log_w"] - c["log_w"]) <= 1.5e-4, did
+        assert l["keep"] == c["keep"], did
+
+
+def test_dsir_production_buckets_default(spark):
+    """The frames face defaults to the published 10k-bucket hashed space:
+    bucket ids observed under the default exceed the gate's 1024 space
+    (the one-constant scale-up is real, not cosmetic), and semantics hold
+    (target-vocab docs keep, pool docs drop)."""
+    from pdfparse_spark.pipeline.textops import _DSIR_PROD_BUCKETS, _dsir_fb
+
+    from pyspark.sql import functions as F
+
+    assert _DSIR_PROD_BUCKETS == 10_000
+    docs = spark.createDataFrame(
+        [(i, "word%d filler%d tail%d" % (i, i * 7, i * 13)) for i in range(400)],
+        "doc_id long, text string",
+    )
+    toks = docs.select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+        ).alias("arr"),
+    )
+    mx = (
+        _dsir_fb(toks, F.lit(False), buckets=_DSIR_PROD_BUCKETS)
+        .agg(F.max("b").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert mx >= 1024  # features really land beyond the gate space
 
 
 def test_dsir_frames_colliding_ids_never_score_target(spark):
