@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from .textops import (
     _DOT,
     _EMB_DIM,
-    _N_PROBE,
+    _N_PROBE_PQ,
     _PQ_K,
     _PQ_M,
     _cell_top,
@@ -77,7 +77,7 @@ def _encode_vectors(
             F.element_at(cb, m + 1), F.slice(F.col("v"), m * sub + 1, sub)
         )
         code_cols.append(F.array_position(d2s, F.array_min(d2s)).cast("int"))
-    staged = _cell_top(e, coarse, _N_PROBE)
+    staged = _cell_top(e, coarse, _N_PROBE_PQ)
     return staged.select(
         "vec_id",
         F.element_at(F.col("top"), 1).getField("cid").alias("cell"),

@@ -1830,7 +1830,23 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _N_CELLS = 16
-_N_PROBE = 2
+_N_PROBE = 2       # plain-IVF gate default (oracle-pinned — don't touch)
+_N_PROBE_PQ = 4    # IVFPQ family default: 4 of 16 cells at gate scale
+
+
+def recommended_ivf_cells(n_vectors: int, n_probe: int = _N_PROBE_PQ) -> int:
+    """Cell count balancing the two scan costs of an IVF query: assigning
+    the query reads all ``cells`` centroids, probing reads
+    ``n_probe · n/cells`` candidates — total minimized at
+    ``cells = sqrt(n_probe · n)`` (the FAISS nlist ≈ k·√n guidance with
+    the probe width made explicit).  10^9 vectors, 4 probes → ~63k cells
+    with ~16k vectors per cell; the cell-keyed join shape is unchanged,
+    only the broadcast codebook grows (cells × dim doubles — 32 MB
+    there, still a broadcast).  Floor at the gate default so tiny
+    corpora keep observable occupancy."""
+    import math
+
+    return max(_N_CELLS, math.ceil(math.sqrt(max(n_vectors, 1) * n_probe)))
 
 
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1937,14 +1953,19 @@ def _cell_top(
     )
 
 
-def _ivf_search(e: DataFrame, cents: list[tuple[int, list[float], float]]) -> DataFrame:
+def _ivf_search(
+    e: DataFrame,
+    cents: list[tuple[int, list[float], float]],
+    n_probe: int = _N_PROBE,
+) -> DataFrame:
     """Shared IVF search body.  Cell assignment AND probe selection are
     pure array-HOF expressions over ONE corpus scan (_cell_top); no
     Window.partitionBy(vec_id) pass that would shuffle the n x k
     scored rows (vectors included) just to rank 16 candidates per row.
     Candidates still come from the cell-keyed equality join — the
-    inverted-file structure that survives 100 TB."""
-    staged = _cell_top(e, cents, _N_PROBE)
+    inverted-file structure that survives 100 TB.  ``n_probe`` is the
+    recall/cost knob: queries probe their ``n_probe`` nearest cells."""
+    staged = _cell_top(e, cents, n_probe)
     assigned = staged.select(
         "vec_id",
         F.element_at(F.col("top"), 1).getField("cid").alias("cell"),
@@ -2071,7 +2092,9 @@ def _train_pq_codebooks(
     return books
 
 
-def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ann_ivfpq(
+    spark: SparkSession, sf_dir: str, n_probe: int = _N_PROBE_PQ
+) -> DataFrame:
     """IVF + product quantization — the standard shape for ANN over
     100 TB of embeddings (FAISS IVFPQ): coarse cells bound the candidate
     set (inverted file, cell-keyed equality join) and candidates are
@@ -2092,11 +2115,13 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows-only (xxhash-free but iterative training + argmin encoding are
     not SQL-expressible at reasonable cost); pinned by pytest: recall@3
-    >= 0.35 absolute and >= 0.75x the cell-restriction ceiling (exact
-    in-cell search under THIS op's own trained cells — _trained_coarse
-    defaults over the normalized frame), and every returned pair's exact
-    cosine agrees with brute force to 1e-4 (normalized-dot vs
-    raw-dot/nrm differ by ulps)."""
+    >= 0.5 absolute and >= 0.75x the cell-restriction ceiling (exact
+    in-cell search under THIS op's own trained cells and the same
+    n_probe), and every returned pair's exact cosine agrees with brute
+    force to 1e-4 (normalized-dot vs raw-dot/nrm differ by ulps).
+    ``n_probe`` (gate default _N_PROBE_PQ = 4 of 16 cells) is the
+    recall/cost knob; size cells with recommended_ivf_cells at
+    production corpus counts."""
     sub = _EMB_DIM // _PQ_M
     # PQ quantizes the NORMALIZED vectors: on unit vectors L2² = 2 − 2·cos,
     # so ADC ranking is monotone in cosine — without this the L2 codes
@@ -2125,7 +2150,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the probe-restriction recall ceiling and balance the cell-keyed
         # join (untrained first-k cells skew hot cells at scale)
         coarse = _trained_coarse(e)
-        staged = _cell_top(e, coarse, _N_PROBE)
+        staged = _cell_top(e, coarse, n_probe)
         # eager localCheckpoint (the dedup_clusters pattern): normalize →
         # cell-argmin runs ONCE.  Both search legs otherwise re-derive the
         # whole chain, and the probe explode substitutes the giant
@@ -2135,7 +2160,8 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         # every downstream consumer reads the checkpoint, not e's lineage
         e.unpersist()
-    # neighbors live in their top-1 cell; queries probe their top-2 cells
+    # neighbors live in their top-1 cell; queries probe their n_probe
+    # nearest cells (gate default 4 of 16 — _N_PROBE_PQ)
     n = staged.select(
         F.col("vec_id").alias("neighbor_id"),
         F.element_at(F.col("top"), 1).getField("cid").alias("cell"),

@@ -384,6 +384,23 @@ def test_signlsh_planted_neardup_recall(spark):
     assert recommended_signlsh_bits(100) == 8
 
 
+def test_recommended_ivf_cells_sizing():
+    """cells = ceil(sqrt(n_probe * n)) balances centroid-scan vs
+    candidate-scan cost; floored at the 16-cell gate default."""
+    import math
+
+    from pdfparse_spark.pipeline.textops import _N_CELLS, recommended_ivf_cells
+
+    assert recommended_ivf_cells(50) == _N_CELLS  # floor at tiny corpora
+    assert recommended_ivf_cells(10**6, 4) == math.ceil(math.sqrt(4 * 10**6)) == 2000
+    # the two scan legs are balanced: probing p·n/cells candidates costs
+    # about as much as scanning the cells centroids themselves
+    n, p = 10**9, 4
+    cells = recommended_ivf_cells(n, p)
+    assert abs(cells - p * n / cells) / cells < 0.01
+    assert recommended_ivf_cells(10**9) > recommended_ivf_cells(10**6)  # monotone
+
+
 def test_minhash_clusters_match_exact_clusters(spark):
     """The LSH-fronted CC (dedup_minhash_clusters) must produce the same
     clusters as the exact-pair CC on the test corpora, where band recall
@@ -836,6 +853,7 @@ def test_ivfpq_recall_and_adc_sanity(spark):
     from pyspark.sql import functions as F
 
     from pdfparse_spark.pipeline.textops import (
+        _N_PROBE_PQ,
         _emb_norm,
         _ivf_search,
         _trained_coarse,
@@ -863,13 +881,17 @@ def test_ivfpq_recall_and_adc_sanity(spark):
     )
     ceiling = {
         (r["query_id"], r["neighbor_id"])
-        for r in _ivf_search(e_norm, _trained_coarse(e_norm)).collect()
+        for r in _ivf_search(
+            e_norm, _trained_coarse(e_norm), n_probe=_N_PROBE_PQ
+        ).collect()
     }
     got_rows = sim_ann_ivfpq(spark, sf).collect()
     got = {(r["query_id"], r["neighbor_id"]) for r in got_rows}
     recall = len(got & brute3) / len(brute3)
     ceiling_recall = len(ceiling & brute3) / len(brute3)
-    assert recall >= 0.35  # measured 0.40 with the trained coarse codebook
+    # deterministic on this corpus (fixed seeds): 0.50 at the 4-probe
+    # gate default, against a 0.60 same-probe exact-in-cell ceiling
+    assert recall >= 0.5
     assert recall >= 0.75 * ceiling_recall  # PQ+refine keeps most of the ceiling
     # exact re-rank correctness: cos values match brute force where known.
     # Tolerance, not equality: ivfpq computes dot(v/||v||, u/||u||), brute
