@@ -377,6 +377,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             q[k] = v
     rows_only_relational = sorted(relational.ROWS_ONLY)
     tail = [
+        # hopping_window yields its gate slot to corpus_curate_dsir (r5):
+        # tumbling + session keep the window family hash-verified in the
+        # 50-slot budget, and hopping stays oracled in the local sweep
+        "events_hopping_window",
         "text_ngrams",
         "r6_order_window",
         "r14_event_users",

@@ -1508,6 +1508,36 @@ def corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _md5_shuffle_rank(curated, "n_tokens")
 
 
+def corpus_curate_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_curate_full with the DSIR importance gate composed in — the
+    curation decision with every batch filter family this engine ships:
+    repetition quality (gopher_pass) ∧ LM perplexity (drop the worst
+    tercile) ∧ near-dup cluster survivorship ∧ DSIR target-leaning
+    (rounded log_w > 0, Xie et al.) → deterministic training-order rank.
+    The ``run_curate --lm-filter --dsir-filter`` CLI composes the same
+    legs operationally; this op value-verifies the four-way decision as
+    ONE DuckDB query.
+
+    Scale: identical to corpus_curate_full plus DSIR's two bounded legs
+    (≤B-bucket LM aggregate, broadcast λ, doc-keyed sum); all four filter
+    legs consume the ONE shared tokenized checkpoint, and the composition
+    joins on doc_id only — fat text never crosses a join."""
+    docs = _tokenized_docs(spark, sf_dir)
+    passed, dropped, _ranked = _curate_parts(spark, sf_dir, docs=docs)
+    lm_ok = text_perplexity(spark, sf_dir, docs=docs).filter(
+        F.col("ppl_bucket") != "tail"
+    ).select("doc_id")
+    dsir_ok = docs_dsir_weights(spark, sf_dir, docs=docs).filter(
+        F.col("keep") == 1
+    ).select("doc_id")
+    curated = (
+        passed.join(lm_ok, "doc_id")
+        .join(dsir_ok, "doc_id")
+        .join(dropped, "doc_id", "left_anti")
+    )
+    return _md5_shuffle_rank(curated, "n_tokens")
+
+
 def _tokenized_docs(
     spark: SparkSession, sf_dir: str, with_text: bool = True
 ) -> DataFrame:
@@ -3061,6 +3091,47 @@ _DSIR_BUCKETS = 1024
 _DSIR_PROD_BUCKETS = 10_000
 _DSIR_TARGET_MOD = 10
 
+# DSIR scoring CTE chain (tokens → hashed uni+bigram features → bucket
+# LM → broadcast λ → per-doc log_w), dsir_-prefixed so it composes into
+# larger oracle chains (corpus_curate_dsir) without CTE-name collisions.
+# A bare CTE list ending in `dsir_scored` (doc_id, n_feats, log_w for
+# docs WITH features); callers prepend WITH and handle no-feature docs.
+_SQL_DSIR_CTES = f"""
+        dsir_toks AS (
+            SELECT doc_id, {_SQL_TOKS} AS arr FROM documents
+        ), dsir_uni AS (
+            SELECT doc_id, unnest(arr) AS g FROM dsir_toks
+        ), dsir_bi AS (
+            -- zipped multi-unnest: parallel unnests align element-wise
+            SELECT doc_id,
+                   unnest(arr[1:len(arr) - 1]) || ' ' || unnest(arr[2:len(arr)]) AS g
+            FROM dsir_toks WHERE len(arr) >= 2
+        ), dsir_fb AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5('dsir:' || g), 1, 13)) AS BIGINT)
+                       % {_DSIR_BUCKETS} AS b,
+                   doc_id % {_DSIR_TARGET_MOD} = 0 AS is_t
+            FROM (SELECT * FROM dsir_uni UNION ALL SELECT * FROM dsir_bi)
+        ), dsir_bc AS (
+            SELECT b,
+                   CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                   CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+            FROM dsir_fb GROUP BY b
+        ), dsir_tot AS (
+            SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr
+            FROM dsir_bc
+        ), dsir_lm AS (
+            SELECT b, ln( ((ct + 1) * (tr + {_DSIR_BUCKETS})) * 1.0
+                          / ((cr + 1) * (tt + {_DSIR_BUCKETS})) ) AS lam
+            FROM dsir_bc CROSS JOIN dsir_tot
+        ), dsir_scored AS (
+            -- + 0.0 canonicalizes IEEE -0.0 to +0.0, matching the Spark op
+            SELECT f.doc_id, count(*) AS n_feats,
+                   round(sum(l.lam), 4) + 0.0 AS log_w
+            FROM dsir_fb f JOIN dsir_lm l USING (b) GROUP BY f.doc_id
+        )
+"""
+
 
 def docs_dsir_weights(
     spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
@@ -4017,43 +4088,13 @@ ORACLES: dict[str, str] = {
         FROM packed
     """,
     "docs_dsir_weights": f"""
-        WITH toks AS (
-            SELECT doc_id, {_SQL_TOKS} AS arr FROM documents
-        ), uni AS (
-            SELECT doc_id, unnest(arr) AS g FROM toks
-        ), bi AS (
-            -- zipped multi-unnest: parallel unnests align element-wise
-            SELECT doc_id,
-                   unnest(arr[1:len(arr) - 1]) || ' ' || unnest(arr[2:len(arr)]) AS g
-            FROM toks WHERE len(arr) >= 2
-        ), fb AS (
-            SELECT doc_id,
-                   CAST(concat('0x', substr(md5('dsir:' || g), 1, 13)) AS BIGINT)
-                       % {_DSIR_BUCKETS} AS b,
-                   doc_id % {_DSIR_TARGET_MOD} = 0 AS is_t
-            FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
-        ), bc AS (
-            SELECT b,
-                   CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
-                   CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
-            FROM fb GROUP BY b
-        ), tot AS (
-            SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr FROM bc
-        ), lm AS (
-            SELECT b, ln( ((ct + 1) * (tr + {_DSIR_BUCKETS})) * 1.0
-                          / ((cr + 1) * (tt + {_DSIR_BUCKETS})) ) AS lam
-            FROM bc CROSS JOIN tot
-        ), scored AS (
-            -- + 0.0 canonicalizes IEEE -0.0 to +0.0, matching the Spark op
-            SELECT f.doc_id, count(*) AS n_feats, round(sum(l.lam), 4) + 0.0 AS log_w
-            FROM fb f JOIN lm l USING (b) GROUP BY f.doc_id
-        )
+        WITH {_SQL_DSIR_CTES}
         -- one row per document: a doc with no features scores 0, not absent
         SELECT d.doc_id,
                CAST(COALESCE(s.n_feats, 0) AS BIGINT) AS n_feats,
                COALESCE(s.log_w, 0.0) AS log_w,
                CASE WHEN COALESCE(s.log_w, 0.0) > 0 THEN 1 ELSE 0 END AS keep
-        FROM documents d LEFT JOIN scored s USING (doc_id)
+        FROM documents d LEFT JOIN dsir_scored s USING (doc_id)
     """,
     "docs_global_shuffle": """
         SELECT doc_id,
@@ -4134,6 +4175,34 @@ ORACLES: dict[str, str] = {
                    AS shuffle_rank
         FROM curated
     """,
+    # corpus_curate_full + the DSIR importance gate (keep rounded
+    # log_w > 0) — the four-filter-family composition verified as ONE
+    # DuckDB query
+    "corpus_curate_dsir": f"""
+        WITH RECURSIVE {_SQL_JACCARD_PAIRS},
+        {_SQL_CURATE_DROP_CTES}, {_SQL_GOPHER_CTES},
+        {_SQL_PPL_CTES},
+        {_SQL_DSIR_CTES},
+        ppl_ok AS (
+            SELECT s.doc_id FROM ppl_scored s, ppl_cuts
+            WHERE s.avg_logloss <= ppl_cuts.p66
+        ),
+        dsir_ok AS (
+            SELECT doc_id FROM dsir_scored WHERE log_w > 0
+        ),
+        curated AS (
+            SELECT doc_id, n_tokens FROM gj
+            WHERE n_tokens >= 8 AND top_frac <= 0.2 AND dup_frac <= 0.3
+              AND doc_id IN (SELECT doc_id FROM ppl_ok)
+              AND doc_id IN (SELECT doc_id FROM dsir_ok)
+              AND doc_id NOT IN (SELECT doc_id FROM dropped)
+        )
+        SELECT doc_id, n_tokens,
+               md5('seed42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+               row_number() OVER (ORDER BY md5('seed42:' || CAST(doc_id AS VARCHAR)), doc_id)
+                   AS shuffle_rank
+        FROM curated
+    """,
     "dedup_clusters": f"""
         WITH RECURSIVE {_SQL_JACCARD_PAIRS},
         und AS (
@@ -4198,6 +4267,7 @@ QUERIES = {
     "text_length_stats_approx": text_length_stats_approx,  # rows-only (sketch)
     "corpus_curate": corpus_curate,
     "corpus_curate_full": corpus_curate_full,
+    "corpus_curate_dsir": corpus_curate_dsir,
 }
 
 # Queries with no ORACLES entry (sketch hash families / iterative loops).
