@@ -3433,6 +3433,7 @@ def docs_pack_bins(
     sf_dir: str,
     shards: int = _PACK_SHARDS,
     budget: int = _PACK_TOKENS,
+    split_oversize: bool = False,
 ) -> DataFrame:
     """Whole-document sequence packing (next-fit): docs are dealt into
     ``shards`` shards by an md5 draw, ordered deterministically within
@@ -3442,6 +3443,15 @@ def docs_pack_bins(
     in an ``oversize`` bin.  Complements docs_token_chunks (which cuts the
     concatenated stream mid-document — right for pretraining, wrong when
     each example must stay contiguous).
+
+    ``split_oversize=True`` is the layout that never emits an over-budget
+    bin: a doc longer than the budget is chunked at token granularity
+    into budget-sized pieces (last piece carries the remainder), pieces
+    stay adjacent in order, and each row gains ``piece_idx``/``n_pieces``
+    (piece_idx > 0 = continuation — the downstream loader's signal to
+    mask the boundary).  The gate default stays False so the oracle's
+    recursive next-fit matches row-for-row; the split mode's invariants
+    (no bin over budget, pieces partition the doc) are pytest-pinned.
 
     Scale: next-fit is inherently sequential (each bin boundary depends on
     the running fill), so the parallel unit is the shard: one grouped-map
@@ -3486,6 +3496,47 @@ def docs_pack_bins(
             }
         )
 
+    def pack_split(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["k", "doc_id"], kind="mergesort").reset_index(drop=True)
+        # explode over-budget docs into budget-sized pieces (counts only —
+        # the actual token slicing is the loader's positional arithmetic)
+        items = []  # (doc_id, shard, piece_idx, n_pieces, n)
+        for did, sh, n in zip(pdf["doc_id"], pdf["shard"], pdf["n_tok"]):
+            n = int(n)
+            if n > budget:
+                q, r = divmod(n, budget)
+                sizes = [budget] * q + ([r] if r else [])
+                for pi, s in enumerate(sizes):
+                    items.append((did, sh, pi, len(sizes), s))
+            else:
+                items.append((did, sh, 0, 1, n))
+        bin_idx, fill = 0, 0
+        bins = []
+        for _, _, _, _, n in items:
+            if bin_idx == 0 or fill + n > budget:
+                bin_idx += 1
+                fill = n
+            else:
+                fill += n
+            bins.append(bin_idx)
+        return pd.DataFrame(
+            {
+                "doc_id": [i[0] for i in items],
+                "shard": [i[1] for i in items],
+                "pos": range(1, len(items) + 1),
+                "bin_idx": bins,
+                "n_tok": [i[4] for i in items],
+                "piece_idx": [i[2] for i in items],
+                "n_pieces": [i[3] for i in items],
+            }
+        )
+
+    if split_oversize:
+        schema = (
+            "doc_id long, shard long, pos long, bin_idx long, n_tok long, "
+            "piece_idx int, n_pieces int"
+        )
+        return d.groupBy("shard").applyInPandas(pack_split, schema=schema)
     schema = (
         "doc_id long, shard long, pos long, bin_idx long, n_tok long, oversize int"
     )

@@ -1400,6 +1400,58 @@ def test_pack_bins_invariants(spark):
             assert len(members) == 1
 
 
+def test_pack_bins_split_oversize_never_over_budget(spark, tmp_path):
+    """split_oversize=True must NEVER emit an over-budget bin: planted
+    docs 2.5x and 1x-exactly the budget are chunked into budget-sized
+    pieces whose counts partition the doc, pieces stay adjacent in pos
+    order with piece_idx 0..n_pieces-1, and every bin's fill ≤ budget."""
+    import pandas as pd
+
+    from pdfparse_spark.pipeline.textops import docs_pack_bins
+
+    budget = 16
+    n_toks = {0: 40, 1: 16, 2: 7, 3: 33, 4: 3, 5: 16 * 4}
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(n_toks),
+            "text": [
+                " ".join("d%dt%d" % (d, i) for i in range(n))
+                for d, n in n_toks.items()
+            ],
+            "lang": ["en"] * len(n_toks),
+            "source": ["t"] * len(n_toks),
+            "n_chars": [1] * len(n_toks),
+        }
+    )
+    d = str(tmp_path)
+    pdf.to_parquet(d + "/documents.parquet")
+
+    rows = docs_pack_bins(
+        spark, d, shards=2, budget=budget, split_oversize=True
+    ).collect()
+    by_doc: dict = {}
+    bins: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        bins.setdefault((r["shard"], r["bin_idx"]), 0)
+        bins[(r["shard"], r["bin_idx"])] += r["n_tok"]
+    # THE invariant: no bin over budget, ever
+    assert all(fill <= budget for fill in bins.values()), bins
+    for did, pieces in by_doc.items():
+        pieces.sort(key=lambda r: r["piece_idx"])
+        n = n_toks[did]
+        expect = -(-n // budget) if n > budget else 1
+        assert [p["piece_idx"] for p in pieces] == list(range(expect))
+        assert all(p["n_pieces"] == expect for p in pieces)
+        assert sum(p["n_tok"] for p in pieces) == n  # pieces partition the doc
+        assert all(p["n_tok"] <= budget for p in pieces)
+        # adjacency: continuation pieces follow immediately in shard order
+        pos = sorted(p["pos"] for p in pieces)
+        assert pos == list(range(pos[0], pos[0] + expect))
+    # exactly-budget doc is NOT split
+    assert len(by_doc[1]) == 1 and len(by_doc[5]) == 4
+
+
 def test_span_strip_removes_exactly_planted_run(spark, tmp_path):
     """Stripping must remove exactly the tokens under the shared run and
     keep everything else in order — clean_sha equals a Python-computed
