@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "text_bpe_encode",
     "sim_ann_ivfpq",
     "corpus_curate_full",
+    "corpus_curate_dsir",
     "train_bpe_merges",
     "dedup_span_ngrams",
     "dedup_span_strip",
