@@ -244,18 +244,15 @@ def main() -> int:
     # exactly that truncation.  The final line must stay small and
     # self-contained.
     print(json.dumps(result))
+    # project the headline FROM result so the two records cannot drift:
+    # a field added to result's header automatically survives in the
+    # compact last line (only the bulky queries maps are cut down)
     headline = {
-        "metric": result["metric"],
-        "value": result["value"],
-        "unit": result["unit"],
-        "sf": result["sf"],
-        "cpus": result["cpus"],
-        "turns": result["turns"],
-        "extract_sec": ext["extract_sec"],
-        "queries": {"extract": ext["extract_sec"]},
+        k: v
+        for k, v in result.items()
+        if k not in ("queries", "queries_warm")
     }
-    if "extract_dedup_sec" in ext:
-        headline["dedup_turns_per_sec"] = ext["dedup_turns_per_sec"]
+    headline["queries"] = {"extract": ext["extract_sec"]}
     print(json.dumps(headline))
     return 0
 

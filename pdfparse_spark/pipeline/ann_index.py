@@ -53,7 +53,11 @@ __all__ = [
 
 def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb_norm(spark, sf_dir)
-    return e.select(
+    # zero-norm guard on the BUILD face too (not just the append/stream
+    # encode): an all-zero embedding would flow x/0 = NaN into k-means
+    # training and the persisted base codes — the same silent poisoning
+    # _encode_new_rows drops
+    return e.filter(F.col("nrm") > 0).select(
         "vec_id",
         F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("v"),
         F.lit(1.0).alias("nrm"),

@@ -9,7 +9,8 @@ and flag suspected duplicates at scan speed.  This module is that split,
 the same lifecycle shape as ``ann_index.py``:
 
 - :func:`build_bloom_index` writes two parquet tables under ``out_dir``:
-  ``words`` (word_idx, word) — the bit set as bits/64 signed longs; and
+  ``words`` (word_idx, word) — the bit set as SPARSE signed 64-bit
+  words (absent word_idx = all-zero), O(set bits) at any m; and
   ``meta``  (bits, k, seed_tag, n_set_bits) — the probe parameters.
   Every later operation takes bits/k/seed from the STORED meta, never
   from the caller — a hashing mismatch is the silent false-negative
@@ -59,7 +60,6 @@ from .textops import (
     _BLOOM_BITS,
     _BLOOM_K,
     _bloom_positions,
-    _bloom_words,
     _with_bloom_hit,
     _with_bloom_hit_join,
 )
@@ -108,20 +108,32 @@ def _or_rows_into(words: list[int], rows) -> list[int]:
     return words
 
 
-def _write(
+def _sparse_words(pos_values) -> list[tuple[int, int]]:
+    """Fold bit positions into SPARSE (word_idx, signed_word) rows —
+    O(positions) work and memory, never the O(m/64) dense array (the
+    large-m discipline: nothing driver-side scales with the filter
+    size, only with the bits actually set)."""
+    d: dict[int, int] = {}
+    for p in pos_values:
+        d[p >> 6] = d.get(p >> 6, 0) | (1 << (p & 63))
+    return [
+        (i, w - (1 << 64) if w >= (1 << 63) else w)
+        for i, w in sorted(d.items())
+    ]
+
+
+def _write_rows(
     spark: SparkSession,
     out_dir: str,
-    words: list[int],
+    rows: list[tuple[int, int]],
     bits: int,
     k: int,
     seed_tag: str = _SEED_TAG,
 ) -> None:
-    n_set = sum(bin(w & _U64).count("1") for w in words)
-    # sparse storage: only nonzero words — a word index absent from the
-    # table is all-zero (both probe paths treat it so), which keeps the
-    # words table O(set bits) even at m = 2^28+ where the dense array
-    # would be 4M+ rows of mostly zeros
-    rows = [(i, w) for i, w in enumerate(words) if w != 0]
+    """Persist sparse (word_idx, word) rows + meta.  A word index absent
+    from the table is all-zero (both probe paths treat it so), keeping
+    the words table O(set bits) even at m = 2^28+."""
+    n_set = sum(bin(w & _U64).count("1") for _, w in rows)
     (
         spark.createDataFrame(
             rows or [(0, 0)], "word_idx int, word long"
@@ -131,6 +143,80 @@ def _write(
         spark.createDataFrame(
             [(bits, k, seed_tag, n_set)], "bits int, k int, seed_tag string, n_set_bits long"
         ).coalesce(1).write.mode("overwrite").parquet(out_dir + "/meta")
+    )
+
+
+def _fold_rewrite_words(
+    spark: SparkSession,
+    index_dir: str,
+    bits: int,
+    k: int,
+    seed_tag: str,
+    extra: DataFrame | None = None,
+    include_deltas: bool = False,
+) -> None:
+    """Fold the base words (optionally with every streaming delta and/or
+    an ``extra`` sparse increment frame) into a fresh sparse words table
+    by a DISTRIBUTED bit_or aggregate, then swap it in — the filter
+    never materializes on the driver, so extend/compact work at any m.
+    Stage-write + rename because parquet cannot overwrite a table that
+    feeds the writing plan."""
+    import os
+    import shutil
+
+    words = _read_words_df(spark, index_dir, include_deltas=include_deltas)
+    if extra is not None:
+        words = (
+            words.unionByName(extra)
+            .groupBy("word_idx")
+            .agg(F.bit_or("word").alias("word"))
+        )
+    words = words.filter(F.col("word") != 0)
+    tmp = index_dir + "/words_tmp"
+    # small filters (≤ the literal cutover) stay one tidy file; giant
+    # ones keep the write parallel
+    if bits <= _LITERAL_MAX_BITS:
+        words = words.coalesce(1)
+    words.write.mode("overwrite").parquet(tmp)
+    n_row = (
+        spark.read.parquet(tmp).agg(F.sum(F.bit_count("word")).alias("n")).collect()[0]
+    )
+    n_set = int(n_row["n"] or 0)
+    shutil.rmtree(index_dir + "/words")
+    os.rename(tmp, index_dir + "/words")
+    (
+        spark.createDataFrame(
+            [(bits, k, seed_tag, n_set)], "bits int, k int, seed_tag string, n_set_bits long"
+        ).coalesce(1).write.mode("overwrite").parquet(index_dir + "/meta")
+    )
+
+
+def _increment_words_df(
+    docs: DataFrame, text_col: str, bits: int, k: int, seed_tag: str
+) -> DataFrame:
+    """A new increment's bits as a distributed sparse (word_idx, word)
+    frame — the build aggregate without the driver collect.  Map-side
+    combine bounds the shuffle by the ≤m position domain; the column-
+    valued shift needs the SQL surface (pyspark's shiftleft takes only
+    int bits)."""
+    pos = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.explode(
+                F.array(*_bloom_positions(F.col(text_col), seed_tag, bits, k))
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    return (
+        pos.select(
+            F.expr("CAST(shiftright(pos, 6) AS INT)").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("w1"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("w1").alias("word"))
     )
 
 
@@ -164,14 +250,18 @@ def _read(
     index_dir: str,
     include_deltas: bool = False,
     exclude_delta_batch: tuple[str, int] | None = None,
+    meta=None,
 ) -> tuple[list[int], int, int, str]:
     """Load the filter as a signed-word array + (bits, k, seed_tag) — the
     STORED probe parameters, which every reader must hash with (a seed
     mismatch is the silent false-negative failure mode).  With
     ``include_deltas``, every streaming delta partition under
     ``index_dir/deltas`` is OR-ed in; ``exclude_delta_batch=(ck, id)``
-    skips that one batch's delta (the stream's replay-stable probe)."""
-    meta = _read_meta(spark, index_dir)
+    skips that one batch's delta (the stream's replay-stable probe).
+    Callers that already fetched the meta row pass it via ``meta`` to
+    skip the second read job."""
+    if meta is None:
+        meta = _read_meta(spark, index_dir)
     bits, k, seed_tag = meta["bits"], meta["k"], meta["seed_tag"]
     words = [0] * (bits // 64)
     _or_rows_into(words, spark.read.parquet(index_dir + "/words").collect())
@@ -212,8 +302,8 @@ def build_bloom_index(
     Size ``bits ≈ 1.44 · expected_distinct · log2(1/target_fp)``."""
     if bits % 64:
         raise ValueError("bits must be a multiple of 64")
-    words = _bloom_words(_distinct_positions(docs, text_col, bits, k), bits)
-    _write(spark, out_dir, words, bits, k)
+    rows = _sparse_words(_distinct_positions(docs, text_col, bits, k))
+    _write_rows(spark, out_dir, rows, bits, k)
     return bloom_index_stats(spark, out_dir)
 
 
@@ -224,16 +314,18 @@ def extend_bloom_index(
     text_col: str = "text",
 ) -> dict:
     """OR a new increment's bits into an existing index (idempotent —
-    re-running the same increment leaves the filter byte-identical).
+    re-running the same increment leaves the filter value-identical).
     Probe parameters come from the stored meta, never the caller.
-    See the module docstring's writer-fencing note before running this
-    while a stream maintains the same index."""
-    words, bits, k, seed_tag = _read(spark, index_dir)
-    extra = _bloom_words(
-        _distinct_positions(docs, text_col, bits, k, seed_tag=seed_tag), bits
-    )
-    _or_rows_into(words, [{"word_idx": i, "word": w} for i, w in enumerate(extra)])
-    _write(spark, index_dir, words, bits, k, seed_tag=seed_tag)
+    Fully distributed: the increment aggregates to a sparse word frame,
+    the fold is one bit_or aggregate, and the rewrite is a staged
+    write+swap — nothing driver-side scales with m, so extends work on
+    filters far past the literal cutover.  See the module docstring's
+    writer-fencing note before running this while a stream maintains
+    the same index."""
+    meta = _read_meta(spark, index_dir)
+    bits, k, seed_tag = meta["bits"], meta["k"], meta["seed_tag"]
+    inc = _increment_words_df(docs, text_col, bits, k, seed_tag)
+    _fold_rewrite_words(spark, index_dir, bits, k, seed_tag, extra=inc)
     return bloom_index_stats(spark, index_dir)
 
 
@@ -265,12 +357,20 @@ def probe_bloom_index(
     if method == "auto":
         method = "literal" if bits <= _LITERAL_MAX_BITS else "join"
     if method == "literal":
-        words, bits, k, seed_tag = _read(spark, index_dir, include_deltas=include_deltas)
+        words, bits, k, seed_tag = _read(
+            spark, index_dir, include_deltas=include_deltas, meta=meta
+        )
         probed = _with_bloom_hit(
             docs, words, text_col=text_col, seed_tag=seed_tag, bits=bits, k=k, out_col=out_col
         )
     else:
-        words_df = _read_words_df(spark, index_dir, include_deltas=include_deltas)
+        # eager checkpoint: the k join legs each broadcast this frame
+        # with leg-specific aliases, so exchange reuse cannot collapse
+        # them — without the checkpoint the base∪deltas scan + bit_or
+        # aggregate would execute k times per probe
+        words_df = _read_words_df(
+            spark, index_dir, include_deltas=include_deltas
+        ).localCheckpoint(eager=True)
         probed = _with_bloom_hit_join(
             docs, words_df, text_col=text_col, seed_tag=seed_tag, bits=bits, k=k, out_col=out_col
         )
@@ -313,8 +413,15 @@ def compact_bloom_deltas(
     tree is deleted afterwards (local filesystem paths only): do that
     ONLY once no stream lineage on this index can still replay a batch
     whose delta is being removed — see the writer-fencing note."""
-    words, bits, k, seed_tag = _read(spark, index_dir, include_deltas=True)
-    _write(spark, index_dir, words, bits, k, seed_tag=seed_tag)
+    meta = _read_meta(spark, index_dir)
+    _fold_rewrite_words(
+        spark,
+        index_dir,
+        meta["bits"],
+        meta["k"],
+        meta["seed_tag"],
+        include_deltas=True,
+    )
     if remove_deltas:
         import shutil
 
@@ -373,7 +480,7 @@ def start_stream_bloom_index(
     except AnalysisException:
         if bits % 64:
             raise ValueError("bits must be a multiple of 64")
-        _write(spark, index_dir, [0] * (bits // 64), bits, k)
+        _write_rows(spark, index_dir, [], bits, k)
 
     ck_tag = hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
     delta_root = "%s/deltas/ck=%s" % (index_dir, ck_tag)
@@ -393,29 +500,43 @@ def start_stream_bloom_index(
             .persist()
         )
         try:
-            prior, _, _, _ = _read(
-                spark,
-                index_dir,
-                include_deltas=True,
-                exclude_delta_batch=(ck_tag, batch_id),
-            )
             w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("ts", "id")
             marked = keyed.withColumn(
                 "within_dup", (F.row_number().over(w) > 1).cast("int")
             )
-            probed = _with_bloom_hit(
-                marked, prior, seed_tag=seed_tag, bits=bits, k=k, out_col="prior_hit"
-            )
+            # same literal/join dispatch as probe_bloom_index: past the
+            # literal cutover a micro-batch must neither materialize the
+            # dense word array on the driver nor ship a tens-of-MB
+            # literal in every batch plan
+            if bits <= _LITERAL_MAX_BITS:
+                prior, _, _, _ = _read(
+                    spark,
+                    index_dir,
+                    include_deltas=True,
+                    exclude_delta_batch=(ck_tag, batch_id),
+                )
+                probed = _with_bloom_hit(
+                    marked, prior, seed_tag=seed_tag, bits=bits, k=k, out_col="prior_hit"
+                )
+            else:
+                words_df = _read_words_df(
+                    spark,
+                    index_dir,
+                    include_deltas=True,
+                    exclude_delta_batch=(ck_tag, batch_id),
+                ).localCheckpoint(eager=True)
+                probed = _with_bloom_hit_join(
+                    marked, words_df, seed_tag=seed_tag, bits=bits, k=k, out_col="prior_hit"
+                )
             probed.select(
                 "id",
                 "prior_hit",
                 "within_dup",
                 F.greatest("prior_hit", "within_dup").alias("bloom_hit"),
             ).write.mode("overwrite").parquet("%s/batch=%d" % (out_dir, batch_id))
-            delta = _bloom_words(
-                _distinct_positions(keyed, "text", bits, k, seed_tag=seed_tag), bits
+            rows = _sparse_words(
+                _distinct_positions(keyed, "text", bits, k, seed_tag=seed_tag)
             )
-            rows = [(i, wv) for i, wv in enumerate(delta) if wv != 0]
             (
                 spark.createDataFrame(rows or [(0, 0)], "word_idx int, word long")
                 .coalesce(1)

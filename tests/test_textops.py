@@ -1649,6 +1649,36 @@ def test_bloom_large_m_build_and_join_probe(spark, tmp_path):
     assert fps == 0  # 1500/2^28 fill, k=3 → FP odds astronomically small
     assert bloom_index_stats(spark, idx)["bits"] == bits
 
+    # distributed extend at large m: the increment folds in via the
+    # bit_or rewrite (no driver-side word array), new texts hit, old
+    # texts still hit, and a replayed extend leaves values identical
+    from pdfparse_spark.pipeline.bloom_index import extend_bloom_index
+
+    crawl2 = spark.createDataFrame(
+        [(i, "second big crawl %d" % i) for i in range(300)],
+        "doc_id long, text string",
+    )
+    extend_bloom_index(spark, crawl2, idx)
+    inc2 = spark.createDataFrame(
+        [(0, "big index doc 7"), (1, "second big crawl 7"), (2, "still absent")],
+        "doc_id long, text string",
+    )
+    got2 = {
+        r["doc_id"]: r["bloom_hit"]
+        for r in probe_bloom_index(spark, inc2, idx).collect()
+    }
+    assert got2 == {0: 1, 1: 1, 2: 0}
+    before = sorted(
+        (r["word_idx"], r["word"])
+        for r in spark.read.parquet(idx + "/words").collect()
+    )
+    extend_bloom_index(spark, crawl2, idx)
+    after = sorted(
+        (r["word_idx"], r["word"])
+        for r in spark.read.parquet(idx + "/words").collect()
+    )
+    assert before == after  # idempotent OR, distributed path
+
 
 def test_bloom_stored_seed_tag_wins(spark, tmp_path, monkeypatch):
     """Probe/extend must hash with the seed stored in meta, not the module
