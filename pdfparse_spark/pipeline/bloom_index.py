@@ -182,8 +182,15 @@ def _fold_rewrite_words(
         spark.read.parquet(tmp).agg(F.sum(F.bit_count("word")).alias("n")).collect()[0]
     )
     n_set = int(n_row["n"] or 0)
-    shutil.rmtree(index_dir + "/words")
+    # rename-then-delete, not delete-then-rename: a crash between the two
+    # renames leaves the old table intact under words_old (manual
+    # recovery), never a window with NO words table.  On a real
+    # lakehouse this whole swap is one Iceberg commit.
+    old = index_dir + "/words_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(index_dir + "/words", old)
     os.rename(tmp, index_dir + "/words")
+    shutil.rmtree(old, ignore_errors=True)
     (
         spark.createDataFrame(
             [(bits, k, seed_tag, n_set)], "bits int, k int, seed_tag string, n_set_bits long"
