@@ -3267,6 +3267,17 @@ def _dsir_weights(
             / ((F.col("cr") + 1) * F.lit(tt + B)).cast("double")
         )
     lm = bc.select("b", lam.alias("lam"))
+    return _dsir_score(score_toks, fb_score, lm)
+
+
+def _dsir_score(
+    score_toks: DataFrame, fb_score: DataFrame, lm: DataFrame
+) -> DataFrame:
+    """Score per-doc feature rows against a λ table — the apply half of
+    DSIR, shared by the in-plan ops (λ trained in the same plan) and the
+    persisted-model face (λ loaded from storage).  One row per scored
+    document; a doc whose text tokenizes to nothing scores 0, not
+    absent."""
     scored = (
         fb_score.join(F.broadcast(lm), "b")
         .groupBy("doc_id")
@@ -3277,8 +3288,6 @@ def _dsir_weights(
             (F.round(F.sum("lam"), 4) + F.lit(0.0)).alias("log_w"),
         )
     )
-    # one row per document, like every sibling per-doc op: a doc whose
-    # text tokenizes to nothing has no features — score 0, not absent
     return (
         score_toks.select("doc_id")
         .join(scored, "doc_id", "left")

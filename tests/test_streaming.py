@@ -843,3 +843,69 @@ def test_stream_bloom_index_durable_and_replay_stable(spark, tmp_path):
     assert after_base == {0: 1, 1: 0}
     # compaction changes where bits live, not which bits are set
     assert bloom_index_stats(spark, idx_dir) == before
+
+
+def test_stream_dsir_score_matches_batch(spark, tmp_path):
+    """Streaming DSIR scoring with a persisted model: two document file
+    drops score per micro-batch; the union of batch outputs equals the
+    batch score_with_dsir_model over the same docs row-for-row (per-doc
+    scores have no cross-row state, so micro-batch boundaries cannot
+    change verdicts), and a replayed batch rewrites its own partition
+    with identical rows."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from pdfparse_spark.pipeline.dsir_model import (
+        score_with_dsir_model,
+        start_stream_dsir_score,
+        train_dsir_model,
+    )
+    from pdfparse_spark.pipeline.textops import _DSIR_TARGET_MOD, _docs
+
+    sf = "/root/testdata/sf0.001"
+    d = _docs(spark, sf)
+    raw = d.filter(f"doc_id % {_DSIR_TARGET_MOD} != 0")
+    tgt = d.filter(f"doc_id % {_DSIR_TARGET_MOD} = 0")
+    model = str(tmp_path / "model")
+    train_dsir_model(spark, raw, tgt, model, buckets=1024)
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    docs = spark.read.parquet(sf + "/documents.parquet").select(*cols)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    half1 = docs.filter(F.col("doc_id") % 2 == 0)
+    half2 = docs.filter(F.col("doc_id") % 2 == 1)
+    half1.coalesce(1).write.parquet(str(in_dir / "f1"))
+    half2.coalesce(1).write.parquet(str(in_dir / "f2"))
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = start_stream_dsir_score(spark, str(in_dir) + "/f*", out, model, ck)
+    q.awaitTermination(120)
+
+    streamed = {
+        r["doc_id"]: (r["n_feats"], r["log_w"], r["keep"])
+        for r in spark.read.parquet(out + "/batch=*").collect()
+    }
+    batch = {
+        r["doc_id"]: (r["n_feats"], r["log_w"], r["keep"])
+        for r in score_with_dsir_model(spark, docs, model).collect()
+    }
+    assert streamed == batch and len(streamed) == docs.count()
+
+    # replay the last batch (delete its commit entry): its partition is
+    # rewritten with identical rows — no dups, no changed verdicts
+    commits = sorted(
+        f for f in os.listdir(ck + "/commits") if not f.startswith(".")
+    )
+    os.remove(ck + "/commits/" + commits[-1])
+    crc = ck + "/commits/." + commits[-1] + ".crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    q2 = start_stream_dsir_score(spark, str(in_dir) + "/f*", out, model, ck)
+    q2.awaitTermination(120)
+    replayed = {
+        r["doc_id"]: (r["n_feats"], r["log_w"], r["keep"])
+        for r in spark.read.parquet(out + "/batch=*").collect()
+    }
+    assert replayed == streamed

@@ -1807,6 +1807,70 @@ def test_dsir_production_buckets_default(spark):
     assert mx >= 1024  # features really land beyond the gate space
 
 
+def test_dsir_model_roundtrip_matches_frames(spark, tmp_path):
+    """train_dsir_model → score_with_dsir_model must reproduce
+    dsir_weights_frames exactly (same buckets, same log-domain λ) — the
+    persisted model IS the frames face split into train/apply halves."""
+    from pdfparse_spark.pipeline.dsir_model import (
+        score_with_dsir_model,
+        train_dsir_model,
+    )
+    from pdfparse_spark.pipeline.textops import (
+        _DSIR_TARGET_MOD,
+        _docs,
+        dsir_weights_frames,
+    )
+
+    d = _docs(spark, SF)
+    raw = d.filter(f"doc_id % {_DSIR_TARGET_MOD} != 0")
+    tgt = d.filter(f"doc_id % {_DSIR_TARGET_MOD} = 0")
+    model = str(tmp_path / "dsir_model")
+    stats = train_dsir_model(spark, raw, tgt, model, buckets=1024)
+    assert stats["buckets"] == 1024 and 0 < stats["n_buckets_seen"] <= 1024
+    assert stats["tt"] > 0 and stats["tr"] > 0
+
+    inplan = {
+        r["doc_id"]: (r["n_feats"], r["log_w"], r["keep"])
+        for r in dsir_weights_frames(
+            spark, raw, tgt, buckets=1024, log_domain=True
+        ).collect()
+    }
+    stored = {
+        r["doc_id"]: (r["n_feats"], r["log_w"], r["keep"])
+        for r in score_with_dsir_model(spark, raw, model).collect()
+    }
+    assert stored == inplan
+
+    # scoring a DIFFERENT frame than the training pool works (the whole
+    # point of persistence): unseen docs still get one row each
+    extra = spark.createDataFrame(
+        [(9001, "alpha beta gamma"), (9002, "~~~")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in score_with_dsir_model(spark, extra, model).collect()}
+    assert set(got) == {9001, 9002}
+    assert got[9002]["n_feats"] == 0 and got[9002]["log_w"] == 0.0
+
+
+def test_dsir_model_feature_tag_guard(spark, tmp_path, monkeypatch):
+    """A model trained under a different feature space must be REFUSED at
+    score time, not silently mis-scored — the bloom-index seed lesson."""
+    import pytest
+
+    from pdfparse_spark.pipeline import dsir_model as dm
+
+    raw = spark.createDataFrame(
+        [(i, "pool doc %d" % i) for i in range(10)], "doc_id long, text string"
+    )
+    tgt = spark.createDataFrame(
+        [(0, "target doc")], "doc_id long, text string"
+    )
+    model = str(tmp_path / "m")
+    dm.train_dsir_model(spark, raw, tgt, model, buckets=256)
+    monkeypatch.setattr(dm, "_FEAT_TAG", "dsir-uni+bi+tri-md5")
+    with pytest.raises(ValueError, match="feature space"):
+        dm.score_with_dsir_model(spark, raw, model)
+
+
 def test_dsir_frames_colliding_ids_never_score_target(spark):
     """Raw and target are SEPARATE tables whose doc_ids may collide: a
     target row sharing a raw row's id must contribute to p_target only —
