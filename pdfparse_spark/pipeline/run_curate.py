@@ -70,6 +70,15 @@ def main(argv: list[str] | None = None) -> int:
         "(raw-pool-leaning under the hashed n-gram LM ratio) — the "
         "operational face of docs_dsir_weights",
     )
+    p.add_argument(
+        "--strip-spans",
+        action="store_true",
+        help="emit the duplicated-span-STRIPPED token stream as the "
+        "training payload (clean_text) instead of the raw text — the "
+        "operational face of dedup_span_strip (Lee et al.): tokens "
+        "covered by a cross-document duplicated n-gram are removed, "
+        "coverage computed over the FULL corpus before any filter",
+    )
     p.add_argument("--num-files", type=int, default=16)
     args = p.parse_args(argv)
 
@@ -151,18 +160,68 @@ def main(argv: list[str] | None = None) -> int:
         # corpus_curate_full's composition with more legs
         ranked = _md5_shuffle_rank(survivors, "n_tokens")
 
-    out = ranked.join(
-        d.select("doc_id", "lang", "source", "n_chars", "text"), "doc_id"
-    ).select(
-        "shuffle_rank", "doc_id", "n_tokens", "lang", "source", "n_chars", "text"
-    )
+    if args.strip_spans:
+        # corpus-level duplicated-span coverage (the dedup_span_strip
+        # body) over the SHARED tokenized checkpoint, applied to the
+        # curated survivors: the cleaned alnum-token stream becomes the
+        # training payload (clean_text) — lossy wrt punctuation/case by
+        # design, it is exactly the stream dedup_span_strip sha-verifies
+        from .textops import _dup_gram_cov
+
+        toks_arr = docs_tok.select("doc_id", "arr")
+        covered = (
+            _dup_gram_cov(spark, args.sf_dir, toks=toks_arr)
+            .select("doc_id", F.explode(F.sequence("s", "e")).alias("pos"))
+            .distinct()
+        )
+        tokpos = toks_arr.select(
+            "doc_id", F.posexplode("arr").alias("pos0", "tok")
+        ).select(
+            "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok"
+        )
+        kept = tokpos.join(covered, ["doc_id", "pos"], "left_anti")
+        clean = kept.groupBy("doc_id").agg(
+            F.expr(
+                "concat_ws(' ', transform(array_sort(collect_list("
+                "struct(pos, tok))), p -> p.tok))"
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept"),
+        )
+        out = (
+            ranked.join(d.select("doc_id", "lang", "source", "n_chars"), "doc_id")
+            .join(clean, "doc_id", "left")
+            .select(
+                "shuffle_rank",
+                "doc_id",
+                "n_tokens",
+                "lang",
+                "source",
+                "n_chars",
+                F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+                (
+                    F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))
+                ).cast("long").alias("n_removed_tokens"),
+            )
+        )
+    else:
+        out = ranked.join(
+            d.select("doc_id", "lang", "source", "n_chars", "text"), "doc_id"
+        ).select(
+            "shuffle_rank", "doc_id", "n_tokens", "lang", "source", "n_chars", "text"
+        )
     (
         out.repartitionByRange(args.num_files, "shuffle_rank")
         .sortWithinPartitions("shuffle_rank")
         .write.mode("overwrite")
         .parquet(args.out)
     )
-    n_curated = spark.read.parquet(args.out).count()
+    written = spark.read.parquet(args.out)
+    n_curated = written.count()
+    tokens_removed = 0
+    if args.strip_spans:
+        tokens_removed = int(
+            written.agg(F.sum("n_removed_tokens")).collect()[0][0] or 0
+        )
     passed.unpersist()
     dropped_dup.unpersist()
     for ok in extra_ok:
@@ -187,6 +246,7 @@ def main(argv: list[str] | None = None) -> int:
                 "dropped_near_dup": n_dup_dropped,
                 "dropped_lm": drops["dropped_lm"],
                 "dropped_dsir": drops["dropped_dsir"],
+                "tokens_removed": tokens_removed,
                 "pairs": args.pairs,
                 "wall_sec": round(wall, 3),
             }

@@ -1493,6 +1493,73 @@ def test_span_strip_removes_exactly_planted_run(spark, tmp_path):
     assert rows[2]["clean_sha"] == sha(texts[2])
 
 
+def test_run_curate_cli_strip_spans(spark, tmp_path):
+    """--strip-spans emits the duplicated-span-stripped token stream as
+    the payload: a run shared by two surviving docs vanishes from BOTH
+    clean_texts (coverage is corpus-level, before any filter), docs with
+    no covered tokens keep their full stream, n_removed_tokens accounts
+    exactly, and the metrics line carries the corpus total."""
+    import contextlib
+    import io
+    import json
+
+    import pandas as pd
+
+    from pdfparse_spark.pipeline.run_curate import main
+
+    shared = " ".join("s%02d" % i for i in range(10))
+    texts, ids = [], []
+    # 30 distinct long docs so gopher/n_tokens>=8 passes and nothing
+    # near-dups (unique vocab per doc except the planted run)
+    for i in range(30):
+        ids.append(i)
+        base = " ".join("d%02dw%02d" % (i, j) for j in range(20))
+        if i in (0, 1):
+            texts.append(base + " " + shared)
+        else:
+            texts.append(base)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": texts,
+            "lang": ["en"] * len(ids),
+            "source": ["t"] * len(ids),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = str(tmp_path / "corpus")
+    import os
+
+    os.makedirs(d)
+    pdf.to_parquet(d + "/documents.parquet")
+
+    out = str(tmp_path / "curated")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(
+            [
+                "--sf-dir", d, "--out", out,
+                "--master", "local[8]", "--num-files", "2", "--strip-spans",
+            ]
+        )
+    m = json.loads(buf.getvalue().strip().splitlines()[-1])
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert "clean_text" in spark.read.parquet(out).columns
+    shared_toks = set(shared.split())
+    total_removed = 0
+    for did, r in got.items():
+        toks = r["clean_text"].split() if r["clean_text"] else []
+        assert not (set(toks) & shared_toks), did  # stripped everywhere
+        if did in (0, 1):
+            assert r["n_removed_tokens"] == 10 and len(toks) == 20
+        else:
+            assert r["n_removed_tokens"] == 0 and len(toks) == 20
+        total_removed += r["n_removed_tokens"]
+    assert m["tokens_removed"] == total_removed == 10 * len(
+        [d_ for d_ in got if d_ in (0, 1)]
+    )
+
+
 def test_run_curate_cli_dsir_filter(spark, tmp_path):
     """--dsir-filter composes a DSIR keep==1 stage after the gopher∧dedup
     (∧ LM) legs: the five-way stage breakdown sums to docs_in, and the
