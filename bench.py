@@ -12,6 +12,9 @@ Modes:
     python bench.py --executor-scaling  # TRUE multi-executor legs: 1 vs 4
                                      # separate executor JVMs (local-cluster),
                                      # rewrite BENCH/EXECUTORS.md
+    python bench.py --submit-scaling # the north rule VERBATIM: spark-submit
+                                     # --py-files of the resumable job at 1 and
+                                     # 4 executors, appends to BENCH/EXECUTORS.md
 
 The extraction corpus is the fixture corpus replicated Spark-side
 (pipeline/bench_corpus.py), cached under /tmp/pdfparse_bench; both scaling
@@ -196,6 +199,7 @@ def main() -> int:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--executor-scaling", action="store_true")
     ap.add_argument("--executor-leg", type=int, default=None)
+    ap.add_argument("--submit-scaling", action="store_true")
     ap.add_argument("--skew", action="store_true")
     ap.add_argument("--cpus", type=int, default=CPUS)
     args = ap.parse_args()
@@ -204,6 +208,8 @@ def main() -> int:
         return executor_leg(args.executor_leg)
     if args.executor_scaling:
         return executor_scaling_mode()
+    if args.submit_scaling:
+        return submit_scaling_mode()
     if args.scaling:
         return scaling_mode()
     if args.skew:
@@ -336,15 +342,21 @@ Regenerate: `python bench.py --executor-scaling` (~4 min at sf0.1).
 
 The north rule's full execution mode also runs verbatim against this
 master — real executors, package shipped via --py-files, PYTHONPATH
-unset, resumable ledger, content-addressed waves:
+unset, resumable ledger, content-addressed waves.  NOTE: --master must
+be forwarded into the app (second occurrence below) — the session
+builder's default would otherwise silently override the submitted
+master; the app's JSON echoes the actual master as proof:
 
 ```
 zip -qr p.zip pdfparse_spark
 spark-submit --master "local-cluster[2,4,4096]" --py-files p.zip \\
-    scripts/submit_extract.py --out /tmp/px --n-convs 6 --turns 5 \\
-    --dedup-payloads
-# -> {{"turns": 30, "turns_processed": 30, ... "waves_run": 4}}
+    scripts/submit_extract.py --master "local-cluster[2,4,4096]" \\
+    --out /tmp/px --n-convs 6 --turns 5 --dedup-payloads
+# -> {{"turns": 30, ..., "master": "local-cluster[2,4,4096]", ...}}
 ```
+
+See the spark-submit section below (`python bench.py --submit-scaling`)
+for the measured sf-scale N -> 4N legs through this exact launcher.
 """.format(
         t1=legs[1]["turns"], s1=legs[1]["extract_sec"], v1=legs[1]["value"],
         t4=legs[4]["turns"], s4=legs[4]["extract_sec"], v4=legs[4]["value"],
@@ -356,6 +368,155 @@ spark-submit --master "local-cluster[2,4,4096]" --py-files p.zip \\
     print(json.dumps({
         "metric": "executor_scaling_1_to_4", "value": eff, "unit": "ratio",
         "turns_per_sec": {"1x4": legs[1]["value"], "4x4": legs[4]["value"]},
+    }))
+    return 0
+
+
+_SUBMIT_MARKER = "## spark-submit --py-files legs (north-rule verbatim)"
+
+
+def submit_scaling_mode() -> int:
+    """The north rule's execution mode VERBATIM: the resumable extraction
+    job launched via ``spark-submit --py-files pdfparse_spark.zip`` against
+    local-cluster masters at 1 and 4 executors (4 cores each), reading the
+    same cached corpus parquet.  PYTHONPATH is stripped and the child cwd is
+    outside the repo, so the package can ONLY arrive via --py-files.  The
+    ``--master`` flag is forwarded to run_extract because the session
+    builder's default master would otherwise silently override the submitted
+    one (run_extract's JSON records the actual master; each leg is checked).
+    Appends the measured N -> 4N record to BENCH/EXECUTORS.md."""
+    import shutil
+    import tempfile
+    import zipfile
+
+    from pdfparse_spark.pipeline.bench_corpus import ensure_bench_corpus
+    from pdfparse_spark.pipeline.session import get_spark
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    # corpus build (cache hit in steady state) on a small local session,
+    # stopped before any leg so the leg JVMs own the machine
+    spark = get_spark(master="local[8]", app_name="submit-scaling-corpus")
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = ensure_bench_corpus(spark, CACHE, _n_convs(_sf_of(SF_DIR)))
+    spark.stop()
+
+    submit = os.path.join(os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit")
+    if not os.path.exists(submit):
+        import pyspark
+
+        submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+
+    workdir = tempfile.mkdtemp(prefix="pdfparse_submit_")
+    zip_path = os.path.join(workdir, "pdfparse_spark.zip")
+    pkg_root = os.path.join(here, "pdfparse_spark")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_root):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if not fn.endswith(".pyc"):
+                    full = os.path.join(root, fn)
+                    zf.write(full, os.path.relpath(full, here))
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    legs = {}
+    try:
+        for ex in (1, 4):
+            master = "local-cluster[%d,4,6144]" % ex
+            # fresh out dir per leg: a reused ledger would mark every bucket
+            # done and the "run" would measure bucket-skipping, not extraction
+            out_dir = os.path.join(workdir, "out_%dx4" % ex)
+            cmd = [
+                submit, "--master", master, "--py-files", zip_path,
+                os.path.join(here, "scripts", "submit_extract.py"),
+                "--master", master,
+                "--input", corpus, "--out", out_dir,
+                "--partitions", str(PARTITIONS),
+                "--n-buckets", "4", "--buckets-per-wave", "2",
+                # same measurement protocol as every other recorded leg
+                # (bench_extraction, --executor-scaling): fork/import/JIT
+                # the Python workers before the clock starts
+                "--warmup",
+            ]
+            proc = subprocess.run(cmd, capture_output=True, text=True, cwd=workdir, env=env)
+            recs = []
+            for ln in proc.stdout.splitlines():
+                if ln.startswith("{") and "turns_per_sec" in ln:
+                    try:
+                        recs.append(json.loads(ln))
+                    except ValueError:
+                        pass
+            if proc.returncode != 0 or not recs:
+                sys.stderr.write(
+                    "submit leg %d failed (rc=%d)\n--- child stderr ---\n%s\n"
+                    % (ex, proc.returncode, proc.stderr[-4000:])
+                )
+                raise SystemExit(1)
+            rec = recs[-1]
+            # master is the proof of topology; parallelism is advisory only
+            # (standalone reports 2 until executors register, and an idle
+            # executor may have deregistered again by JSON-print time)
+            if rec.get("master") != master:
+                raise SystemExit(
+                    "leg %d ran on %r, not the submitted %s"
+                    % (ex, rec.get("master"), master)
+                )
+            if rec.get("parallelism") != 4 * ex:
+                sys.stderr.write(
+                    "note: leg %d echoed parallelism %r (expected %d)\n"
+                    % (ex, rec.get("parallelism"), 4 * ex)
+                )
+            legs[ex] = rec
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    eff = round(legs[4]["turns_per_sec"] / (4 * legs[1]["turns_per_sec"]), 4)
+    section = """
+
+{marker}
+
+The table above times the extraction stage in-process.  This section is
+the rule's execution mode run LITERALLY: `spark-submit --py-files
+pdfparse_spark.zip scripts/submit_extract.py` (resumable ledger, 2
+waves x 2 buckets, {parts} salted partitions, output + lineage written
+to parquet), PYTHONPATH unset and cwd outside the repo so the workers
+import the package from the shipped zip only.  `--warmup` forks the
+worker pool and imports the kernel before the clock starts — the same
+steady-state protocol every other recorded leg uses.  `--master` is forwarded
+into the app because a builder-side default would silently override the
+submitted master — each leg's JSON echoes `master`/`parallelism` and is
+verified before the record is accepted.
+
+| spark-submit master | turns | wall s | turns/s |
+|---|---|---|---|
+| local-cluster[1,4,6144] | {t1} | {s1} | {v1} |
+| local-cluster[4,4,6144] | {t4} | {s4} | {v4} |
+
+**spark-submit scaling efficiency 1 -> 4 executors: {eff}** (target >= 0.8).
+
+Regenerate: `python bench.py --submit-scaling` (~5 min at sf0.1; rerun
+after `--executor-scaling`, which rewrites this file).
+""".format(
+        marker=_SUBMIT_MARKER, parts=PARTITIONS,
+        t1=legs[1]["turns_processed"], s1=legs[1]["wall_sec"], v1=legs[1]["turns_per_sec"],
+        t4=legs[4]["turns_processed"], s4=legs[4]["wall_sec"], v4=legs[4]["turns_per_sec"],
+        eff=eff,
+    )
+    md_path = os.path.join(here, "BENCH", "EXECUTORS.md")
+    old = ""
+    if os.path.exists(md_path):
+        with open(md_path) as fh:
+            old = fh.read()
+        if _SUBMIT_MARKER in old:
+            old = old[: old.index(_SUBMIT_MARKER)].rstrip() + "\n"
+    with open(md_path, "w") as fh:
+        fh.write(old.rstrip() + "\n" + section)
+    print(json.dumps({
+        "metric": "submit_scaling_1_to_4", "value": eff, "unit": "ratio",
+        "turns_per_sec": {
+            "1x4": legs[1]["turns_per_sec"], "4x4": legs[4]["turns_per_sec"],
+        },
+        "masters": [legs[1]["master"], legs[4]["master"]],
     }))
     return 0
 

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -233,29 +233,51 @@ def run_resumable(
         # bucket_of, not an inline copy of the formula: the output bucket
         # MUST stay bit-identical to the planning assignment above
         out = bucket_of(extracted, n_buckets)
-        out.write.mode("overwrite").parquet(wave_path)
-        wall_ms = int((time.monotonic() - t0) * 1000)
-
-        kernel_ms = (
-            F.round(F.sum("kernel_us") / 1000.0, 1)
-            if telemetry
-            else F.lit(None).cast("double")
-        )
-        counts = (
-            spark.read.parquet(wave_path)
-            .groupBy("bucket")
-            .agg(
-                F.count("*").alias("n_turns"),
-                F.sum(F.when(F.col("parse_status") == "ok", 1).otherwise(0)).alias("n_ok"),
-                kernel_ms.alias("kernel_ms"),
+        # per-bucket ledger metrics ride the write itself (CollectMetrics):
+        # the old shape re-READ the just-written wave parquet to groupBy
+        # bucket — a whole extra scan of the output per wave whose only
+        # product was 2-4 counters.  Conditional aggregates observed on the
+        # write stream count exactly the rows the write action emitted, and
+        # the ledger row still appends only AFTER the write commit returns,
+        # so a committed ledger row implies committed output as before.
+        obs = Observation("wave_%s" % wave_str)
+        aggs = []
+        for b in wave_buckets:
+            is_b = F.col("bucket") == int(b)
+            aggs.append(F.sum(F.when(is_b, 1).otherwise(0)).alias("n_turns_%d" % b))
+            aggs.append(
+                F.sum(
+                    F.when(is_b & (F.col("parse_status") == "ok"), 1).otherwise(0)
+                ).alias("n_ok_%d" % b)
             )
-        )
+            aggs.append(
+                (
+                    F.round(F.sum(F.when(is_b, F.col("kernel_us"))) / 1000.0, 1)
+                    if telemetry
+                    else F.lit(None).cast("double")
+                ).alias("kernel_ms_%d" % b)
+            )
+        out.observe(obs, *aggs).write.mode("overwrite").parquet(wave_path)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        vals = obs.get
+
         # every bucket of the wave gets a ledger row, even an empty one —
-        # otherwise an empty bucket would be "not done" forever
-        wave_df = spark.createDataFrame([(int(b),) for b in wave_buckets], "bucket: bigint")
+        # otherwise an empty bucket would be "not done" forever (a zero-row
+        # wave observes null sums: coerce to the same 0 the old left-join
+        # + fillna produced)
+        rows = [
+            (
+                int(b),
+                int(vals["n_turns_%d" % b] or 0),
+                int(vals["n_ok_%d" % b] or 0),
+                vals["kernel_ms_%d" % b],
+            )
+            for b in wave_buckets
+        ]
         stats = (
-            wave_df.join(counts, "bucket", "left")
-            .fillna(0, ["n_turns", "n_ok"])
+            spark.createDataFrame(
+                rows, "bucket: bigint, n_turns: bigint, n_ok: bigint, kernel_ms: double"
+            )
             .withColumn("wall_ms", F.lit(wall_ms))
             .withColumn("n_buckets", F.lit(n_buckets))
             .withColumn("wave", F.lit(wave_str))
@@ -265,9 +287,7 @@ def run_resumable(
         # this wave's committed turn count — the caller's throughput stat
         # must divide THIS run's work by this run's wall, not everything
         # ever committed to the out dir
-        turns_processed += sum(
-            r["n_turns"] for r in stats.select("n_turns").collect()
-        )
+        turns_processed += sum(r[1] for r in rows)
         waves_run += 1
         if fail_after_waves is not None and waves_run >= fail_after_waves:
             raise RuntimeError("injected failure after %d waves" % waves_run)

@@ -64,6 +64,15 @@ def main(argv: list[str] | None = None) -> int:
         "(identical output rows; wins on duplicate-heavy corpora)",
     )
     p.add_argument(
+        "--warmup",
+        action="store_true",
+        help="run a tiny untimed extraction first: forks the Python worker "
+        "pool, imports the kernel (from --py-files on a cluster) and builds "
+        "its glyph/AFM tables, and JITs the hot paths, so wall_sec measures "
+        "steady-state throughput — the same protocol bench.py uses for "
+        "every recorded number (BENCH/EXECUTORS.md scaling legs)",
+    )
+    p.add_argument(
         "--telemetry",
         action="store_true",
         help="run the kernel with per-turn timing: wave output carries "
@@ -83,6 +92,19 @@ def main(argv: list[str] | None = None) -> int:
     else:
         rows, _ = make_transcript_rows(args.n_convs, args.turns, args.seed)
         df = transcripts_df(spark, rows)
+
+    if args.warmup:
+        from .extract import run_extraction
+
+        # 2 rows per salted partition: every core's worker gets forked and
+        # imports the kernel before the clock starts (the fixture mix means
+        # the sample includes PDF turns, so the heavy import path is the
+        # one warmed).  One partition per core would also work, but the
+        # early defaultParallelism lies on a standalone master (see below),
+        # so size by the explicit partition count instead.
+        run_extraction(
+            df.limit(2 * partitions), num_partitions=partitions
+        ).agg(F.count("*")).collect()
 
     t0 = time.monotonic()
     stats = run_resumable(
@@ -107,6 +129,13 @@ def main(argv: list[str] | None = None) -> int:
     print(json.dumps({
         "turns": n,
         "turns_processed": done,
+        # which cluster actually ran this: under spark-submit the builder's
+        # default master would silently override the submitted one unless
+        # --master is passed through, so the record must prove the topology.
+        # parallelism is re-read HERE: at session start a standalone master
+        # reports 2 until executors register, so the early `cores` lies
+        "master": spark.sparkContext.master,
+        "parallelism": spark.sparkContext.defaultParallelism,
         "wall_sec": round(wall, 3),
         # THIS run's throughput: committed-total / wall would report a
         # resumed run (mostly skipped buckets) as absurdly fast
