@@ -373,7 +373,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ops sit at the very end, where they lose the least.
     rows_only_textops = sorted(textops.ROWS_ONLY - {"dedup_minhash_lsh"})
     for k, v in textops.QUERIES.items():
-        if k not in textops.ROWS_ONLY or k == "dedup_minhash_lsh":
+        if (
+            k not in textops.ROWS_ONLY and k not in textops.LATE_ORACLED
+        ) or k == "dedup_minhash_lsh":
             q[k] = v
     rows_only_relational = sorted(relational.ROWS_ONLY)
     tail = [
@@ -402,6 +404,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["docs_mix_rebalance"] = textops.docs_mix_rebalance
     q["events_anomaly"] = relational.events_anomaly
     # --- position 51+: rows-only (sketch / iterative / extraction-corpus) ---
+    # plus the LATE_ORACLED ops added after the r5 gate composition froze:
+    # hash-verified in the committed local sweep, not in the driver window
+    for k in sorted(textops.LATE_ORACLED):
+        q[k] = textops.QUERIES[k]
     for k in rows_only_textops:
         q[k] = textops.QUERIES[k]
     for k in rows_only_relational:

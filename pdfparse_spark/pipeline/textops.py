@@ -1183,6 +1183,79 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Near-dup decontamination threshold: the corpus-wide near-dup bar (0.5
+# Jaccard, the _exact_jaccard_pairs cut) applied against the benchmark
+# split — a training doc this close to an eval item is a paraphrase-level
+# leak even when no verbatim 5-gram survives decontaminate_ngram's test.
+_DECON_JACC_TAU = 0.5
+
+
+def decontaminate_jaccard(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """Near-duplicate benchmark decontamination: score every training doc
+    by its best word-shingle Jaccard similarity against the (deterministic)
+    held-out benchmark subset, and flag docs at or above the near-dup bar.
+    Complements decontaminate_ngram (exact 5-gram overlap — verbatim leaks)
+    with the fuzzy case: a lightly edited copy of an eval item shares few
+    verbatim 5-gram runs but keeps most of its 3-shingle set.
+
+    Scale: shingles are df-capped (``_MAX_SHINGLE_DF``, the corpus-wide
+    near-dedup discipline) BEFORE the split so one boilerplate shingle
+    can't blow up the probe join; the benchmark side — eval suites, tiny
+    by construction at a real run — is broadcast, so the training side
+    streams through one equality join keyed by the shingle string plus a
+    (doc_id, bench_id)-keyed aggregate.  Candidate fan-out per training
+    doc is bounded by its shingle count × the df cap.  No UDFs.
+    ``docs`` optionally supplies the shared pre-tokenized (doc_id, arr)
+    checkpoint so composing pipelines tokenize once.
+    """
+    sh = _shingle_rows(spark, sf_dir, max_df=_MAX_SHINGLE_DF, docs=docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    bench = sh.filter(F.col("doc_id") % _DECON_BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "sh"
+    )
+    bench_sizes = sizes.filter(F.col("doc_id") % _DECON_BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), F.col("n_sh").alias("nb")
+    )
+    train = sh.filter(F.col("doc_id") % _DECON_BENCH_MOD != 0)
+    inter = (
+        train.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    # unrounded IEEE double for the argmax ordering (bench_id breaks exact
+    # ties deterministically); the reported score rounds to 4
+    jac = (
+        inter.join(sizes, "doc_id")
+        .join(F.broadcast(bench_sizes), "bench_id")
+        .withColumn(
+            "jacc", F.col("n_inter") / (F.col("n_sh") + F.col("nb") - F.col("n_inter"))
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jacc"), F.asc("bench_id"))
+    best = (
+        jac.withColumn("n_candidates", F.count("*").over(Window.partitionBy("doc_id")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_candidates", F.col("bench_id").alias("best_match"), "jacc")
+    )
+    return (
+        sizes.filter(F.col("doc_id") % _DECON_BENCH_MOD != 0)
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_sh",
+            F.coalesce(F.col("n_candidates"), F.lit(0).cast("long")).alias("n_candidates"),
+            F.coalesce(F.col("best_match"), F.lit(-1).cast("long")).alias("best_match"),
+            F.round(F.coalesce(F.col("jacc"), F.lit(0.0)), 4).alias("max_jaccard"),
+            (F.coalesce(F.col("jacc"), F.lit(0.0)) >= _DECON_JACC_TAU)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
 def docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle for training-order assignment: rank
     every doc by md5(seed || doc_id) — reproducible across engines and
@@ -2920,6 +2993,50 @@ def docs_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Maximum repeat factor for the epoch plan: data-constrained scaling work
+# (Muennighoff et al. 2023) finds up to ~4 epochs of reuse near-lossless,
+# with rapidly diminishing returns beyond — so the plan's expected repeat
+# count is quality-proportional on a [0, 4] scale.
+_REPEAT_MAX = 4
+
+
+def docs_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted epoch-repeat plan — turn a per-doc quality score
+    into the explicit integer repeat factor a data-constrained training
+    run materializes (high-quality docs seen up to ``_REPEAT_MAX`` times,
+    junk approaches zero).  Expected repeats are quality-proportional,
+    x = _REPEAT_MAX · q with q ∈ [0, 1] the shared text-quality composite
+    (`_quality_expr`), and the integer plan is n = ⌊x⌋ plus a Bernoulli
+    top-up on the fractional part so Σn is an unbiased estimate of Σx.
+
+    The top-up draw is the first 52 bits of md5('rep:' || doc_id) compared
+    against frac(x)·2^52 — doc_id-keyed (retry/speculation-proof) and
+    engine-portable, the docs_pps_sample discipline.  q is computed
+    per-row from that row alone, so the whole op is a stateless projection:
+    ZERO shuffles, ZERO aggregates — the cheapest possible plan shape at
+    100 TB, and embarrassingly parallel at any executor count.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "text", F.expr(_TOKS).alias("arr"))
+    x = F.lit(float(_REPEAT_MAX)) * _quality_expr()
+    u = F.expr(
+        "CAST(conv(substring(md5(concat('rep:', CAST(doc_id AS STRING))), 1, 13), 16, 10) AS BIGINT)"
+    )
+    frac = x - F.floor(x)
+    n_rep = (
+        F.floor(x).cast("long")
+        + (u.cast("double") < frac * F.lit(float(1 << 52))).cast("long")
+    )
+    # expected_repeats is emitted UNROUNDED: x is the same IEEE expression
+    # in both engines (bit-identical), while round-to-4 lands on decimal
+    # half-way boundaries (e.g. x = 3.31875) that Spark's HALF_UP on the
+    # binary value and DuckDB's round resolve differently
+    return d.select(
+        "doc_id",
+        x.alias("expected_repeats"),
+        n_rep.alias("n_repeats"),
+    )
+
+
 # Duplicated-span n-gram width: 8 tokens ≈ the granularity at which prose
 # reuse stops being coincidence on an alnum-token stream (Lee et al. use
 # 50 BPE tokens on web text; the synthetic corpus' docs are ~40 tokens, so
@@ -3990,6 +4107,70 @@ ORACLES: dict[str, str] = {
                CAST(coalesce(h.n_overlap, 0) > 0 AS INT) AS contaminated
         FROM totals t LEFT JOIN hits h USING (doc_id)
     """,
+    "decontaminate_jaccard": f"""
+        WITH toks AS (
+            SELECT doc_id, {_SQL_TOKS} AS arr FROM documents
+        ), sh0 AS (
+            SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM toks
+        ), sh AS (
+            -- same corpus-wide document-frequency cap as the Spark side
+            SELECT doc_id, sh FROM sh0
+            QUALIFY count(*) OVER (PARTITION BY sh) <= {_MAX_SHINGLE_DF}
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT t.doc_id, b.doc_id AS bench_id, count(*) AS n_inter
+            FROM sh t JOIN sh b USING (sh)
+            WHERE t.doc_id % {_DECON_BENCH_MOD} <> 0
+              AND b.doc_id % {_DECON_BENCH_MOD} = 0
+            GROUP BY t.doc_id, b.doc_id
+        ), jac AS (
+            SELECT i.doc_id, i.bench_id,
+                   i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter) AS jacc
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_id
+            JOIN sizes sb ON sb.doc_id = i.bench_id
+        ), best AS (
+            SELECT doc_id, bench_id, jacc,
+                   count(*) OVER (PARTITION BY doc_id) AS n_candidates,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY jacc DESC, bench_id) AS rn
+            FROM jac
+        )
+        SELECT s.doc_id, s.n_sh,
+               coalesce(b.n_candidates, 0) AS n_candidates,
+               coalesce(b.bench_id, -1) AS best_match,
+               round(coalesce(b.jacc, 0.0), 4) AS max_jaccard,
+               CAST(coalesce(b.jacc, 0.0) >= {_DECON_JACC_TAU} AS INT) AS contaminated
+        FROM sizes s LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+        WHERE s.doc_id % {_DECON_BENCH_MOD} <> 0
+    """,
+    "docs_repeat_plan": f"""
+        WITH base AS (
+            SELECT doc_id, text, {_SQL_TOKS} AS arr FROM documents
+        ), scored AS (
+            -- x = _REPEAT_MAX * q with q parenthesized so the IEEE multiply
+            -- order matches Spark's 4.0 * ((A*B)*C) exactly
+            SELECT doc_id,
+                   {float(_REPEAT_MAX)} * (
+                       least(len(arr) / 64.0, 1.0)
+                       * (0.5 + 0.5 * (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                                       * 1.0 / greatest(length(text), 1)))
+                       * (1.0 - 0.5 * (len(list_filter(arr,
+                                           w -> w IN ('the','a','and','of','to','in','is')))
+                                       * 1.0 / greatest(len(arr), 1)))
+                   ) AS x,
+                   CAST(concat('0x', substr(md5('rep:' || CAST(doc_id AS VARCHAR)), 1, 13))
+                        AS BIGINT) AS u
+            FROM base
+        )
+        SELECT doc_id,
+               x AS expected_repeats,
+               CAST(floor(x) AS BIGINT)
+               + CAST(CAST(u AS DOUBLE) < (x - floor(x)) * {float(1 << 52)} AS BIGINT)
+               AS n_repeats
+        FROM scored
+    """,
     "docs_pps_sample": f"""
         WITH tot AS (
             SELECT sum(n_chars) AS w_total FROM documents
@@ -4328,6 +4509,8 @@ QUERIES = {
     "corpus_curate": corpus_curate,
     "corpus_curate_full": corpus_curate_full,
     "corpus_curate_dsir": corpus_curate_dsir,
+    "decontaminate_jaccard": decontaminate_jaccard,
+    "docs_repeat_plan": docs_repeat_plan,
 }
 
 # Queries with no ORACLES entry (sketch hash families / iterative loops).
@@ -4335,3 +4518,9 @@ QUERIES = {
 # the driver's 50-slot budget; test_entry_contract pins the invariant so a
 # new rows-only op can't silently displace an oracled one.
 ROWS_ONLY = frozenset(QUERIES) - frozenset(ORACLES)
+
+# Oracled queries registered AFTER the driver's 50-slot budget (position
+# 51+): the r5 gate composition is frozen — these stay hash-verified in
+# the committed tools/check_oracle.py local sweep without displacing a
+# query the driver already records.
+LATE_ORACLED = frozenset({"decontaminate_jaccard", "docs_repeat_plan"})

@@ -1972,3 +1972,64 @@ def test_dsir_frames_colliding_ids_never_score_target(spark):
     # the target-vocab raw doc leans target; the pool docs lean raw
     assert rows[3]["log_w"] > 0 and rows[3]["keep"] == 1
     assert rows[1]["log_w"] < 0 and rows[1]["keep"] == 0
+
+
+def test_decontaminate_jaccard_planted(spark, tmp_path):
+    """A light paraphrase of a benchmark doc is flagged at the near-dup
+    bar; a doc sharing only one shingle scores > 0 but stays clean; a
+    disjoint doc reports zero candidates.  doc_id 0 (0 % 97 == 0) plays
+    the benchmark item."""
+    import pandas as pd
+
+    bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    touching = "unrelated words here then alpha beta gamma something else entirely"
+    clean = "one two three four five six seven eight nine ten eleven"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [bench, near, touching, clean],
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": [len(bench), len(near), len(touching), len(clean)],
+        }
+    )
+    d = str(tmp_path)
+    pdf.to_parquet(d + "/documents.parquet")
+    from pdfparse_spark.pipeline.textops import decontaminate_jaccard
+
+    rows = {r["doc_id"]: r for r in decontaminate_jaccard(spark, d).collect()}
+    assert set(rows) == {1, 2, 3}  # the benchmark split itself is not scored
+    # 10-token docs share 7 of their 8+8 distinct 3-shingles: j = 7/9
+    assert rows[1]["contaminated"] == 1 and rows[1]["best_match"] == 0
+    assert rows[1]["max_jaccard"] == round(7 / 9, 4)
+    # one shared shingle: positive score, below the 0.5 bar
+    assert rows[2]["n_candidates"] == 1 and rows[2]["contaminated"] == 0
+    assert 0 < rows[2]["max_jaccard"] < 0.5
+    # disjoint vocabulary: no candidate at all, sentinel best_match
+    assert rows[3]["n_candidates"] == 0 and rows[3]["best_match"] == -1
+    assert rows[3]["max_jaccard"] == 0.0 and rows[3]["contaminated"] == 0
+
+
+def test_docs_repeat_plan_invariants(spark):
+    """The integer plan is floor(x) plus at most one Bernoulli top-up,
+    bounded by _REPEAT_MAX, deterministic under re-execution, and Σn is an
+    unbiased estimate of Σx (4σ band over the fractional-part draws)."""
+    import math
+
+    from pdfparse_spark.pipeline.textops import _REPEAT_MAX, docs_repeat_plan
+
+    rows = docs_repeat_plan(spark, SF).collect()
+    assert len(rows) == 500
+    var = 0.0
+    for r in rows:
+        x, n = r["expected_repeats"], r["n_repeats"]
+        assert 0.0 <= x <= _REPEAT_MAX
+        assert n in (math.floor(x), math.floor(x) + 1)
+        f = x - math.floor(x)
+        var += f * (1.0 - f)
+    tot_n = sum(r["n_repeats"] for r in rows)
+    tot_x = sum(r["expected_repeats"] for r in rows)
+    assert abs(tot_n - tot_x) <= 4.0 * math.sqrt(var) + 1.0
+    again = docs_repeat_plan(spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
