@@ -45,6 +45,7 @@ from .textops import (
 
 __all__ = [
     "build_ivfpq_index",
+    "compact_index_ingests",
     "encode_into_index",
     "search_ivfpq_index",
     "start_stream_index_append",
@@ -310,6 +311,58 @@ def start_stream_index_append(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_index_ingests(
+    spark: SparkSession, index_dir: str, target_files: int = 8
+) -> dict:
+    """Fold every ingest partition of the vectors table into a single
+    compacted ``ingest=base`` partition — the maintenance step a
+    long-lived streaming index needs: :func:`start_stream_index_append`
+    lands one partition per micro-batch, and after thousands of batches
+    the table is thousands of tiny files whose open/seek overhead, not
+    bytes, dominates every search scan.  Contents are unchanged
+    (search results before == after); only the file layout shrinks.
+
+    ``target_files`` bounds the rewritten partition's file count; at a
+    real run size the knob is bytes-per-file, not a count — pair the
+    coalesce with ``spark.sql.files.maxRecordsPerFile`` there.
+
+    Crash safety: the compacted table is staged to a sibling tmp dir and
+    swapped in rename-then-delete order (the Bloom-index ``words``
+    discipline) — a crash between the renames leaves the previous table
+    intact under ``vectors.old``, never a missing table.  Writer fencing
+    is the caller's job, same as :func:`compact_bloom_deltas` in
+    bloom_index: compact ONLY when no stream lineage on this index can
+    still replay — a batch replayed AFTER compaction would re-land its
+    ``batch-<n>`` partition alongside the compacted rows and its vectors
+    would rank as duplicate candidates.  (On a lakehouse this whole
+    function is an Iceberg rewrite-data-files action — atomic, with
+    snapshot isolation instead of renames.)"""
+    import os
+    import shutil
+
+    _check_partitioned_layout(spark, index_dir)
+    vectors = index_dir + "/vectors"
+    v = spark.read.parquet(vectors)
+    n_ingests = v.select("ingest").distinct().count()
+    tmp = vectors + ".compact.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        v.drop("ingest")
+        .coalesce(max(1, target_files))
+        .withColumn("ingest", F.lit("base"))
+        .write.mode("overwrite")
+        .partitionBy("ingest")
+        .parquet(tmp)
+    )
+    n = spark.read.parquet(tmp).count()
+    old = vectors + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(vectors, old)
+    os.rename(tmp, vectors)
+    shutil.rmtree(old, ignore_errors=True)
+    return {"n_vectors": n, "n_ingests_folded": n_ingests}
 
 
 def search_ivfpq_index(

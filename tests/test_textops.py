@@ -2033,3 +2033,55 @@ def test_docs_repeat_plan_invariants(spark):
     assert abs(tot_n - tot_x) <= 4.0 * math.sqrt(var) + 1.0
     again = docs_repeat_plan(spark, SF).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ann_index_compaction_preserves_search(spark, tmp_path):
+    """compact_index_ingests folds every ingest partition into one
+    compacted base with a bounded file count, leaves search results
+    byte-identical, and is idempotent."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pdfparse_spark.pipeline.ann_index import (
+        build_ivfpq_index,
+        compact_index_ingests,
+        encode_into_index,
+        search_ivfpq_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "idx")
+    build_ivfpq_index(spark, sf, idx)
+    base = spark.read.parquet(sf + "/embeddings.parquet")
+    new_rows = base.filter(F.col("vec_id") < 4).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding", "label"
+    )
+    encode_into_index(spark, idx, new_rows, ingest="a1")
+    encode_into_index(spark, idx, new_rows.limit(2), ingest="a2")
+
+    corpus = str(tmp_path / "corpus")
+    base.unionByName(new_rows).write.parquet(corpus + "/embeddings.parquet")
+    before = sorted(
+        map(tuple, search_ivfpq_index(spark, corpus, idx).collect())
+    )
+    n_before = spark.read.parquet(idx + "/vectors").count()
+
+    stats = compact_index_ingests(spark, idx, target_files=2)
+    assert stats == {"n_vectors": n_before, "n_ingests_folded": 3}
+    # one partition left, bounded file count, no stray tmp/old dirs
+    parts = [p for p in os.listdir(idx + "/vectors") if p.startswith("ingest=")]
+    assert parts == ["ingest=base"]
+    files = [
+        f for f in os.listdir(idx + "/vectors/ingest=base") if f.endswith(".parquet")
+    ]
+    assert 1 <= len(files) <= 2
+    assert not os.path.exists(idx + "/vectors.compact.tmp")
+    assert not os.path.exists(idx + "/vectors.old")
+
+    after = sorted(map(tuple, search_ivfpq_index(spark, corpus, idx).collect()))
+    assert after == before
+    # idempotent: a second compaction folds the single base partition
+    stats2 = compact_index_ingests(spark, idx, target_files=2)
+    assert stats2 == {"n_vectors": n_before, "n_ingests_folded": 1}
+    assert sorted(map(tuple, search_ivfpq_index(spark, corpus, idx).collect())) == before
