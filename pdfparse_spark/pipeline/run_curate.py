@@ -71,6 +71,15 @@ def main(argv: list[str] | None = None) -> int:
         "operational face of docs_dsir_weights",
     )
     p.add_argument(
+        "--decon-filter",
+        action="store_true",
+        help="also drop the held-out benchmark split itself plus every "
+        "doc contaminated by it — verbatim 5-gram overlap "
+        "(decontaminate_ngram) or near-dup shingle-Jaccard "
+        "(decontaminate_jaccard) — the operational face of "
+        "corpus_curate_decon's benchmark-hygiene family",
+    )
+    p.add_argument(
         "--strip-spans",
         action="store_true",
         help="emit the duplicated-span-STRIPPED token stream as the "
@@ -147,7 +156,29 @@ def main(argv: list[str] | None = None) -> int:
             .filter(F.col("keep") == 1)
             .select("doc_id"),
         ))
-    drops = {"dropped_lm": 0, "dropped_dsir": 0}
+    if args.decon_filter:
+        # keep set = train-split docs flagged by NEITHER decon op (docs
+        # too short to shingle are absent from the ops' outputs and must
+        # survive, so build keep by anti-joining the BAD sets — the
+        # corpus_curate_decon composition exactly)
+        def _decon_ok():
+            from .textops import _DECON_BENCH_MOD, decontaminate_jaccard, decontaminate_ngram
+
+            bad_ex = decontaminate_ngram(spark, args.sf_dir, docs=docs_tok).filter(
+                F.col("contaminated") == 1
+            ).select("doc_id")
+            bad_ja = decontaminate_jaccard(spark, args.sf_dir, docs=docs_tok).filter(
+                F.col("contaminated") == 1
+            ).select("doc_id")
+            return (
+                d.select("doc_id")
+                .filter(F.col("doc_id") % _DECON_BENCH_MOD != 0)
+                .join(bad_ex, "doc_id", "left_anti")
+                .join(bad_ja, "doc_id", "left_anti")
+            )
+
+        legs.append(("dropped_decon", _decon_ok))
+    drops = {"dropped_lm": 0, "dropped_dsir": 0, "dropped_decon": 0}
     extra_ok = []
     if legs:
         survivors = passed.join(dropped_dup, "doc_id", "left_anti")
@@ -246,6 +277,7 @@ def main(argv: list[str] | None = None) -> int:
                 "dropped_near_dup": n_dup_dropped,
                 "dropped_lm": drops["dropped_lm"],
                 "dropped_dsir": drops["dropped_dsir"],
+                "dropped_decon": drops["dropped_decon"],
                 "tokens_removed": tokens_removed,
                 "pairs": args.pairs,
                 "wall_sec": round(wall, 3),

@@ -1135,7 +1135,9 @@ def text_bpe_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECON_BENCH_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark set
 
 
-def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def decontaminate_ngram(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any 5-gram
     with a (deterministic) held-out benchmark subset of the corpus.
 
@@ -1143,6 +1145,8 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     join keyed by the shingle string; the training side streams through
     with one (doc_id)-keyed aggregate.  At a real 100 TB run the benchmark
     set (eval suites) is tiny by construction, so broadcast always fits.
+    ``docs`` optionally supplies the shared pre-tokenized (doc_id, arr)
+    checkpoint so composing pipelines tokenize once.
     """
     five = (
         "CASE WHEN size(arr) >= 5 THEN "
@@ -1151,11 +1155,12 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "element_at(arr, i + 2), element_at(arr, i + 3), element_at(arr, i + 4)))) "
         "ELSE array() END"
     )
-    sh = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.expr(_TOKS).alias("arr"))
-        .select("doc_id", F.explode(F.expr(five)).alias("sh"))
+    base = (
+        docs.select("doc_id", "arr")
+        if docs is not None
+        else _docs(spark, sf_dir).select("doc_id", F.expr(_TOKS).alias("arr"))
     )
+    sh = base.select("doc_id", F.explode(F.expr(five)).alias("sh"))
     bench = (
         sh.filter(F.col("doc_id") % _DECON_BENCH_MOD == 0)
         .select("sh")
@@ -1607,6 +1612,47 @@ def corpus_curate_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         passed.join(lm_ok, "doc_id")
         .join(dsir_ok, "doc_id")
         .join(dropped, "doc_id", "left_anti")
+    )
+    return _md5_shuffle_rank(curated, "n_tokens")
+
+
+def corpus_curate_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_curate_dsir with the DECONTAMINATION gate composed in — the
+    complete production curation decision: repetition quality ∧ LM
+    perplexity tercile ∧ near-dup cluster survivorship ∧ DSIR
+    target-leaning ∧ benchmark hygiene.  The last family drops (a) the
+    held-out benchmark split itself — eval items are never training
+    data — (b) any doc sharing a verbatim 5-gram with it
+    (decontaminate_ngram), and (c) any near-dup paraphrase of it at the
+    shingle-Jaccard bar (decontaminate_jaccard).  Five filter families,
+    value-verified as ONE DuckDB query.
+
+    Scale: identical to corpus_curate_dsir plus the two decon legs — a
+    broadcast 5-gram semi-join and the df-capped, broadcast-bench
+    Jaccard probe; all six legs consume the ONE shared tokenized
+    checkpoint, and the composition joins on doc_id only — fat text
+    never crosses a join."""
+    docs = _tokenized_docs(spark, sf_dir)
+    passed, dropped, _ranked = _curate_parts(spark, sf_dir, docs=docs)
+    lm_ok = text_perplexity(spark, sf_dir, docs=docs).filter(
+        F.col("ppl_bucket") != "tail"
+    ).select("doc_id")
+    dsir_ok = docs_dsir_weights(spark, sf_dir, docs=docs).filter(
+        F.col("keep") == 1
+    ).select("doc_id")
+    decon_exact_bad = decontaminate_ngram(spark, sf_dir, docs=docs).filter(
+        F.col("contaminated") == 1
+    ).select("doc_id")
+    decon_jac_bad = decontaminate_jaccard(spark, sf_dir, docs=docs).filter(
+        F.col("contaminated") == 1
+    ).select("doc_id")
+    curated = (
+        passed.filter(F.col("doc_id") % _DECON_BENCH_MOD != 0)
+        .join(lm_ok, "doc_id")
+        .join(dsir_ok, "doc_id")
+        .join(dropped, "doc_id", "left_anti")
+        .join(decon_exact_bad, "doc_id", "left_anti")
+        .join(decon_jac_bad, "doc_id", "left_anti")
     )
     return _md5_shuffle_rank(curated, "n_tokens")
 
@@ -4444,6 +4490,58 @@ ORACLES: dict[str, str] = {
                    AS shuffle_rank
         FROM curated
     """,
+    "corpus_curate_decon": f"""
+        WITH RECURSIVE {_SQL_JACCARD_PAIRS},
+        {_SQL_CURATE_DROP_CTES}, {_SQL_GOPHER_CTES},
+        {_SQL_PPL_CTES},
+        {_SQL_DSIR_CTES},
+        ppl_ok AS (
+            SELECT s.doc_id FROM ppl_scored s, ppl_cuts
+            WHERE s.avg_logloss <= ppl_cuts.p66
+        ),
+        dsir_ok AS (
+            SELECT doc_id FROM dsir_scored WHERE log_w > 0
+        ),
+        -- decon legs reuse the shared toks / capped-sh / sizes CTEs
+        dn_sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(arr) - 3, 1)),
+                   i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3] || ' ' || arr[i+4]))) AS sh
+            FROM toks WHERE len(arr) >= 5
+        ),
+        dn_bad AS (
+            SELECT DISTINCT doc_id FROM dn_sh
+            WHERE doc_id % {_DECON_BENCH_MOD} <> 0
+              AND sh IN (SELECT sh FROM dn_sh WHERE doc_id % {_DECON_BENCH_MOD} = 0)
+        ),
+        dj_bad AS (
+            SELECT DISTINCT i.doc_id
+            FROM (
+                SELECT t.doc_id, b.doc_id AS bench_id, count(*) AS n_inter
+                FROM sh t JOIN sh b USING (sh)
+                WHERE t.doc_id % {_DECON_BENCH_MOD} <> 0
+                  AND b.doc_id % {_DECON_BENCH_MOD} = 0
+                GROUP BY t.doc_id, b.doc_id
+            ) i
+            JOIN sizes sa ON sa.doc_id = i.doc_id
+            JOIN sizes sb ON sb.doc_id = i.bench_id
+            WHERE i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter) >= {_DECON_JACC_TAU}
+        ),
+        curated AS (
+            SELECT doc_id, n_tokens FROM gj
+            WHERE n_tokens >= 8 AND top_frac <= 0.2 AND dup_frac <= 0.3
+              AND doc_id % {_DECON_BENCH_MOD} <> 0
+              AND doc_id IN (SELECT doc_id FROM ppl_ok)
+              AND doc_id IN (SELECT doc_id FROM dsir_ok)
+              AND doc_id NOT IN (SELECT doc_id FROM dropped)
+              AND doc_id NOT IN (SELECT doc_id FROM dn_bad)
+              AND doc_id NOT IN (SELECT doc_id FROM dj_bad)
+        )
+        SELECT doc_id, n_tokens,
+               md5('seed42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+               row_number() OVER (ORDER BY md5('seed42:' || CAST(doc_id AS VARCHAR)), doc_id)
+                   AS shuffle_rank
+        FROM curated
+    """,
     "dedup_clusters": f"""
         WITH RECURSIVE {_SQL_JACCARD_PAIRS},
         und AS (
@@ -4509,6 +4607,7 @@ QUERIES = {
     "corpus_curate": corpus_curate,
     "corpus_curate_full": corpus_curate_full,
     "corpus_curate_dsir": corpus_curate_dsir,
+    "corpus_curate_decon": corpus_curate_decon,
     "decontaminate_jaccard": decontaminate_jaccard,
     "docs_repeat_plan": docs_repeat_plan,
 }
@@ -4523,4 +4622,6 @@ ROWS_ONLY = frozenset(QUERIES) - frozenset(ORACLES)
 # 51+): the r5 gate composition is frozen — these stay hash-verified in
 # the committed tools/check_oracle.py local sweep without displacing a
 # query the driver already records.
-LATE_ORACLED = frozenset({"decontaminate_jaccard", "docs_repeat_plan"})
+LATE_ORACLED = frozenset(
+    {"decontaminate_jaccard", "docs_repeat_plan", "corpus_curate_decon"}
+)

@@ -298,8 +298,8 @@ def test_plan_hygiene_all_queries(spark):
         # composes that leg and inherits the same one-row broadcasts;
         # the bigram variant has the identical (V scalar, cutoffs) shape
         "text_perplexity", "text_perplexity_bigram", "corpus_curate_full",
-        # composes the same one-row-broadcast perplexity cutoffs
-        "corpus_curate_dsir",
+        # compose the same one-row-broadcast perplexity cutoffs
+        "corpus_curate_dsir", "corpus_curate_decon",
         # parity gate: ONE-row agg × ONE-row distinct-count — O(1·1)
         "extract_dedup_parity",
     }

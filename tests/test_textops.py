@@ -2085,3 +2085,40 @@ def test_ann_index_compaction_preserves_search(spark, tmp_path):
     stats2 = compact_index_ingests(spark, idx, target_files=2)
     assert stats2 == {"n_vectors": n_before, "n_ingests_folded": 1}
     assert sorted(map(tuple, search_ivfpq_index(spark, corpus, idx).collect())) == before
+
+
+def test_run_curate_cli_decon_filter(spark, tmp_path):
+    """--decon-filter composes the benchmark-hygiene stage after every
+    other leg: the six-way stage breakdown sums to docs_in, and the
+    written doc set equals the oracled corpus_curate_decon gate query."""
+    import contextlib, io, json
+
+    from pdfparse_spark.pipeline.run_curate import main
+    from pdfparse_spark.pipeline.textops import corpus_curate_decon, corpus_curate_dsir
+
+    out = str(tmp_path / "curated_decon")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main([
+            "--sf-dir", SF, "--out", out, "--master", "local[8]",
+            "--num-files", "4", "--lm-filter", "--dsir-filter", "--decon-filter",
+        ])
+    m = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert (
+        m["docs_in"]
+        == m["dropped_quality"] + m["dropped_near_dup"] + m["dropped_lm"]
+        + m["dropped_dsir"] + m["dropped_decon"] + m["docs_curated"]
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()}
+    want = {
+        r["doc_id"] for r in corpus_curate_decon(spark, SF).select("doc_id").collect()
+    }
+    assert got == want and m["docs_curated"] == len(got)
+    # the leg drops exactly the prior-stage survivors the decon gate
+    # rejects (at this corpus every bench-split doc already failed an
+    # earlier leg, so the count may legitimately be 0)
+    prior = {
+        r["doc_id"] for r in corpus_curate_dsir(spark, SF).select("doc_id").collect()
+    }
+    assert m["dropped_decon"] == len(prior - want)
+    assert all(i % 97 != 0 for i in got)
