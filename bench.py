@@ -85,6 +85,9 @@ BENCH_QUERIES = [
     "docs_dsir_weights",
     "dedup_bloom_prior",
     "docs_pack_bins",
+    "decontaminate_jaccard",
+    "docs_repeat_plan",
+    "corpus_curate_decon",
 ]
 
 
