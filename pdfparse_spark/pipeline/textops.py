@@ -1134,6 +1134,16 @@ def text_bpe_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DECON_BENCH_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark set
 
+# distinct 5-gram shingles over the token array — the decontamination
+# grain (verbatim-overlap detection), shared with pipeline/decon_index.py
+_FIVEGRAMS = (
+    "CASE WHEN size(arr) >= 5 THEN "
+    "array_distinct(transform(sequence(1, size(arr) - 4), "
+    "i -> concat_ws(' ', element_at(arr, i), element_at(arr, i + 1), "
+    "element_at(arr, i + 2), element_at(arr, i + 3), element_at(arr, i + 4)))) "
+    "ELSE array() END"
+)
+
 
 def decontaminate_ngram(
     spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
@@ -1148,19 +1158,12 @@ def decontaminate_ngram(
     ``docs`` optionally supplies the shared pre-tokenized (doc_id, arr)
     checkpoint so composing pipelines tokenize once.
     """
-    five = (
-        "CASE WHEN size(arr) >= 5 THEN "
-        "array_distinct(transform(sequence(1, size(arr) - 4), "
-        "i -> concat_ws(' ', element_at(arr, i), element_at(arr, i + 1), "
-        "element_at(arr, i + 2), element_at(arr, i + 3), element_at(arr, i + 4)))) "
-        "ELSE array() END"
-    )
     base = (
         docs.select("doc_id", "arr")
         if docs is not None
         else _docs(spark, sf_dir).select("doc_id", F.expr(_TOKS).alias("arr"))
     )
-    sh = base.select("doc_id", F.explode(F.expr(five)).alias("sh"))
+    sh = base.select("doc_id", F.explode(F.expr(_FIVEGRAMS)).alias("sh"))
     bench = (
         sh.filter(F.col("doc_id") % _DECON_BENCH_MOD == 0)
         .select("sh")

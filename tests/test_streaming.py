@@ -909,3 +909,79 @@ def test_stream_dsir_score_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(out + "/batch=*").collect()
     }
     assert replayed == streamed
+
+
+def test_stream_decon_matches_gate_ops(spark, tmp_path):
+    """Streaming decontamination against a persisted benchmark index: the
+    union of batch outputs equals the batch score_with_decon_index
+    row-for-row, both agree with the oracled gate ops on the gate's own
+    corpus split (no shingle exceeds the df cap there), and a replayed
+    batch rewrites its own partition with identical rows."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from pdfparse_spark.pipeline.decon_index import (
+        build_decon_index,
+        read_decon_verdicts,
+        score_with_decon_index,
+        start_stream_decon,
+    )
+    from pdfparse_spark.pipeline.textops import (
+        _DECON_BENCH_MOD,
+        decontaminate_jaccard,
+        decontaminate_ngram,
+        _docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = _docs(spark, sf)
+    bench = d.filter(f"doc_id % {_DECON_BENCH_MOD} = 0")
+    train = d.filter(f"doc_id % {_DECON_BENCH_MOD} != 0")
+    idx = str(tmp_path / "idx")
+    stats = build_decon_index(spark, bench, idx)
+    assert stats["n_bench_docs"] >= 1 and stats["n_grams5"] > 0
+
+    batch = {
+        r["doc_id"]: r for r in score_with_decon_index(spark, train, idx).collect()
+    }
+    assert len(batch) == train.count()  # every input doc gets a verdict
+    # parity with the gate ops on their own split (shingle-bearing docs)
+    ng = {r["doc_id"]: r for r in decontaminate_ngram(spark, sf).collect()}
+    jc = {r["doc_id"]: r for r in decontaminate_jaccard(spark, sf).collect()}
+    for i, r in ng.items():
+        assert batch[i]["n_overlap5"] == r["n_overlap"]
+        assert batch[i]["contaminated_exact"] == r["contaminated"]
+    for i, r in jc.items():
+        assert batch[i]["max_jaccard"] == r["max_jaccard"]
+        assert batch[i]["contaminated_jaccard"] == r["contaminated"]
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    train.select(*cols).filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(in_dir / "f1")
+    )
+    train.select(*cols).filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(in_dir / "f2")
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = start_stream_decon(spark, str(in_dir) + "/f*", out, idx, ck)
+    q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]: tuple(r)[1:] for r in read_decon_verdicts(spark, out).drop("batch").collect()
+    }
+    assert streamed == {i: tuple(r)[1:] for i, r in batch.items()}
+
+    # replay the last batch: identical rows, no dups
+    commits = sorted(f for f in os.listdir(ck + "/commits") if not f.startswith("."))
+    os.remove(ck + "/commits/" + commits[-1])
+    crc = ck + "/commits/." + commits[-1] + ".crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    q2 = start_stream_decon(spark, str(in_dir) + "/f*", out, idx, ck)
+    q2.awaitTermination(120)
+    replayed = {
+        r["doc_id"]: tuple(r)[1:] for r in read_decon_verdicts(spark, out).drop("batch").collect()
+    }
+    assert replayed == streamed
