@@ -1158,12 +1158,10 @@ def decontaminate_ngram(
     ``docs`` optionally supplies the shared pre-tokenized (doc_id, arr)
     checkpoint so composing pipelines tokenize once.
     """
-    base = (
-        docs.select("doc_id", "arr")
-        if docs is not None
-        else _docs(spark, sf_dir).select("doc_id", F.expr(_TOKS).alias("arr"))
-    )
-    sh = base.select("doc_id", F.explode(F.expr(_FIVEGRAMS)).alias("sh"))
+    if docs is None:
+        # tokenize ONCE for the bench/train/totals consumers
+        docs = _tokenized_arr(spark, sf_dir)
+    sh = docs.select("doc_id", F.explode(F.expr(_FIVEGRAMS)).alias("sh"))
     bench = (
         sh.filter(F.col("doc_id") % _DECON_BENCH_MOD == 0)
         .select("sh")
@@ -1218,6 +1216,9 @@ def decontaminate_jaccard(
     ``docs`` optionally supplies the shared pre-tokenized (doc_id, arr)
     checkpoint so composing pipelines tokenize once.
     """
+    if docs is None:
+        # tokenize ONCE for the sizes/bench/train consumers
+        docs = _tokenized_arr(spark, sf_dir)
     sh = _shingle_rows(spark, sf_dir, max_df=_MAX_SHINGLE_DF, docs=docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     bench = sh.filter(F.col("doc_id") % _DECON_BENCH_MOD == 0).select(
