@@ -3087,6 +3087,60 @@ def docs_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_repeat_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize :func:`docs_repeat_plan` into the physical training
+    order a loader consumes: each doc explodes into its ``n_repeats``
+    copies and every copy draws an INDEPENDENT deterministic rank key
+    (md5 over doc_id#copy_idx), so a doc's repeats interleave through the
+    whole epoch-spanning stream instead of clustering — the layout
+    data-constrained training wants (repeat exposures spaced apart).
+
+    Scale: the explode factor is bounded by ``_REPEAT_MAX``; the global
+    rank is the docs_global_shuffle two-phase trick (rank within 256
+    md5-prefix buckets + a broadcast 256-row offset table), so nothing
+    funnels through a SinglePartition exchange.  Deterministic under
+    retries end-to-end: the plan draw and the order draw are both keyed
+    by (doc_id, copy_idx), never RNG state.
+    """
+    plan = docs_repeat_plan(spark, sf_dir).filter(F.col("n_repeats") > 0)
+    copies = plan.select(
+        "doc_id",
+        "n_repeats",
+        F.explode(F.expr("sequence(1, n_repeats)")).alias("copy_idx"),
+    )
+    key = F.md5(
+        F.encode(
+            F.concat(
+                F.lit("ord:"),
+                F.col("doc_id").cast("string"),
+                F.lit("#"),
+                F.col("copy_idx").cast("string"),
+            ),
+            "utf-8",
+        )
+    )
+    keyed = copies.withColumn("shuffle_key", key).withColumn(
+        "bkt", F.substring("shuffle_key", 1, 2)
+    )
+    counts = keyed.groupBy("bkt").agg(F.count("*").alias("n"))
+    prior = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "bkt_offset", F.coalesce(F.sum("n").over(prior), F.lit(0))
+    ).select("bkt", "bkt_offset")
+    w = Window.partitionBy("bkt").orderBy("shuffle_key", "doc_id", "copy_idx")
+    return (
+        keyed.withColumn("bkt_rank", F.row_number().over(w))
+        .join(F.broadcast(offsets), "bkt")
+        .select(
+            "doc_id",
+            "copy_idx",
+            "n_repeats",
+            "shuffle_key",
+            (F.col("bkt_offset") + F.col("bkt_rank")).cast("long").alias("train_rank"),
+        )
+    )
+
+
 # Duplicated-span n-gram width: 8 tokens ≈ the granularity at which prose
 # reuse stops being coincidence on an alnum-token stream (Lee et al. use
 # 50 BPE tokens on web text; the synthetic corpus' docs are ~40 tokens, so
@@ -3751,6 +3805,34 @@ _SQL_SPANCOV_CTES = f"""toks AS (
             SELECT doc_id, s, e FROM grams JOIN dup USING (g)
         )"""
 
+# Quality-weighted repeat-plan CTE chain (rbase → rscored → rplan), shared
+# by the docs_repeat_plan and docs_repeat_order oracles.  A bare CTE list
+# ending in `rplan`; callers prepend WITH and append their own CTEs.
+_SQL_REPEAT_CTES = f"""rbase AS (
+            SELECT doc_id, text, {_SQL_TOKS} AS arr FROM documents
+        ), rscored AS (
+            -- x = _REPEAT_MAX * q with q parenthesized so the IEEE multiply
+            -- order matches Spark's 4.0 * ((A*B)*C) exactly
+            SELECT doc_id,
+                   {float(_REPEAT_MAX)} * (
+                       least(len(arr) / 64.0, 1.0)
+                       * (0.5 + 0.5 * (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                                       * 1.0 / greatest(length(text), 1)))
+                       * (1.0 - 0.5 * (len(list_filter(arr,
+                                           w -> w IN ('the','a','and','of','to','in','is')))
+                                       * 1.0 / greatest(len(arr), 1)))
+                   ) AS x,
+                   CAST(concat('0x', substr(md5('rep:' || CAST(doc_id AS VARCHAR)), 1, 13))
+                        AS BIGINT) AS u
+            FROM rbase
+        ), rplan AS (
+            SELECT doc_id, x,
+                   CAST(floor(x) AS BIGINT)
+                   + CAST(CAST(u AS DOUBLE) < (x - floor(x)) * {float(1 << 52)} AS BIGINT)
+                   AS n_repeats
+            FROM rscored
+        )"""
+
 # Capped exact-Jaccard pair CTE chain (shared by the dedup_ngram_jaccard
 # oracle and the dedup_clusters transitive-closure oracle).  A bare CTE
 # list ending in `pairs`; callers prepend WITH / WITH RECURSIVE and append
@@ -4196,30 +4278,23 @@ ORACLES: dict[str, str] = {
         WHERE s.doc_id % {_DECON_BENCH_MOD} <> 0
     """,
     "docs_repeat_plan": f"""
-        WITH base AS (
-            SELECT doc_id, text, {_SQL_TOKS} AS arr FROM documents
-        ), scored AS (
-            -- x = _REPEAT_MAX * q with q parenthesized so the IEEE multiply
-            -- order matches Spark's 4.0 * ((A*B)*C) exactly
-            SELECT doc_id,
-                   {float(_REPEAT_MAX)} * (
-                       least(len(arr) / 64.0, 1.0)
-                       * (0.5 + 0.5 * (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
-                                       * 1.0 / greatest(length(text), 1)))
-                       * (1.0 - 0.5 * (len(list_filter(arr,
-                                           w -> w IN ('the','a','and','of','to','in','is')))
-                                       * 1.0 / greatest(len(arr), 1)))
-                   ) AS x,
-                   CAST(concat('0x', substr(md5('rep:' || CAST(doc_id AS VARCHAR)), 1, 13))
-                        AS BIGINT) AS u
-            FROM base
+        WITH {_SQL_REPEAT_CTES}
+        SELECT doc_id, x AS expected_repeats, n_repeats FROM rplan
+    """,
+    "docs_repeat_order": f"""
+        WITH {_SQL_REPEAT_CTES},
+        rcopies AS (
+            SELECT doc_id, n_repeats,
+                   unnest(range(1, n_repeats + 1)) AS copy_idx
+            FROM rplan WHERE n_repeats > 0
+        ), rkeyed AS (
+            SELECT doc_id, CAST(copy_idx AS BIGINT) AS copy_idx, n_repeats,
+                   md5('ord:' || CAST(doc_id AS VARCHAR) || '#' || CAST(copy_idx AS VARCHAR)) AS shuffle_key
+            FROM rcopies
         )
-        SELECT doc_id,
-               x AS expected_repeats,
-               CAST(floor(x) AS BIGINT)
-               + CAST(CAST(u AS DOUBLE) < (x - floor(x)) * {float(1 << 52)} AS BIGINT)
-               AS n_repeats
-        FROM scored
+        SELECT doc_id, copy_idx, n_repeats, shuffle_key,
+               row_number() OVER (ORDER BY shuffle_key, doc_id, copy_idx) AS train_rank
+        FROM rkeyed
     """,
     "docs_pps_sample": f"""
         WITH tot AS (
@@ -4614,6 +4689,7 @@ QUERIES = {
     "corpus_curate_decon": corpus_curate_decon,
     "decontaminate_jaccard": decontaminate_jaccard,
     "docs_repeat_plan": docs_repeat_plan,
+    "docs_repeat_order": docs_repeat_order,
 }
 
 # Queries with no ORACLES entry (sketch hash families / iterative loops).
@@ -4627,5 +4703,10 @@ ROWS_ONLY = frozenset(QUERIES) - frozenset(ORACLES)
 # the committed tools/check_oracle.py local sweep without displacing a
 # query the driver already records.
 LATE_ORACLED = frozenset(
-    {"decontaminate_jaccard", "docs_repeat_plan", "corpus_curate_decon"}
+    {
+        "decontaminate_jaccard",
+        "docs_repeat_plan",
+        "docs_repeat_order",
+        "corpus_curate_decon",
+    }
 )

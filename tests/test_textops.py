@@ -2122,3 +2122,26 @@ def test_run_curate_cli_decon_filter(spark, tmp_path):
     }
     assert m["dropped_decon"] == len(prior - want)
     assert all(i % 97 != 0 for i in got)
+
+
+def test_docs_repeat_order_invariants(spark):
+    """The materialized order is a 1..N permutation over exactly the
+    plan's copies: every doc with n_repeats = k contributes copies 1..k,
+    and rank order follows the independent per-copy md5 keys."""
+    from pdfparse_spark.pipeline.textops import docs_repeat_order, docs_repeat_plan
+
+    plan = {
+        r["doc_id"]: r["n_repeats"]
+        for r in docs_repeat_plan(spark, SF).collect()
+        if r["n_repeats"] > 0
+    }
+    rows = docs_repeat_order(spark, SF).collect()
+    assert len(rows) == sum(plan.values())
+    assert sorted(r["train_rank"] for r in rows) == list(range(1, len(rows) + 1))
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["copy_idx"])
+        assert r["n_repeats"] == plan[r["doc_id"]]
+    assert all(sorted(v) == list(range(1, plan[k] + 1)) for k, v in per_doc.items())
+    ordered = sorted(rows, key=lambda r: r["train_rank"])
+    assert [r["shuffle_key"] for r in ordered] == sorted(r["shuffle_key"] for r in rows)
