@@ -330,8 +330,10 @@ def compact_index_ingests(
 
     Crash safety: the compacted table is staged to a sibling tmp dir and
     swapped in rename-then-delete order (the Bloom-index ``words``
-    discipline) — a crash between the renames leaves the previous table
-    intact under ``vectors.old``, never a missing table.  Writer fencing
+    discipline) — the data is never deleted before its replacement is in
+    place, so a crash between the two renames leaves the previous table
+    intact under ``vectors.old`` (manual recovery: rename it back; reads
+    of the canonical path fail loudly until then).  Writer fencing
     is the caller's job, same as :func:`compact_bloom_deltas` in
     bloom_index: compact ONLY when no stream lineage on this index can
     still replay — a batch replayed AFTER compaction would re-land its

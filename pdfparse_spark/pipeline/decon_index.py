@@ -31,8 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dsir_model import DOC_INPUT_SCHEMA
-from .textops import _DECON_JACC_TAU, _FIVEGRAMS, _SHINGLES, _TOKS_T
+from .dsir_model import DOC_INPUT_SCHEMA, _toks
+from .textops import _DECON_JACC_TAU, _FIVEGRAMS, _SHINGLES
 
 __all__ = [
     "build_decon_index",
@@ -42,8 +42,10 @@ __all__ = [
 ]
 
 
-def _with_arr(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    return docs.select("doc_id", F.expr(_TOKS_T.format(col=text_col)).alias("arr"))
+def _with_arr(docs: DataFrame) -> DataFrame:
+    # ONE tokenize definition — dsir_model._toks (the shared _TOKS_T
+    # template), so the two scoring lifecycles cannot drift
+    return _toks(docs, "text")
 
 
 def build_decon_index(
@@ -56,13 +58,16 @@ def build_decon_index(
     Scale: one pass over the benchmark corpus (tiny), two doc-keyed
     explodes, one distinct; the persisted tables are what every later job
     broadcasts, so build cost is paid once per eval-suite release."""
-    arr = _with_arr(bench_docs).localCheckpoint(eager=True)
-    g5 = arr.select(F.explode(F.expr(_FIVEGRAMS)).alias("sh")).distinct()
-    sh3 = arr.select(
-        F.col("doc_id").alias("bench_id"), F.explode(F.expr(_SHINGLES)).alias("sh")
-    )
-    g5.write.mode("overwrite").parquet(index_dir + "/grams5")
-    sh3.write.mode("overwrite").parquet(index_dir + "/sh3")
+    arr = _with_arr(bench_docs).persist()
+    try:
+        g5 = arr.select(F.explode(F.expr(_FIVEGRAMS)).alias("sh")).distinct()
+        sh3 = arr.select(
+            F.col("doc_id").alias("bench_id"), F.explode(F.expr(_SHINGLES)).alias("sh")
+        )
+        g5.write.mode("overwrite").parquet(index_dir + "/grams5")
+        sh3.write.mode("overwrite").parquet(index_dir + "/sh3")
+    finally:
+        arr.unpersist()
     sizes = (
         spark.read.parquet(index_dir + "/sh3")
         .groupBy("bench_id")
@@ -76,15 +81,19 @@ def build_decon_index(
 
 
 def _score(
-    docs: DataFrame,
+    arr: DataFrame,
     g5: DataFrame,
     sh3: DataFrame,
     sizes: DataFrame,
     tau: float = _DECON_JACC_TAU,
 ) -> DataFrame:
     """One verdict row per input doc — the shared scoring body (batch face
-    and every stream micro-batch run exactly this)."""
-    arr = docs.localCheckpoint(eager=True)  # tokenize once for both legs
+    and every stream micro-batch run exactly this).  ``arr`` is the
+    tokenized (doc_id, arr) frame; persistence is the CALLER's choice
+    (the stream face persists each micro-batch's frame and releases it
+    precisely after the write; the batch face, like its sibling
+    score_with_dsir_model, persists nothing — the caller composing many
+    scoring jobs can pass an already-persisted frame)."""
     base = arr.select("doc_id")
     # verbatim leg: any shared 5-gram
     d5 = arr.select("doc_id", F.explode(F.expr(_FIVEGRAMS)).alias("sh"))
@@ -127,9 +136,13 @@ def _score(
 
 
 def _read_index(spark: SparkSession, index_dir: str):
-    g5 = spark.read.parquet(index_dir + "/grams5").localCheckpoint(eager=True)
-    sh3 = spark.read.parquet(index_dir + "/sh3").localCheckpoint(eager=True)
-    sizes = spark.read.parquet(index_dir + "/sizes").localCheckpoint(eager=True)
+    # persist (not localCheckpoint): the benchmark-sized tables pin in the
+    # block cache across a stream's batches but stay EVICTABLE and carry
+    # their parquet lineage, so memory pressure or loss just re-reads —
+    # no unreleasable checkpoint blocks accumulate in a borrowed session
+    g5 = spark.read.parquet(index_dir + "/grams5").persist()
+    sh3 = spark.read.parquet(index_dir + "/sh3").persist()
+    sizes = spark.read.parquet(index_dir + "/sizes").persist()
     return g5, sh3, sizes
 
 
@@ -142,7 +155,10 @@ def score_with_decon_index(
 
     Scale: both probes are broadcast equality joins against the
     benchmark-sized tables plus doc-keyed aggregates — the incoming
-    corpus streams through with no by-shingle shuffle at all."""
+    corpus streams through with no by-shingle shuffle at all.  Nothing
+    is persisted here (the score_with_dsir_model discipline — no
+    unreleasable blocks in a borrowed session); pre-persist ``docs``'s
+    tokenized form yourself if composing many scoring jobs over it."""
     g5, sh3, sizes = _read_index(spark, index_dir)
     return _score(_with_arr(docs), g5, sh3, sizes, tau=tau)
 
@@ -173,18 +189,19 @@ def start_stream_decon(
     )
 
     def _score_batch(batch_df, batch_id: int) -> None:
-        # the scoring body localCheckpoints the tokenized batch (both legs
-        # consume it); those blocks are RDD-level and Dataset.unpersist
-        # cannot free them, so release exactly the RDDs this batch added —
-        # a long-lived stream must not accumulate one block per batch
-        sc = batch_df.sparkSession.sparkContext
-        pre = set(sc._jsc.getPersistentRDDs().keys())
-        _score(_with_arr(batch_df), g5, sh3, sizes, tau=tau).write.mode(
-            "overwrite"
-        ).parquet("%s/batch=%d" % (out_dir, batch_id))
-        for rid, rdd in list(sc._jsc.getPersistentRDDs().items()):
-            if rid not in pre:
-                rdd.unpersist(False)
+        # persist THIS batch's tokenized frame (both legs consume it) and
+        # release exactly it after the write: Dataset.unpersist on the
+        # handle we persisted frees precisely our own blocks — unlike a
+        # getPersistentRDDs-diff sweep, which would race a concurrent
+        # job's checkpoints in a shared session — and a long-lived stream
+        # accumulates nothing batch over batch
+        arr = _with_arr(batch_df).persist()
+        try:
+            _score(arr, g5, sh3, sizes, tau=tau).write.mode("overwrite").parquet(
+                "%s/batch=%d" % (out_dir, batch_id)
+            )
+        finally:
+            arr.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(_score_batch)
