@@ -2672,13 +2672,17 @@ def _sql_darray(vals) -> str:
     return "array(%s)" % ", ".join("%rD" % float(v) for v in vals)
 
 
-def _embed_centered_stats(spark: SparkSession, sf_dir: str):
+def _embed_centered_stats(
+    spark: SparkSession, sf_dir: str, embs: DataFrame | None = None
+):
     """Shared prep for the iterative embedding loops (LR standardization,
     PCA centering): the cast projection plus per-dimension mean /
     population variance and the row count — all from ONE posexplode
     aggregate job (dim rows cross the driver).  A single definition so a
-    fix to NULL/ragged handling cannot desynchronize the two consumers."""
-    e = _emb(spark, sf_dir).select(
+    fix to NULL/ragged handling cannot desynchronize the two consumers.
+    ``embs`` overrides the default sf_dir table (the lr_model lifecycle
+    trains on caller-supplied frames — the docs= pattern)."""
+    e = (embs if embs is not None else _emb(spark, sf_dir)).select(
         "vec_id",
         "label",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("x0"),
@@ -2727,13 +2731,32 @@ def train_embed_lr(
     the job shape is unchanged.
     """
     e, dim, stats, _n = _embed_centered_stats(spark, sf_dir)
+    b, w, trace, _mu, _sd = _lr_fit(e, dim, stats, iters, rate)
+    return spark.createDataFrame(
+        trace, "iter: int, loss: double, p_pos: double, p_neg: double"
+    )
+
+
+def _lr_fit(
+    e: DataFrame,
+    dim: int,
+    stats: dict,
+    iters: int,
+    rate: float,
+    target_label: int = _LR_LABEL,
+):
+    """The full-batch GD loop shared by :func:`train_embed_lr` (returns
+    the trace) and ``lr_model.train_lr_model`` (persists the artifact).
+    ``e`` is the (label, x0) projection from :func:`_embed_centered_stats`;
+    returns (bias, weights, trace, mu, sd) in STANDARDIZED space —
+    callers that score raw vectors must fold mu/sd into the weights."""
     mu = [stats[j][0] for j in range(dim)]
     sd = [
         v ** 0.5 if v is not None and v > 1e-24 else 1.0
         for v in (stats[j][1] for j in range(dim))
     ]
     ex = e.select(
-        (F.col("label") == _LR_LABEL).cast("double").alias("y"),
+        (F.col("label") == target_label).cast("double").alias("y"),
         F.expr(
             f"zip_with(zip_with(x0, {_sql_darray(mu)}, (a, m) -> a - m), "
             f"{_sql_darray(sd)}, (c, s) -> c / s)"
@@ -2776,9 +2799,7 @@ def train_embed_lr(
             )
             b -= rate * row["gb"]
             w = [wj - rate * row[f"g{j}"] / n for j, wj in enumerate(w)]
-        return spark.createDataFrame(
-            trace, "iter: int, loss: double, p_pos: double, p_neg: double"
-        )
+        return b, w, trace, mu, sd
     finally:
         ex.unpersist()
 

@@ -985,3 +985,64 @@ def test_stream_decon_matches_gate_ops(spark, tmp_path):
         r["doc_id"]: tuple(r)[1:] for r in read_decon_verdicts(spark, out).drop("batch").collect()
     }
     assert replayed == streamed
+
+
+def test_stream_lr_score_matches_batch(spark, tmp_path):
+    """Streaming quality scoring with a persisted LR model: two embedding
+    file drops score per micro-batch; the union of batch outputs equals
+    batch score_with_lr_model over the same rows (per-row scores have no
+    cross-row state), and a replayed batch rewrites its own partition
+    with identical rows."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from pdfparse_spark.pipeline.lr_model import (
+        score_with_lr_model,
+        start_stream_lr_score,
+        train_lr_model,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    embs = spark.read.parquet(sf + "/embeddings.parquet")
+    model = str(tmp_path / "model")
+    train_lr_model(spark, embs, model, iters=8)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    embs.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(
+        str(in_dir / "f1")
+    )
+    embs.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(
+        str(in_dir / "f2")
+    )
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = start_stream_lr_score(spark, str(in_dir) + "/f*", out, model, ck)
+    q.awaitTermination(120)
+
+    streamed = {
+        r["vec_id"]: (r["quality_score"], r["keep"])
+        for r in spark.read.parquet(out + "/batch=*").collect()
+    }
+    batch = {
+        r["vec_id"]: (r["quality_score"], r["keep"])
+        for r in score_with_lr_model(spark, embs, model).collect()
+    }
+    assert streamed == batch and len(streamed) == embs.count()
+
+    # replay the last batch: identical rows, no dups, no changed verdicts
+    commits = sorted(
+        f for f in os.listdir(ck + "/commits") if not f.startswith(".")
+    )
+    os.remove(ck + "/commits/" + commits[-1])
+    crc = ck + "/commits/." + commits[-1] + ".crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    q2 = start_stream_lr_score(spark, str(in_dir) + "/f*", out, model, ck)
+    q2.awaitTermination(120)
+    replayed = {
+        r["vec_id"]: (r["quality_score"], r["keep"])
+        for r in spark.read.parquet(out + "/batch=*").collect()
+    }
+    assert replayed == streamed

@@ -2145,3 +2145,77 @@ def test_docs_repeat_order_invariants(spark):
     assert all(sorted(v) == list(range(1, plan[k] + 1)) for k, v in per_doc.items())
     ordered = sorted(rows, key=lambda r: r["train_rank"])
     assert [r["shuffle_key"] for r in ordered] == sorted(r["shuffle_key"] for r in rows)
+
+
+def test_lr_model_roundtrip_scores_and_separates(spark, tmp_path):
+    """train_lr_model → score_with_lr_model: the persisted raw-space fold
+    must reproduce the standardized-space training margins exactly (keep
+    verdicts pinned against a pure-Python left fold of the stored
+    artifact — same IEEE-double op order, so bit-identical margins) and
+    preserve class separation; wrong-dimension vectors score (NULL,
+    false)."""
+    import math
+
+    from pdfparse_spark.pipeline.lr_model import (
+        score_with_lr_model,
+        train_lr_model,
+    )
+    from pdfparse_spark.pipeline.textops import _LR_LABEL, _emb
+
+    e = _emb(spark, SF)
+    model = str(tmp_path / "lr_model")
+    stats = train_lr_model(spark, e, model, iters=12)
+    assert stats["dim"] == 64
+    assert stats["p_pos"] > stats["p_neg"]  # converged toward separation
+
+    scored = score_with_lr_model(spark, e, model)
+    assert scored.count() == e.count()
+    import pyspark.sql.functions as F
+
+    sep = {
+        r["is_t"]: r["avg_q"]
+        for r in scored.groupBy(
+            (F.col("label") == _LR_LABEL).alias("is_t")
+        ).agg(F.avg("quality_score").alias("avg_q")).collect()
+    }
+    assert sep[True] > sep[False]
+
+    # pure-Python replay of the stored artifact: left fold in index order
+    # then + bias — the exact op order score_with_lr_model compiles to
+    wrows = sorted(
+        spark.read.parquet(model + "/weights").collect(), key=lambda r: r["pos"]
+    )
+    meta = spark.read.parquet(model + "/meta").collect()[0]
+    w = [r["w"] for r in wrows]
+    got = {r["vec_id"]: r for r in scored.collect()}
+    for r in e.limit(32).collect():
+        m = 0.0
+        for x, wj in zip(r["embedding"], w):
+            m += float(x) * wj
+        m += meta["bias"]
+        s = 1.0 / (1.0 + math.exp(-round(m, 6)))
+        out = got[r["vec_id"]]
+        assert out["keep"] == (m >= 0)
+        # score is HALF_UP-rounded to 4 in-engine: quantization ±5e-5
+        assert abs(out["quality_score"] - s) <= 6e-5
+
+    # wrong-dim rows: never keep, never a silent wrong dot product
+    bad = spark.createDataFrame(
+        [(9001, [0.5] * 3, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    br = score_with_lr_model(spark, bad, model).collect()[0]
+    assert br["quality_score"] is None and br["keep"] is False
+
+
+def test_lr_model_feature_tag_guard(spark, tmp_path, monkeypatch):
+    """A model stored under a different scoring convention must be REFUSED
+    at score time, not silently mis-applied — the bloom-index seed
+    lesson, fourth lifecycle instance."""
+    from pdfparse_spark.pipeline import lr_model as lm
+    from pdfparse_spark.pipeline.textops import _emb
+
+    model = str(tmp_path / "m")
+    lm.train_lr_model(spark, _emb(spark, SF).limit(200), model, iters=2)
+    monkeypatch.setattr(lm, "_FEAT_TAG", "embed-lr-stdspace-v2")
+    with pytest.raises(ValueError, match="convention"):
+        lm.score_with_lr_model(spark, _emb(spark, SF), model)
