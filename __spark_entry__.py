@@ -282,6 +282,58 @@ def _extract_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(n_distinct)
 
 
+def _conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: conversation-grain dedup (pipeline/convops.py) over a
+    synthesized transcript corpus with planted whole-session duplicates —
+    4 exact re-ingested copies and 5 retry prefixes (a session's first 2
+    turns logged again under a new conv_id).  The exact grain must drop
+    precisely the copies, the prefix grain precisely the abandoned
+    retries, and composing the keeps must recover the 30 originals.
+    Deterministic (synthesized corpus, lexicographic canonicals), but the
+    planted corpus lives outside the oracle's parquet views — pinned by
+    tests/test_convops.py including the md5-chain hashlib parity."""
+    from pdfparse_spark.pipeline.convops import (
+        conv_chains,
+        conv_dedup_exact,
+        conv_prefix_dedup,
+    )
+    from pdfparse_spark.pipeline.transcripts import synthesize
+
+    df, _ = synthesize(spark, n_convs=30, turns_per_conv=6, seed=13)
+    base = df.localCheckpoint(eager=True)
+    copies = base.filter(F.col("conv_id") < "conv000004").withColumn(
+        "conv_id", F.concat(F.lit("dup_"), F.col("conv_id"))
+    )
+    prefixes = (
+        base.filter(
+            (F.col("conv_id") >= "conv000004")
+            & (F.col("conv_id") < "conv000009")
+            & (F.col("turn_idx") < 2)
+        ).withColumn("conv_id", F.concat(F.lit("pre_"), F.col("conv_id")))
+    )
+    t = base.unionByName(copies).unionByName(prefixes)
+    ch = conv_chains(t).localCheckpoint(eager=True)  # hash turns ONCE
+    ex = conv_dedup_exact(t, chains=ch).select(
+        "conv_id", F.col("keep").alias("keep_exact")
+    )
+    pf = conv_prefix_dedup(t, chains=ch).select(
+        "conv_id", F.col("keep").alias("keep_prefix")
+    )
+    return (
+        ex.join(pf, "conv_id")
+        .agg(
+            F.count("*").alias("n_convs"),
+            F.sum((~F.col("keep_exact")).cast("long")).alias("n_exact_dropped"),
+            F.sum((~F.col("keep_prefix")).cast("long")).alias(
+                "n_prefix_dropped"
+            ),
+            F.sum(
+                (F.col("keep_exact") & F.col("keep_prefix")).cast("long")
+            ).alias("n_keep"),
+        )
+    )
+
+
 def _extract_device_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the three layout devices over the fixture corpus in one
     mapInPandas pass — golden (content-stream order), advance-width
@@ -415,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_ann_ivf_trained"] = textops.sim_ann_ivf_trained
     q["extract_line_dedup"] = _extract_line_dedup
     q["extract_dedup_parity"] = _extract_dedup_parity
+    q["conv_dedup"] = _conv_dedup
     q["train_embed_lr"] = textops.train_embed_lr
     q["embed_pca"] = textops.embed_pca
     for k in tail:

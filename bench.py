@@ -149,6 +149,29 @@ def bench_extraction(spark, n_convs: int, dedup_leg: bool = True) -> dict:
     )
     out_stats["extract_dedup_sec"] = round(wall2, 3)
     out_stats["dedup_turns_per_sec"] = round(row["n"] / wall2, 1)
+    # conversation-grain dedup over the SAME corpus: both grains reduce
+    # fat text to 32-char turn-hash chains map-side, so this times the
+    # narrow conv_id shuffle + hash-agg joins at headline-corpus scale
+    # (the replicated corpus is the pathological case — every replica
+    # wave shares full chains, i.e. maximal dup-group sizes)
+    from pdfparse_spark.pipeline.convops import (
+        conv_chains,
+        conv_dedup_exact,
+        conv_prefix_dedup,
+    )
+
+    t2 = time.monotonic()
+    ch = conv_chains(df).localCheckpoint(eager=True)  # hash fat text ONCE
+    ex_row = conv_dedup_exact(df, chains=ch).agg(
+        F.count("*").alias("n"), F.sum(F.col("keep").cast("long")).alias("k")
+    ).collect()[0]
+    pf_row = conv_prefix_dedup(df, chains=ch).agg(
+        F.count("*").alias("n"), F.sum(F.col("keep").cast("long")).alias("k")
+    ).collect()[0]
+    wall3 = time.monotonic() - t2
+    assert ex_row["n"] == pf_row["n"] > 0, "conv grains disagree on corpus size"
+    out_stats["conv_dedup_sec"] = round(wall3, 3)
+    _release_persisted(spark)
     return out_stats
 
 
@@ -242,6 +265,8 @@ def main() -> int:
     if "extract_dedup_sec" in ext:
         result["dedup_turns_per_sec"] = ext["dedup_turns_per_sec"]
         result["queries"]["extract_dedup"] = ext["extract_dedup_sec"]
+    if "conv_dedup_sec" in ext:
+        result["queries"]["conv_dedup"] = ext["conv_dedup_sec"]
     if sf == 0.1 and args.cpus == 32:
         # self-document the recorded-baseline ratio (BENCH/BASELINE.md,
         # local[32] @ sf0.1) so a single record reads in context: the

@@ -1,0 +1,154 @@
+"""Conversation-grain dedup: exact-duplicate and retry-prefix detection
+over the input_hint transcript table, pinned with planted duplicates, a
+pure-Python md5-chain parity check, and a hot-chain salt-spread test."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _planted(spark):
+    """6 synthesized convs + an exact dup, two copies of a 3-turn prefix,
+    and a middle-turn-modified copy (a near-miss that must NOT flag)."""
+    from pdfparse_spark.pipeline.transcripts import synthesize
+
+    df, _ = synthesize(spark, n_convs=6, turns_per_conv=5, seed=7)
+    base = df.localCheckpoint(eager=True)
+    dup = base.filter("conv_id='conv000001'").withColumn(
+        "conv_id", F.lit("zz_dup")
+    )
+    pre = base.filter("conv_id='conv000002' and turn_idx < 3").withColumn(
+        "conv_id", F.lit("zz_prefix")
+    )
+    pre2 = pre.withColumn("conv_id", F.lit("zz_prefix2"))
+    mod = (
+        base.filter("conv_id='conv000003'")
+        .withColumn("conv_id", F.lit("zz_mod"))
+        .withColumn(
+            "text",
+            F.when(F.col("turn_idx") == 1, F.lit("altered middle")).otherwise(
+                F.col("text")
+            ),
+        )
+    )
+    return base, base.unionByName(dup).unionByName(pre).unionByName(
+        pre2
+    ).unionByName(mod)
+
+
+def test_conv_chain_matches_pure_python(spark):
+    """The JVM-side fold (md5 over \\x1f-joined role/text, chained md5 in
+    turn order) must be bit-identical to hashlib — the chain IS the
+    dedup key, so the convention must be reproducible outside Spark."""
+    from pdfparse_spark.pipeline.convops import conv_chains
+
+    base, t = _planted(spark)
+    rows = sorted(
+        base.filter("conv_id='conv000001'").collect(), key=lambda r: r["turn_idx"]
+    )
+    h, want_chain = "", []
+    for r in rows:
+        th = hashlib.md5(
+            ("%s\x1f%s" % (r["role"], r["text"])).encode()
+        ).hexdigest()
+        h = hashlib.md5((h + th).encode()).hexdigest()
+        want_chain.append(h)
+    got = {r["conv_id"]: r for r in conv_chains(t).collect()}
+    assert got["conv000001"]["chain"] == want_chain
+    assert got["conv000001"]["n_turns"] == len(rows)
+    assert got["zz_dup"]["chain"] == want_chain  # exact dup, same chain
+
+
+def test_conv_dedup_exact_planted(spark):
+    """Exact dup groups keep exactly their lexicographically-first member;
+    a single-character turn change breaks the group."""
+    from pdfparse_spark.pipeline.convops import conv_dedup_exact
+
+    _, t = _planted(spark)
+    out = {r["conv_id"]: r for r in conv_dedup_exact(t).collect()}
+    assert len(out) == t.select("conv_id").distinct().count()
+    assert (out["conv000001"]["keep"], out["conv000001"]["n_copies"]) == (True, 2)
+    assert (out["zz_dup"]["keep"], out["zz_dup"]["canonical_id"]) == (
+        False,
+        "conv000001",
+    )
+    # the modified copy is its own group — content, not id, drives the key
+    assert (out["zz_mod"]["keep"], out["zz_mod"]["n_copies"]) == (True, 1)
+    # the two prefix copies dedup against each other at the exact grain
+    assert out["zz_prefix"]["keep"] is True
+    assert out["zz_prefix2"]["canonical_id"] == "zz_prefix"
+
+
+def test_conv_prefix_dedup_planted(spark):
+    """Strict-prefix copies flag (keep=false) with their container count;
+    containers, equal-length exact dups, and modified near-misses all
+    keep.  Composing with the exact grain: intersecting keeps drops
+    zz_dup, zz_prefix, zz_prefix2 and keeps everything else."""
+    from pdfparse_spark.pipeline.convops import (
+        conv_dedup_exact,
+        conv_prefix_dedup,
+    )
+
+    _, t = _planted(spark)
+    out = {r["conv_id"]: r for r in conv_prefix_dedup(t).collect()}
+    assert len(out) == t.select("conv_id").distinct().count()
+    assert (out["zz_prefix"]["is_prefix"], out["zz_prefix"]["n_containers"]) == (
+        True,
+        1,
+    )
+    assert out["zz_prefix2"]["is_prefix"] is True
+    assert out["conv000002"]["keep"] is True  # the completed attempt
+    assert out["zz_mod"]["keep"] is True
+    assert out["zz_dup"]["keep"] is True  # exact dup ≠ strict prefix
+    ex = {r["conv_id"]: r["keep"] for r in conv_dedup_exact(t).collect()}
+    dropped = {c for c in out if not (out[c]["keep"] and ex[c])}
+    assert dropped == {"zz_dup", "zz_prefix", "zz_prefix2"}
+
+
+def test_conv_prefix_hot_chain_spreads_and_stays_linear(spark):
+    """The retry-storm case: 48 abandoned copies and 16 completions of ONE
+    session.  The probe join must (a) flag all 48 with n_containers=16,
+    (b) spread the hot chain's probe rows across reducers (fused h:salt
+    key), and (c) pair via the pre-aggregated (value, count) table — the
+    executed plan carries no row-pairing join of copies × completions."""
+    from pdfparse_spark.pipeline.convops import _CONV_SALT, conv_prefix_dedup
+
+    rows = []
+    for c in range(48):
+        for t in range(3):
+            rows.append(("ab%03d" % c, t, "user", "turn %d" % t, "", None))
+    for c in range(16):
+        for t in range(5):
+            rows.append(("full%03d" % c, t, "user", "turn %d" % t, "", None))
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    bcast_key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(coalesce_key, "true")
+    prev_b = spark.conf.get(bcast_key)
+    try:
+        # at 10^12 turns the prefix table is corpus-sized, not
+        # broadcastable — force the shuffle join the production plan
+        # would use and observe the salted key distribution
+        spark.conf.set(coalesce_key, "false")
+        spark.conf.set(bcast_key, "-1")
+        out = conv_prefix_dedup(df).withColumn("pid", F.spark_partition_id())
+        got = out.collect()
+    finally:
+        spark.conf.set(coalesce_key, prev)
+        spark.conf.set(bcast_key, prev_b)
+    by_id = {r["conv_id"]: r for r in got}
+    assert len(by_id) == 64
+    for c in range(48):
+        r = by_id["ab%03d" % c]
+        assert (r["is_prefix"], r["n_containers"], r["keep"]) == (True, 16, False)
+    for c in range(16):
+        assert by_id["full%03d" % c]["keep"] is True
+    pids = {r["pid"] for r in got if r["is_prefix"]}
+    assert len(pids) >= min(4, _CONV_SALT)
