@@ -37,7 +37,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["conv_chains", "conv_dedup_exact", "conv_prefix_dedup"]
+__all__ = [
+    "conv_chains",
+    "conv_dedup_exact",
+    "conv_prefix_dedup",
+    "conv_dedup_filter",
+]
 
 # replication factor for the 1-row-per-(hash,len) full-chain side of the
 # prefix join; a hot templated prefix fans across this many reducers
@@ -182,4 +187,49 @@ def conv_prefix_dedup(
             F.coalesce("nc", F.lit(0)).alias("n_containers"),
             F.col("nc").isNull().alias("keep"),
         )
+    )
+
+
+def conv_dedup_filter(df: DataFrame) -> tuple[DataFrame, dict]:
+    """Both grains composed into a pre-extraction filter: returns
+    (transcripts with duplicate conversations removed, stats).  The keep
+    rule is conv_dedup_exact ∧ conv_prefix_dedup — one canonical copy of
+    every re-ingested session survives and abandoned retry prefixes go.
+
+    The fat text never shuffles for the filter: verdicts come off the
+    narrow chains frame, and the transcript side is LEFT-ANTI joined
+    against the DROP set only — on a real corpus drops are a small
+    fraction, so AQE broadcasts them and the filter is map-side; if a
+    pathological corpus ever makes the drop set huge, the fallback is a
+    conv_id shuffle of keys the extraction stage was about to shuffle
+    anyway.  The chains checkpoint is released before returning (the
+    run_curate RDD-diff discipline); only the drop-set checkpoint rides
+    on with the returned frame — the caller's session teardown (or a
+    post-run RDD-diff release) frees it."""
+    spark = df.sparkSession
+    jsc = spark.sparkContext._jsc
+    pre = set(jsc.getPersistentRDDs().keys())
+    ch = conv_chains(df).localCheckpoint(eager=True)
+    ch_ids = set(jsc.getPersistentRDDs().keys()) - pre
+    n_convs = ch.count()
+    drop = (
+        conv_dedup_exact(df, chains=ch)
+        .select("conv_id", F.col("keep").alias("keep_exact"))
+        .join(
+            conv_prefix_dedup(df, chains=ch).select(
+                "conv_id", F.col("keep").alias("keep_prefix")
+            ),
+            "conv_id",
+        )
+        .filter(~(F.col("keep_exact") & F.col("keep_prefix")))
+        .select("conv_id")
+        .localCheckpoint(eager=True)
+    )
+    n_dropped = drop.count()
+    for rid, rdd in list(jsc.getPersistentRDDs().items()):
+        if rid in ch_ids:
+            rdd.unpersist(False)
+    return (
+        df.join(drop, "conv_id", "left_anti"),
+        {"n_convs": n_convs, "n_convs_dropped": n_dropped},
     )

@@ -64,6 +64,15 @@ def main(argv: list[str] | None = None) -> int:
         "(identical output rows; wins on duplicate-heavy corpora)",
     )
     p.add_argument(
+        "--conv-dedup",
+        action="store_true",
+        help="drop duplicate conversations BEFORE extraction: exact "
+        "re-ingested sessions (one canonical copy survives) and "
+        "abandoned retry-prefix sessions (convops turn-hash chains). "
+        "The drop set is LEFT-ANTI joined — typically small, so AQE "
+        "broadcasts it and the fat text never shuffles for the filter",
+    )
+    p.add_argument(
         "--warmup",
         action="store_true",
         help="run a tiny untimed extraction first: forks the Python worker "
@@ -92,6 +101,12 @@ def main(argv: list[str] | None = None) -> int:
     else:
         rows, _ = make_transcript_rows(args.n_convs, args.turns, args.seed)
         df = transcripts_df(spark, rows)
+
+    conv_stats: dict = {}
+    if args.conv_dedup:
+        from .convops import conv_dedup_filter
+
+        df, conv_stats = conv_dedup_filter(df)
 
     if args.warmup:
         from .extract import run_extraction
@@ -143,6 +158,7 @@ def main(argv: list[str] | None = None) -> int:
         "waves_run": stats["waves_run"],
         "buckets_skipped": stats["buckets_skipped"],
         "ledger_rows": ledger.count() if ledger is not None else 0,
+        **conv_stats,
     }))
     content_type_stats(out).show(truncate=False)
     # mixed out dirs (earlier waves written without --telemetry) lack the

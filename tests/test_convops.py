@@ -152,3 +152,25 @@ def test_conv_prefix_hot_chain_spreads_and_stays_linear(spark):
         assert by_id["full%03d" % c]["keep"] is True
     pids = {r["pid"] for r in got if r["is_prefix"]}
     assert len(pids) >= min(4, _CONV_SALT)
+
+
+def test_conv_dedup_filter_planted(spark):
+    """The composed pre-extraction filter drops exactly the exact-dup and
+    prefix copies, keeps every surviving turn intact, and releases the
+    chains checkpoint before returning (only the small drop set stays)."""
+    from pdfparse_spark.pipeline.convops import conv_dedup_filter
+
+    _, t = _planted(spark)
+    pre = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+    filtered, stats = conv_dedup_filter(t)
+    post = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+    assert stats == {"n_convs": 10, "n_convs_dropped": 3}
+    # only the drop-set checkpoint survives the call, not the corpus-wide
+    # chains frame
+    assert len(post - pre) <= 1
+    kept = {r["conv_id"] for r in filtered.select("conv_id").distinct().collect()}
+    assert kept == {"conv%06d" % i for i in range(6)} | {"zz_mod"}
+    want = t.filter(
+        ~F.col("conv_id").isin("zz_dup", "zz_prefix", "zz_prefix2")
+    ).count()
+    assert filtered.count() == want
