@@ -14,7 +14,8 @@ ways that per-turn / per-payload dedup cannot see:
 Both reduce a conversation to a constant-width *turn-hash chain* so the
 fat text column never crosses a conversation-level shuffle:
 
-    th_i    = md5(role_i \\x1f text_i)           (per turn, map-side)
+    th_i    = md5(role_i \\x1f text_i)           (per turn, map-side;
+                                                 NULL role/text ≡ '')
     chain_k = md5(chain_{k-1} || th_k)           (left fold over turn order)
 
 ``chain_n`` fingerprints the whole conversation; ``chain_k`` fingerprints
@@ -55,13 +56,26 @@ def conv_chains(transcripts: DataFrame) -> DataFrame:
 
     One narrow shuffle: turns are hashed to 32 chars map-side, grouped by
     conv_id, sorted in-array (array_sort on (turn_idx, th) structs — no
-    per-group window), and folded JVM-side.  The fold recomputes the
-    running md5 once per step inside an accumulator struct; nothing here
-    leaves whole-stage codegen."""
+    per-group window), and folded JVM-side.  NULL role/text hash as
+    empty strings — coalesced BEFORE the \\x1f join, because concat_ws
+    would silently drop a NULL operand and its separator, making
+    (role='u', text=NULL) collide with (role='u', text='') only by
+    accident and breaking the reproducible-outside-Spark convention.
+    The fold carries only the chain array and reads the running hash
+    back from its own tail, so each md5 is computed exactly once per
+    turn; ArrayAggregate itself is interpreted (CodegenFallback, no CSE
+    — which is exactly why the double-md5 formulation must be avoided),
+    while the per-turn hash projection stays in whole-stage codegen."""
     th = transcripts.select(
         "conv_id",
         "turn_idx",
-        F.md5(F.concat_ws("\x1f", F.col("role"), F.col("text"))).alias("th"),
+        F.md5(
+            F.concat_ws(
+                "\x1f",
+                F.coalesce(F.col("role"), F.lit("")),
+                F.coalesce(F.col("text"), F.lit("")),
+            )
+        ).alias("th"),
     )
     per_conv = th.groupBy("conv_id").agg(
         F.expr(
@@ -70,11 +84,10 @@ def conv_chains(transcripts: DataFrame) -> DataFrame:
         ).alias("ths")
     )
     chain = F.expr(
-        "aggregate(ths, "
-        "struct(CAST('' AS STRING) AS h, CAST(array() AS array<string>) AS c), "
-        "(acc, t) -> struct(md5(concat(acc.h, t)), "
-        "             concat(acc.c, array(md5(concat(acc.h, t))))), "
-        "acc -> acc.c)"
+        "aggregate(ths, CAST(array() AS array<string>), "
+        "(acc, t) -> concat(acc, array(md5(concat("
+        "CASE WHEN size(acc) = 0 THEN '' ELSE element_at(acc, size(acc)) END, "
+        "t)))))"
     )
     return per_conv.select(
         "conv_id", F.size("ths").alias("n_turns"), chain.alias("chain")

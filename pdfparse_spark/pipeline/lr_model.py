@@ -83,8 +83,18 @@ def train_lr_model(
     """Fit the one-vs-rest classifier on ``embs`` (vec_id, embedding,
     label) and persist raw-space weights + meta.  Returns training
     stats (final loss, separation) so callers can gate on convergence
-    before shipping the model."""
+    before shipping the model.  Refuses a frame with inconsistent vector
+    dimensions: ragged rows would NULL out of the standardized zip_with
+    and silently deflate every gradient (the count stays in n while the
+    sums drop them) — the train-time twin of the score-time dim guard."""
     e, dim, stats, _n = _embed_centered_stats(spark, "", embs=embs)
+    n_bad = embs.filter(F.size(F.col("embedding")) != dim).count()
+    if n_bad:
+        raise ValueError(
+            "training frame has %d row(s) whose vector length != %d (the "
+            "max dimension observed); a mixed-dimension frame trains a "
+            "silently skewed model — clean the input first" % (n_bad, dim)
+        )
     b, w, trace, mu, sd = _lr_fit(
         e, dim, stats, iters, rate, target_label=target_label
     )
@@ -183,9 +193,8 @@ def _score_frame(
     )
     margin = F.when(F.size(F.col(vec_col)) == dim, margin)
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.round(margin, 6)))
-    out_cols = [c for c in embs.columns if c != vec_col]
     return embs.select(
-        *out_cols,
+        "*",
         F.round(score, 4).alias("quality_score"),
         F.coalesce((margin >= 0), F.lit(False)).cast("boolean").alias("keep"),
     )

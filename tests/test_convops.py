@@ -174,3 +174,26 @@ def test_conv_dedup_filter_planted(spark):
         ~F.col("conv_id").isin("zz_dup", "zz_prefix", "zz_prefix2")
     ).count()
     assert filtered.count() == want
+
+
+def test_conv_chain_null_text_convention(spark):
+    """NULL role/text hash as empty strings (coalesced BEFORE the \\x1f
+    join — concat_ws would silently drop the NULL and its separator),
+    keeping the chain reproducible outside Spark on nullable columns."""
+    from pdfparse_spark.pipeline.convops import conv_chains
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", None, "", None),
+            ("c1", 1, None, "hi", "", None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    h, want = "", []
+    for role, text in [("user", ""), ("", "hi")]:
+        th = hashlib.md5(("%s\x1f%s" % (role, text)).encode()).hexdigest()
+        h = hashlib.md5((h + th).encode()).hexdigest()
+        want.append(h)
+    got = conv_chains(df).collect()[0]
+    assert got["chain"] == want and got["n_turns"] == 2

@@ -2219,3 +2219,18 @@ def test_lr_model_feature_tag_guard(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(lm, "_FEAT_TAG", "embed-lr-stdspace-v2")
     with pytest.raises(ValueError, match="convention"):
         lm.score_with_lr_model(spark, _emb(spark, SF), model)
+
+
+def test_lr_model_refuses_ragged_training_frame(spark, tmp_path):
+    """Mixed vector dimensions at TRAIN time would NULL out of the
+    standardized zip_with and silently deflate every gradient — the
+    train-time twin of the score-time dim guard must refuse the frame."""
+    from pdfparse_spark.pipeline.lr_model import train_lr_model
+
+    ok = [(i, [0.1 * i] * 4, i % 2) for i in range(8)]
+    ragged = [(100, [0.5] * 2, 0)]
+    embs = spark.createDataFrame(
+        ok + ragged, "vec_id long, embedding array<float>, label int"
+    )
+    with pytest.raises(ValueError, match="vector length"):
+        train_lr_model(spark, embs, str(tmp_path / "m"), iters=1)
