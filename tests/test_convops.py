@@ -197,3 +197,81 @@ def test_conv_chain_null_text_convention(spark):
         want.append(h)
     got = conv_chains(df).collect()[0]
     assert got["chain"] == want and got["n_turns"] == 2
+
+
+def test_conv_index_lifecycle(spark, tmp_path):
+    """build → probe → extend → re-probe: an indexed session, its exact
+    re-ingest, and a strict prefix of it are all screened out; a new
+    session, a modified copy, and an EXTENSION of an indexed session
+    (the documented asymmetry) pass; extending is idempotent by value."""
+    from pdfparse_spark.pipeline.conv_index import (
+        build_conv_index,
+        extend_conv_index,
+        probe_conv_index,
+    )
+
+    base, _ = _planted(spark)  # 6 clean synthesized conversations
+    idx = str(tmp_path / "cidx")
+    stats = build_conv_index(spark, base, idx)
+    assert stats["n_chain_values"] == 6 * 5  # all distinct, all positions
+
+    # same corpus re-probed: everything is in_index
+    again = {r["conv_id"]: r["in_index"] for r in probe_conv_index(spark, base, idx).collect()}
+    assert all(again.values()) and len(again) == 6
+
+    dup = base.filter("conv_id='conv000001'").withColumn("conv_id", F.lit("zz_dup"))
+    pre = base.filter("conv_id='conv000002' and turn_idx < 3").withColumn(
+        "conv_id", F.lit("zz_prefix")
+    )
+    ext = base.filter("conv_id='conv000004'").unionByName(
+        spark.createDataFrame(
+            [("conv000004", 99, "user", "a brand new closing turn", "", None)],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+    ).withColumn("conv_id", F.lit("zz_ext"))
+    mod = (
+        base.filter("conv_id='conv000003'")
+        .withColumn("conv_id", F.lit("zz_mod"))
+        .withColumn(
+            "text",
+            F.when(F.col("turn_idx") == 1, F.lit("altered")).otherwise(F.col("text")),
+        )
+    )
+    inc = dup.unionByName(pre).unionByName(ext).unionByName(mod)
+    got = {
+        r["conv_id"]: (r["in_index"], r["keep"])
+        for r in probe_conv_index(spark, inc, idx).collect()
+    }
+    assert got == {
+        "zz_dup": (True, False),
+        "zz_prefix": (True, False),
+        "zz_ext": (False, True),
+        "zz_mod": (False, True),
+    }
+
+    # extend with the increment: only genuinely new values append; the
+    # extension shares its first 5 positions with conv000004, so it adds
+    # exactly 1; the modified copy diverges at turn 1, adding 4
+    st1 = extend_conv_index(spark, inc, idx)
+    assert st1["n_added"] == 1 + 4
+    st2 = extend_conv_index(spark, inc, idx)  # idempotent by value
+    assert st2["n_added"] == 0
+    re = {
+        r["conv_id"]: r["in_index"]
+        for r in probe_conv_index(spark, inc, idx).collect()
+    }
+    assert re == {"zz_dup": True, "zz_prefix": True, "zz_ext": True, "zz_mod": True}
+
+
+def test_conv_index_tag_guard(spark, tmp_path, monkeypatch):
+    """An index built under a different chain convention must be refused
+    at probe time — the lifecycle-wide seed/tag lesson."""
+    from pdfparse_spark.pipeline import conv_index as ci
+
+    base, _ = _planted(spark)
+    idx = str(tmp_path / "m")
+    ci.build_conv_index(spark, base, idx)
+    monkeypatch.setattr(ci, "_FEAT_TAG", "conv-sha256chain-v2")
+    with pytest.raises(ValueError, match="chain convention"):
+        ci.probe_conv_index(spark, base, idx)

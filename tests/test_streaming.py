@@ -1046,3 +1046,78 @@ def test_stream_lr_score_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(out + "/batch=*").collect()
     }
     assert replayed == streamed
+
+
+def test_stream_conv_screen_matches_batch(spark, tmp_path):
+    """Streaming conversation screening against a persisted chain index:
+    two transcript file drops (whole conversations per file — the
+    ingestion contract) screen per micro-batch; the union of batch
+    outputs equals the batch probe row-for-row, and a replayed batch
+    rewrites its own partition with identical rows."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from pdfparse_spark.pipeline.conv_index import (
+        build_conv_index,
+        probe_conv_index,
+        read_conv_verdicts,
+        start_stream_conv_screen,
+    )
+    from pdfparse_spark.pipeline.transcripts import synthesize
+
+    base, _ = synthesize(spark, n_convs=8, turns_per_conv=4, seed=21)
+    base = base.localCheckpoint(eager=True)
+    idx = str(tmp_path / "cidx")
+    build_conv_index(spark, base, idx)
+
+    # increment: 2 re-ingested copies, 1 retry prefix, 3 new sessions
+    dup0 = base.filter("conv_id='conv000000'").withColumn("conv_id", F.lit("zz_d0"))
+    dup1 = base.filter("conv_id='conv000001'").withColumn("conv_id", F.lit("zz_d1"))
+    pre = base.filter("conv_id='conv000002' and turn_idx < 2").withColumn(
+        "conv_id", F.lit("zz_pre")
+    )
+    fresh, _ = synthesize(spark, n_convs=3, turns_per_conv=4, seed=77)
+    fresh = fresh.withColumn("conv_id", F.concat(F.lit("new_"), F.col("conv_id")))
+    inc = dup0.unionByName(dup1).unionByName(pre).unionByName(fresh)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # whole conversations per file: split by conv_id, not by row
+    inc.filter(F.col("conv_id").startswith("zz_")).coalesce(1).write.parquet(
+        str(in_dir / "f1")
+    )
+    inc.filter(F.col("conv_id").startswith("new_")).coalesce(1).write.parquet(
+        str(in_dir / "f2")
+    )
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = start_stream_conv_screen(spark, str(in_dir) + "/f*", out, idx, ck)
+    q.awaitTermination(120)
+
+    streamed = {
+        r["conv_id"]: (r["n_turns"], r["in_index"], r["keep"])
+        for r in read_conv_verdicts(spark, out).collect()
+    }
+    batch = {
+        r["conv_id"]: (r["n_turns"], r["in_index"], r["keep"])
+        for r in probe_conv_index(spark, inc, idx).collect()
+    }
+    assert streamed == batch
+    assert {c for c, v in streamed.items() if not v[2]} == {"zz_d0", "zz_d1", "zz_pre"}
+
+    # replay the last batch: identical rows, no dups, no changed verdicts
+    commits = sorted(
+        f for f in os.listdir(ck + "/commits") if not f.startswith(".")
+    )
+    os.remove(ck + "/commits/" + commits[-1])
+    crc = ck + "/commits/." + commits[-1] + ".crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    q2 = start_stream_conv_screen(spark, str(in_dir) + "/f*", out, idx, ck)
+    q2.awaitTermination(120)
+    replayed = {
+        r["conv_id"]: (r["n_turns"], r["in_index"], r["keep"])
+        for r in read_conv_verdicts(spark, out).collect()
+    }
+    assert replayed == streamed
