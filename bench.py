@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "decontaminate_jaccard",
     "docs_repeat_plan",
     "corpus_curate_decon",
+    "docs_split_holdout",
+    "docs_curriculum_order",
 ]
 
 

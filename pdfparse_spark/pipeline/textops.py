@@ -3162,6 +3162,109 @@ def docs_repeat_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Held-out fraction per source stratum for the train/val split.
+_HOLDOUT_FRAC = 0.1
+
+
+def docs_split_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT stratified train/val split: within every ``source`` stratum,
+    rank docs by a doc_id-keyed md5 draw and hold out the lowest
+    ⌈``_HOLDOUT_FRAC``·n_source⌉ as ``val`` — the held-out eval slice a
+    curation pipeline must carve BEFORE any quality filtering touches the
+    pool (filtering first would bias the eval set toward the filter).
+    Exact per-stratum quotas, unlike a per-doc Bernoulli draw
+    (docs_pps_sample's shape), and deterministic under retries: the draw
+    is md5('hold:'||doc_id), never RNG state.
+
+    Scale: the per-source rank is the docs_global_shuffle two-phase
+    trick applied per stratum — rank within (source, 2-hex-draw-prefix)
+    buckets plus a broadcast (source × 256)-row offset table — so no
+    source ever funnels through a single reducer's sort; quotas join
+    from a broadcast sources-row table."""
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    keyed = d.withColumn(
+        "draw", F.md5(F.concat(F.lit("hold:"), F.col("doc_id").cast("string")))
+    ).withColumn("bkt", F.substring("draw", 1, 2))
+    counts = keyed.groupBy("source", "bkt").agg(F.count("*").alias("n"))
+    prior = (
+        Window.partitionBy("source")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("n").over(prior), F.lit(0))
+    ).select("source", "bkt", "off")
+    quotas = (
+        counts.groupBy("source")
+        .agg(F.sum("n").alias("n_source"))
+        .select(
+            "source",
+            F.ceil(F.lit(_HOLDOUT_FRAC) * F.col("n_source"))
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+    w = Window.partitionBy("source", "bkt").orderBy("draw", "doc_id")
+    rank = (F.col("off") + F.col("r")).cast("long")
+    return (
+        keyed.withColumn("r", F.row_number().over(w))
+        .join(F.broadcast(offsets), ["source", "bkt"])
+        .join(F.broadcast(quotas), "source")
+        .select(
+            "doc_id",
+            "source",
+            rank.alias("holdout_rank"),
+            F.when(rank <= F.col("quota"), F.lit("val"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+    )
+
+
+# Quality bands for the curriculum rank's two-phase trick; q ∈ [0, 1], so
+# floor(q·bands) is monotone in q and band-concatenated ranks equal the
+# global quality order.  A knob: more bands = more parallel sort tasks.
+_CURRICULUM_BANDS = 256
+
+
+def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: rank every doc by the shared text-quality
+    composite ASCENDING (easy/low-quality exposures first, hardest/best
+    last — or read the rank backwards for anti-curriculum), ties broken
+    by doc_id.  The complement of docs_repeat_order's interleaved random
+    layout: same loader-facing contract (a dense 1..N ``train_rank``-style
+    column), opposite ordering policy.
+
+    Scale: the global quality sort never funnels — rank within
+    ``_CURRICULUM_BANDS`` quality bands (floor(q·bands), monotone in q)
+    plus a broadcast band-offset table, the docs_global_shuffle two-phase
+    trick keyed by value bands instead of md5 prefixes."""
+    d = _docs(spark, sf_dir).select("doc_id", "text", F.expr(_TOKS).alias("arr"))
+    scored = d.select("doc_id", _quality_expr().alias("q"))
+    band = F.least(
+        F.floor(F.col("q") * _CURRICULUM_BANDS).cast("int"),
+        F.lit(_CURRICULUM_BANDS - 1),
+    )
+    keyed = scored.withColumn("band", band)
+    counts = keyed.groupBy("band").agg(F.count("*").alias("n"))
+    prior = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("n").over(prior), F.lit(0))
+    ).select("band", "off")
+    w = Window.partitionBy("band").orderBy("q", "doc_id")
+    return (
+        keyed.withColumn("r", F.row_number().over(w))
+        .join(F.broadcast(offsets), "band")
+        .select(
+            "doc_id",
+            # UNROUNDED: bit-identical in both engines (the repeat-plan
+            # lesson — rounding creates decimal-halfway disagreements)
+            F.col("q").alias("quality"),
+            (F.col("off") + F.col("r")).cast("long").alias("curriculum_rank"),
+        )
+    )
+
+
 # Duplicated-span n-gram width: 8 tokens ≈ the granularity at which prose
 # reuse stops being coincidence on an alnum-token stream (Lee et al. use
 # 50 BPE tokens on web text; the synthetic corpus' docs are ~40 tokens, so
@@ -3829,6 +3932,16 @@ _SQL_SPANCOV_CTES = f"""toks AS (
 # Quality-weighted repeat-plan CTE chain (rbase → rscored → rplan), shared
 # by the docs_repeat_plan and docs_repeat_order oracles.  A bare CTE list
 # ending in `rplan`; callers prepend WITH and append their own CTEs.
+#: DuckDB mirror of ``_quality_expr()`` over (text, arr) columns —
+#: left-associated exactly like Spark's (A*B)*C so the IEEE product is
+#: bit-identical; shared by the repeat-plan and curriculum oracles.
+_SQL_QEXPR = """least(len(arr) / 64.0, 1.0)
+                       * (0.5 + 0.5 * (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                                       * 1.0 / greatest(length(text), 1)))
+                       * (1.0 - 0.5 * (len(list_filter(arr,
+                                           w -> w IN ('the','a','and','of','to','in','is')))
+                                       * 1.0 / greatest(len(arr), 1)))"""
+
 _SQL_REPEAT_CTES = f"""rbase AS (
             SELECT doc_id, text, {_SQL_TOKS} AS arr FROM documents
         ), rscored AS (
@@ -3836,12 +3949,7 @@ _SQL_REPEAT_CTES = f"""rbase AS (
             -- order matches Spark's 4.0 * ((A*B)*C) exactly
             SELECT doc_id,
                    {float(_REPEAT_MAX)} * (
-                       least(len(arr) / 64.0, 1.0)
-                       * (0.5 + 0.5 * (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
-                                       * 1.0 / greatest(length(text), 1)))
-                       * (1.0 - 0.5 * (len(list_filter(arr,
-                                           w -> w IN ('the','a','and','of','to','in','is')))
-                                       * 1.0 / greatest(len(arr), 1)))
+                       {_SQL_QEXPR}
                    ) AS x,
                    CAST(concat('0x', substr(md5('rep:' || CAST(doc_id AS VARCHAR)), 1, 13))
                         AS BIGINT) AS u
@@ -4317,6 +4425,34 @@ ORACLES: dict[str, str] = {
                row_number() OVER (ORDER BY shuffle_key, doc_id, copy_idx) AS train_rank
         FROM rkeyed
     """,
+    "docs_split_holdout": f"""
+        WITH hdraw AS (
+            SELECT doc_id, source,
+                   md5('hold:' || CAST(doc_id AS VARCHAR)) AS draw
+            FROM documents
+        ), hrank AS (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY draw, doc_id) AS holdout_rank,
+                   count(*) OVER (PARTITION BY source) AS n_source
+            FROM hdraw
+        )
+        SELECT doc_id, source, holdout_rank,
+               CASE WHEN holdout_rank
+                         <= CAST(ceil({_HOLDOUT_FRAC} * n_source) AS BIGINT)
+                    THEN 'val' ELSE 'train' END AS split
+        FROM hrank
+    """,
+    "docs_curriculum_order": f"""
+        WITH cbase AS (
+            SELECT doc_id, text, {_SQL_TOKS} AS arr FROM documents
+        ), cscored AS (
+            SELECT doc_id, ({_SQL_QEXPR}) AS q FROM cbase
+        )
+        SELECT doc_id, q AS quality,
+               row_number() OVER (ORDER BY q, doc_id) AS curriculum_rank
+        FROM cscored
+    """,
     "docs_pps_sample": f"""
         WITH tot AS (
             SELECT sum(n_chars) AS w_total FROM documents
@@ -4711,6 +4847,8 @@ QUERIES = {
     "decontaminate_jaccard": decontaminate_jaccard,
     "docs_repeat_plan": docs_repeat_plan,
     "docs_repeat_order": docs_repeat_order,
+    "docs_split_holdout": docs_split_holdout,
+    "docs_curriculum_order": docs_curriculum_order,
 }
 
 # Queries with no ORACLES entry (sketch hash families / iterative loops).
@@ -4729,5 +4867,7 @@ LATE_ORACLED = frozenset(
         "docs_repeat_plan",
         "docs_repeat_order",
         "corpus_curate_decon",
+        "docs_split_holdout",
+        "docs_curriculum_order",
     }
 )

@@ -2234,3 +2234,46 @@ def test_lr_model_refuses_ragged_training_frame(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="vector length"):
         train_lr_model(spark, embs, str(tmp_path / "m"), iters=1)
+
+
+def test_docs_split_holdout_invariants(spark):
+    """Exact per-stratum quotas: every source holds out exactly
+    ⌈frac·n_source⌉ docs as val, ranks are dense 1..n_source, and the
+    split is deterministic across runs (doc_id-keyed draw, no RNG)."""
+    import math
+
+    from pdfparse_spark.pipeline.textops import _HOLDOUT_FRAC, docs_split_holdout
+
+    rows = docs_split_holdout(spark, SF).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(rows) == 500 and len(by_src) > 1
+    for src, rs in by_src.items():
+        n = len(rs)
+        quota = math.ceil(_HOLDOUT_FRAC * n)
+        assert sum(r["split"] == "val" for r in rs) == quota, src
+        assert sorted(r["holdout_rank"] for r in rs) == list(range(1, n + 1))
+        # val is exactly the quota lowest ranks
+        assert {r["holdout_rank"] for r in rs if r["split"] == "val"} == set(
+            range(1, quota + 1)
+        )
+    again = {
+        (r["doc_id"]): (r["holdout_rank"], r["split"])
+        for r in docs_split_holdout(spark, SF).collect()
+    }
+    assert again == {r["doc_id"]: (r["holdout_rank"], r["split"]) for r in rows}
+
+
+def test_docs_curriculum_order_invariants(spark):
+    """Dense 1..N rank with quality non-decreasing along it (ties broken
+    by doc_id) — the two-phase banded rank must equal a global sort."""
+    from pdfparse_spark.pipeline.textops import docs_curriculum_order
+
+    rows = sorted(
+        docs_curriculum_order(spark, SF).collect(),
+        key=lambda r: r["curriculum_rank"],
+    )
+    assert [r["curriculum_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert (a["quality"], a["doc_id"]) < (b["quality"], b["doc_id"])
