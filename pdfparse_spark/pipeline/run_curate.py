@@ -88,6 +88,16 @@ def main(argv: list[str] | None = None) -> int:
         "covered by a cross-document duplicated n-gram are removed, "
         "coverage computed over the FULL corpus before any filter",
     )
+    p.add_argument(
+        "--order",
+        choices=["shuffle", "curriculum"],
+        default="shuffle",
+        help="training-order policy for shuffle_rank: 'shuffle' (default) "
+        "is the deterministic md5 global shuffle; 'curriculum' ranks the "
+        "survivors by the text-quality composite ASCENDING (easy first — "
+        "read backwards for anti-curriculum), the docs_curriculum_order "
+        "policy restricted to the curated set",
+    )
     p.add_argument("--num-files", type=int, default=16)
     args = p.parse_args(argv)
 
@@ -191,6 +201,27 @@ def main(argv: list[str] | None = None) -> int:
         # corpus_curate_full's composition with more legs
         ranked = _md5_shuffle_rank(survivors, "n_tokens")
 
+    if args.order == "curriculum":
+        # quality-ascending curriculum over the SURVIVOR set: same banded
+        # two-phase rank as docs_curriculum_order, quality recomputed from
+        # the shared tokenized checkpoint (no extra corpus scan), emitted
+        # under the same shuffle_rank loader contract
+        from .textops import _quality_band_rank, _quality_expr
+
+        surv = (
+            survivors
+            if legs
+            else passed.join(dropped_dup, "doc_id", "left_anti")
+        )
+        scored = docs_tok.join(
+            surv.select("doc_id"), "doc_id", "left_semi"
+        ).select("doc_id", _quality_expr().alias("q"))
+        ranked = (
+            _quality_band_rank(scored, rank_name="shuffle_rank")
+            .select("doc_id", "shuffle_rank")
+            .join(surv.select("doc_id", "n_tokens"), "doc_id")
+        )
+
     if args.strip_spans:
         # corpus-level duplicated-span coverage (the dedup_span_strip
         # body) over the SHARED tokenized checkpoint, applied to the
@@ -280,6 +311,7 @@ def main(argv: list[str] | None = None) -> int:
                 "dropped_decon": drops["dropped_decon"],
                 "tokens_removed": tokens_removed,
                 "pairs": args.pairs,
+                "order": args.order,
                 "wall_sec": round(wall, 3),
             }
         )

@@ -3241,6 +3241,21 @@ def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     trick keyed by value bands instead of md5 prefixes."""
     d = _docs(spark, sf_dir).select("doc_id", "text", F.expr(_TOKS).alias("arr"))
     scored = d.select("doc_id", _quality_expr().alias("q"))
+    return _quality_band_rank(scored).select(
+        "doc_id",
+        # UNROUNDED: bit-identical in both engines (the repeat-plan
+        # lesson — rounding creates decimal-halfway disagreements)
+        F.col("q").alias("quality"),
+        "curriculum_rank",
+    )
+
+
+def _quality_band_rank(
+    scored: DataFrame, rank_name: str = "curriculum_rank"
+) -> DataFrame:
+    """(doc_id, q, <rank_name>) — dense 1..N rank ascending in (q, doc_id)
+    via the banded two-phase trick; shared by :func:`docs_curriculum_order`
+    and run_curate's ``--order curriculum``."""
     band = F.least(
         F.floor(F.col("q") * _CURRICULUM_BANDS).cast("int"),
         F.lit(_CURRICULUM_BANDS - 1),
@@ -3257,10 +3272,8 @@ def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(offsets), "band")
         .select(
             "doc_id",
-            # UNROUNDED: bit-identical in both engines (the repeat-plan
-            # lesson — rounding creates decimal-halfway disagreements)
-            F.col("q").alias("quality"),
-            (F.col("off") + F.col("r")).cast("long").alias("curriculum_rank"),
+            "q",
+            (F.col("off") + F.col("r")).cast("long").alias(rank_name),
         )
     )
 

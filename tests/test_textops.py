@@ -2277,3 +2277,39 @@ def test_docs_curriculum_order_invariants(spark):
     assert [r["curriculum_rank"] for r in rows] == list(range(1, len(rows) + 1))
     for a, b in zip(rows, rows[1:]):
         assert (a["quality"], a["doc_id"]) < (b["quality"], b["doc_id"])
+
+
+def test_run_curate_cli_curriculum_order(spark, tmp_path):
+    """--order curriculum: the SAME curated doc set as the default run,
+    but shuffle_rank ascends in the quality composite (ties by doc_id) —
+    docs_curriculum_order's policy restricted to the survivors."""
+    import contextlib, io, json
+
+    from pdfparse_spark.pipeline.run_curate import main
+    from pdfparse_spark.pipeline.textops import corpus_curate, docs_curriculum_order
+
+    out = str(tmp_path / "curated")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main([
+            "--sf-dir", SF, "--out", out, "--master", "local[8]",
+            "--num-files", "4", "--order", "curriculum",
+        ])
+    m = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert m["order"] == "curriculum"
+    assert m["docs_in"] == m["dropped_quality"] + m["dropped_near_dup"] + m["docs_curated"]
+
+    got = spark.read.parquet(out)
+    want_ids = {r["doc_id"] for r in corpus_curate(spark, SF).select("doc_id").collect()}
+    assert {r["doc_id"] for r in got.select("doc_id").collect()} == want_ids
+    # rank order == the corpus-wide curriculum order restricted to the
+    # survivor set (dense 1..N after restriction)
+    corpus_rank = {
+        r["doc_id"]: r["curriculum_rank"]
+        for r in docs_curriculum_order(spark, SF).collect()
+    }
+    rows = sorted(got.collect(), key=lambda r: r["shuffle_rank"])
+    assert [r["shuffle_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert [r["doc_id"] for r in rows] == sorted(
+        want_ids, key=lambda i: corpus_rank[i]
+    )
