@@ -89,6 +89,14 @@ def main(argv: list[str] | None = None) -> int:
         "coverage computed over the FULL corpus before any filter",
     )
     p.add_argument(
+        "--holdout-dir",
+        default=None,
+        help="carve the exact stratified eval slice (docs_split_holdout: "
+        "⌈frac·n⌉ lowest md5-draw docs per source) BEFORE any filtering "
+        "— filtering first would bias the eval set toward the filters — "
+        "write it here, and curate only the train split",
+    )
+    p.add_argument(
         "--order",
         choices=["shuffle", "curriculum"],
         default="shuffle",
@@ -118,10 +126,34 @@ def main(argv: list[str] | None = None) -> int:
     d = _docs(spark, args.sf_dir)
     n_in = d.count()
 
+    n_held = 0
+    val_ids = None
+    if args.holdout_dir:
+        from .textops import docs_split_holdout
+
+        split = docs_split_holdout(spark, args.sf_dir)
+        val = split.filter(F.col("split") == "val").select(
+            "doc_id", "holdout_rank"
+        ).localCheckpoint(eager=True)
+        n_held = val.count()
+        (
+            d.join(val, "doc_id")
+            .select("doc_id", "holdout_rank", "lang", "source", "n_chars", "text")
+            .write.mode("overwrite")
+            .parquet(args.holdout_dir)
+        )
+        val_ids = val.select("doc_id")
+        d = d.join(val_ids, "doc_id", "left_anti")
+
     # ONE shared tokenized checkpoint for every filter leg — including
     # the minhash pair source (the corpus_curate_full discipline:
     # tokenize once, not per leg)
     docs_tok = _tokenized_docs(spark, args.sf_dir)
+    if val_ids is not None:
+        # every leg consumes docs_tok, so one anti-join restricts the
+        # whole composed plan to the train split (the checkpoint itself
+        # stays corpus-wide — the filter is a cheap join on top of it)
+        docs_tok = docs_tok.join(val_ids, "doc_id", "left_anti")
     # the exact-pairs default is the gate query's own composition
     # (_curate_parts IS corpus_curate); --pairs minhash swaps only the
     # near-dup pair source, so the CLI can never drift from the oracle
@@ -140,10 +172,10 @@ def main(argv: list[str] | None = None) -> int:
     passed = passed.persist()
     dropped_dup = dropped_dup.persist()
 
-    n_quality_fail = n_in - passed.count()
+    n_quality_fail = n_in - n_held - passed.count()
     # count duplicate-drops among QUALITY-PASSERS so the stages sum:
-    # docs_in = dropped_quality + dropped_near_dup + dropped_lm
-    #           + dropped_dsir + docs_curated
+    # docs_in = held_out + dropped_quality + dropped_near_dup
+    #           + dropped_lm + dropped_dsir + docs_curated
     # (each optional leg counts drops among PRIOR-stage survivors; the
     # summation is pinned by the CLI pytests)
     n_dup_dropped = passed.join(dropped_dup, "doc_id", "inner").count()
@@ -304,6 +336,7 @@ def main(argv: list[str] | None = None) -> int:
             {
                 "docs_in": n_in,
                 "docs_curated": n_curated,
+                "held_out": n_held,
                 "dropped_quality": n_quality_fail,
                 "dropped_near_dup": n_dup_dropped,
                 "dropped_lm": drops["dropped_lm"],

@@ -2313,3 +2313,42 @@ def test_run_curate_cli_curriculum_order(spark, tmp_path):
     assert [r["doc_id"] for r in rows] == sorted(
         want_ids, key=lambda i: corpus_rank[i]
     )
+
+
+def test_run_curate_cli_holdout(spark, tmp_path):
+    """--holdout-dir carves the exact stratified val slice BEFORE any
+    filtering: the val parquet holds exactly docs_split_holdout's val
+    set, the curated output is disjoint from it, and the stage counts
+    still sum to docs_in with held_out included."""
+    import contextlib, io, json
+
+    from pdfparse_spark.pipeline.run_curate import main
+    from pdfparse_spark.pipeline.textops import docs_split_holdout
+
+    out = str(tmp_path / "curated")
+    hold = str(tmp_path / "val")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main([
+            "--sf-dir", SF, "--out", out, "--master", "local[8]",
+            "--num-files", "4", "--holdout-dir", hold,
+        ])
+    m = json.loads(buf.getvalue().strip().splitlines()[-1])
+    want_val = {
+        r["doc_id"]
+        for r in docs_split_holdout(spark, SF).filter("split = 'val'").collect()
+    }
+    assert m["held_out"] == len(want_val) > 0
+    assert m["docs_in"] == (
+        m["held_out"] + m["dropped_quality"] + m["dropped_near_dup"]
+        + m["docs_curated"]
+    )
+    got_val = spark.read.parquet(hold)
+    assert {r["doc_id"] for r in got_val.select("doc_id").collect()} == want_val
+    assert set(got_val.columns) == {
+        "doc_id", "holdout_rank", "lang", "source", "n_chars", "text"
+    }
+    curated_ids = {
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    assert curated_ids.isdisjoint(want_val)
