@@ -73,6 +73,23 @@ def main(argv: list[str] | None = None) -> int:
         "broadcasts it and the fat text never shuffles for the filter",
     )
     p.add_argument(
+        "--conv-index-dir",
+        default=None,
+        help="ALSO screen against a persisted conversation index "
+        "(conv_index.py) before extraction: sessions whose chain tail "
+        "is already indexed — exact duplicates or retry prefixes of a "
+        "previously shipped run — are dropped.  Cross-run dedup; "
+        "composes with --conv-dedup (which handles the increment's own "
+        "internal duplicates)",
+    )
+    p.add_argument(
+        "--conv-index-extend",
+        action="store_true",
+        help="after extraction, append the SURVIVING conversations' "
+        "chain values to --conv-index-dir so the next increment screens "
+        "against this run too (idempotent by value)",
+    )
+    p.add_argument(
         "--warmup",
         action="store_true",
         help="run a tiny untimed extraction first: forks the Python worker "
@@ -102,11 +119,28 @@ def main(argv: list[str] | None = None) -> int:
         rows, _ = make_transcript_rows(args.n_convs, args.turns, args.seed)
         df = transcripts_df(spark, rows)
 
+    if args.conv_index_extend and not args.conv_index_dir:
+        p.error("--conv-index-extend requires --conv-index-dir")
+
     conv_stats: dict = {}
+    if args.conv_index_dir:
+        # cross-run screen FIRST (cheapest elimination — one semi-join
+        # against the stored value set), then the in-increment grains
+        from .conv_index import probe_conv_index
+
+        drop = (
+            probe_conv_index(spark, df, args.conv_index_dir)
+            .filter(~F.col("keep"))
+            .select("conv_id")
+            .localCheckpoint(eager=True)
+        )
+        conv_stats["convs_screened"] = drop.count()
+        df = df.join(drop, "conv_id", "left_anti")
     if args.conv_dedup:
         from .convops import conv_dedup_filter
 
-        df, conv_stats = conv_dedup_filter(df)
+        df, stats = conv_dedup_filter(df)
+        conv_stats.update(stats)
 
     if args.warmup:
         from .extract import run_extraction
@@ -137,6 +171,14 @@ def main(argv: list[str] | None = None) -> int:
         dedup_payloads=args.dedup_payloads,
     )
     wall = time.monotonic() - t0
+    if args.conv_index_extend:
+        # index the survivors this run shipped (post screen + dedup) so
+        # the next increment's probe skips them; by-value idempotent, so
+        # a resumed/replayed run re-extends harmlessly
+        from .conv_index import extend_conv_index
+
+        ext = extend_conv_index(spark, df, args.conv_index_dir)
+        conv_stats["index_values_added"] = ext["n_added"]
     out = read_output(spark, args.out + "/extracted", args.out + "/ledger")
     n = out.count()
     ledger = read_ledger(spark, args.out + "/ledger")
